@@ -1,0 +1,28 @@
+"""Ray Data execution-context defaults for this engine.
+
+Central place for the DataContext knobs we rely on; callers invoke
+:func:`quiet_ray_data` once per process (idempotent). We do NOT touch the
+Ray session itself.
+"""
+
+from __future__ import annotations
+
+_DONE = False
+
+
+def quiet_ray_data(preserve_order: bool = False) -> None:
+    """Quiet progress bars and set deterministic-friendly defaults.
+
+    ``preserve_order=False`` lets the streaming executor run fully
+    pipelined; every operator in this engine is written to be
+    order-insensitive (sorted-within-group outputs), so block order never
+    affects results.
+    """
+    global _DONE
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    ctx.execution_options.preserve_order = preserve_order
+    _DONE = True

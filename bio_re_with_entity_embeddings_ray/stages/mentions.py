@@ -1,0 +1,260 @@
+"""Stage 1 — mention detection over transcript turns.
+
+Two modes, both emitting the MENTIONS schema:
+
+- :class:`MentionScanner` — gazetteer scan of turn ``text`` (the
+  transcript-domain analog of PubTator annotation lines): a callable CLASS
+  for ``map_batches(..., concurrency=N)`` so the compiled alternation regex
+  and surface->id map are built ONCE per actor (reference ships the
+  extractor object to every multiprocessing task instead,
+  /root/reference/data/pubtator.py:363-371).
+
+- :func:`verify_annotations` — the reference's actual mode: pre-supplied
+  annotation rows with character offsets are span-verified against the
+  turn text (drop if ``start > len(text)`` or
+  ``text[start:end].lower() != mention_text.lower()``,
+  data/pubtator.py:74-84) and their raw ids normalized 1->N
+  (data/pubtator.py:96-278).
+
+- ``tool`` column promotion — a non-null ``tool`` value is a pre-linked
+  mention (input_hint), emitted as entity_type='tool'.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from bio_re_with_entity_embeddings_ray.functions import normalize
+from bio_re_with_entity_embeddings_ray.sources.dictionaries import (
+    DictEntry,
+    GAZETTEER,
+    surface_map,
+)
+
+_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "entity_type": pa.array([], pa.string()),
+        "entity_id": pa.array([], pa.string()),
+        "mention_text": pa.array([], pa.string()),
+        "start": pa.array([], pa.int32()),
+        "end": pa.array([], pa.int32()),
+    }
+)
+
+
+class MentionScanner:
+    """Actor-pool gazetteer scanner: regex alternation compiled in __init__."""
+
+    def __init__(
+        self,
+        entries: list[DictEntry] | None = None,
+        normalizers: dict | None = None,
+        include_tool: bool = False,
+    ):
+        entries = entries if entries is not None else GAZETTEER
+        self.surfaces = surface_map(entries)
+        # longest-first so overlapping surfaces prefer the longest match
+        alternation = "|".join(
+            re.escape(s) for s in sorted(self.surfaces, key=len, reverse=True)
+        )
+        self.pattern = re.compile(r"(?<!\w)(?:" + alternation + r")(?!\w)", re.IGNORECASE)
+        self.normalizers = normalizers or {}
+        self.include_tool = include_tool
+
+    def _normalize(self, entity_type: str, raw_id: str) -> list[str]:
+        fn = self.normalizers.get(entity_type)
+        if fn is None:
+            return normalize.normalize_default(raw_id)
+        return fn(raw_id)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch["conv_id"].to_pylist()
+        turn_idxs = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        tools = batch["tool"].to_pylist() if self.include_tool else None
+
+        o_conv: list[str] = []
+        o_turn: list[int] = []
+        o_type: list[str] = []
+        o_id: list[str] = []
+        o_text: list[str] = []
+        o_start: list[int] = []
+        o_end: list[int] = []
+
+        finditer = self.pattern.finditer
+        surfaces = self.surfaces
+        for row, text in enumerate(texts):
+            cid = conv_ids[row]
+            tix = turn_idxs[row]
+            for m in finditer(text):
+                surface = m.group(0).lower()
+                for entity_type, raw_id in surfaces.get(surface, ()):
+                    for canon in self._normalize(entity_type, raw_id):
+                        o_conv.append(cid)
+                        o_turn.append(tix)
+                        o_type.append(entity_type)
+                        o_id.append(canon)
+                        o_text.append(m.group(0))
+                        o_start.append(m.start())
+                        o_end.append(m.end())
+            if tools is not None:
+                tool = tools[row]
+                if tool:
+                    o_conv.append(cid)
+                    o_turn.append(tix)
+                    o_type.append("tool")
+                    o_id.append("TOOL:" + tool.upper())
+                    o_text.append(tool)
+                    o_start.append(-1)
+                    o_end.append(-1)
+
+        return pa.table(
+            {
+                "conv_id": pa.array(o_conv, pa.string()),
+                "turn_idx": pa.array(o_turn, pa.int32()),
+                "entity_type": pa.array(o_type, pa.string()),
+                "entity_id": pa.array(o_id, pa.string()),
+                "mention_text": pa.array(o_text, pa.string()),
+                "start": pa.array(o_start, pa.int32()),
+                "end": pa.array(o_end, pa.int32()),
+            }
+        )
+
+
+def scan_mentions(
+    transcripts,
+    entries: list[DictEntry] | None = None,
+    normalizers: dict | None = None,
+    include_tool: bool = False,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 8192,
+):
+    """Gazetteer mention scan as an actor-pool ``map_batches`` stage.
+
+    Default pool autoscales (1, 8): enough to keep a node busy without
+    starving the read / shuffle stages; callers size it per cluster.
+    """
+    kwargs = {"concurrency": concurrency if concurrency is not None else (1, 8)}
+    return transcripts.map_batches(
+        MentionScanner,
+        fn_constructor_kwargs={
+            "entries": entries,
+            "normalizers": normalizers,
+            "include_tool": include_tool,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        **kwargs,
+    )
+
+
+def tool_mentions(transcripts):
+    """Promote the pre-linked ``tool`` column to mentions (vectorized)."""
+
+    def _promote(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(pc.is_valid(batch["tool"]), pc.not_equal(batch["tool"], ""))
+        sel = batch.filter(mask)
+        if sel.num_rows == 0:
+            return _EMPTY
+        tool_up = pc.utf8_upper(sel["tool"])
+        return pa.table(
+            {
+                "conv_id": sel["conv_id"],
+                "turn_idx": sel["turn_idx"],
+                "entity_type": pa.array(["tool"] * sel.num_rows, pa.string()),
+                "entity_id": pc.binary_join_element_wise(
+                    pa.array(["TOOL:"] * sel.num_rows), tool_up, ""
+                ),
+                "mention_text": sel["tool"],
+                "start": pa.array([-1] * sel.num_rows, pa.int32()),
+                "end": pa.array([-1] * sel.num_rows, pa.int32()),
+            }
+        )
+
+    return transcripts.map_batches(_promote, batch_format="pyarrow")
+
+
+class AnnotationVerifier:
+    """Span-verify pre-supplied annotations against turn text and normalize
+    ids (reference M4 semantics, data/pubtator.py:48-84).
+
+    Input batches: annotation rows ALREADY joined with their turn text
+    (column ``text``). Emits MENTIONS rows.
+    """
+
+    def __init__(self, normalizers: dict | None = None):
+        self.normalizers = normalizers or {}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _EMPTY.to_pandas()
+        text = batch["text"].to_numpy()
+        start = batch["start"].to_numpy()
+        end = batch["end"].to_numpy()
+        mention = batch["mention_text"].to_numpy()
+
+        keep = np.ones(len(batch), dtype=bool)
+        for i in range(len(batch)):
+            t = text[i]
+            s, e = int(start[i]), int(end[i])
+            # reference drops when the span falls outside the reconstructed
+            # text or the substring mismatches case-insensitively
+            if s > len(t) or t[s:e].lower() != str(mention[i]).lower():
+                keep[i] = False
+        kept = batch.loc[keep]
+
+        rows: list[tuple] = []
+        for cid, tix, etype, raw, mtext, s, e in zip(
+            kept["conv_id"],
+            kept["turn_idx"],
+            kept["entity_type"],
+            kept["raw_id"],
+            kept["mention_text"],
+            kept["start"],
+            kept["end"],
+        ):
+            fn = self.normalizers.get(etype, normalize.get(etype))
+            for canon in fn(raw):
+                rows.append((cid, int(tix), etype, canon, mtext, int(s), int(e)))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id",
+                "turn_idx",
+                "entity_type",
+                "entity_id",
+                "mention_text",
+                "start",
+                "end",
+            ],
+        )
+
+
+def verify_annotations(
+    annotations,
+    transcripts,
+    normalizers: dict | None = None,
+    num_partitions: int = 32,
+):
+    """Join annotations to turn text on (conv_id, turn_idx), then verify
+    spans + normalize. Uses the hash join (Ray 2.49 ``Dataset.join``)."""
+    turns = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+    joined = annotations.join(
+        turns,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("conv_id", "turn_idx"),
+    )
+    return joined.map_batches(
+        AnnotationVerifier,
+        fn_constructor_kwargs={"normalizers": normalizers},
+        batch_format="pandas",
+    )

@@ -1,0 +1,142 @@
+"""Stage 5 — candidate pair generation + pair aggregation (triples).
+
+Reference analog: ``CooccurrencePreparator`` (/root/reference/
+prepare_pair_dataset.py:25-53): inner-join the per-type doc->entities
+mappings on document id, per-document cross product of (source, target)
+entity ids, then aggregate pair -> article set (the emitted
+``instances.tsv`` = (source_id, target_id, articles_str), the triples
+ground truth; predicate implied by the type pair).
+
+Scale design (the skew-prone shuffle, SURVEY.md §7.3):
+- cross product happens inside the conv_id-partitioned stage (narrow per
+  conversation);
+- pair aggregation is TWO-PHASE: a combiner inside ``map_batches`` first
+  collapses each batch to one row per (subj, obj) with a partial distinct
+  conv set, so a hot pair ships one row per input block — not one row per
+  co-occurrence — into the final hash-partitioned merge. This is the
+  salted/partial-aggregation pattern the north rule requires for hot
+  entities (high-frequency tools / operators).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from bio_re_with_entity_embeddings_ray.stages.aggregate import SET_SEP
+from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+
+def candidate_pairs(
+    mentions,
+    subj_type: str,
+    obj_type: str,
+    num_buckets: int = 64,
+):
+    """Per-conversation cross product of distinct subj-type x obj-type
+    entities -> (conv_id, subj_id, obj_id). One conv_id hash shuffle."""
+
+    def prededup(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["entity_type"].isin([subj_type, obj_type])]
+        return b[["conv_id", "entity_type", "entity_id"]].drop_duplicates()
+
+    slim = mentions.map_batches(prededup, batch_format="pandas")
+
+    def cross(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates()
+        src = b[b["entity_type"] == subj_type][["conv_id", "entity_id"]].rename(
+            columns={"entity_id": "subj_id"}
+        )
+        tgt = b[b["entity_type"] == obj_type][["conv_id", "entity_id"]].rename(
+            columns={"entity_id": "obj_id"}
+        )
+        # vectorized per-conv cross product == reference's
+        # [(s, t) for s in source_ids for t in target_ids] at
+        # prepare_pair_dataset.py:37, for every conv in the bucket at once
+        return src.merge(tgt, on="conv_id")
+
+    return bucketed_group_apply(slim, "conv_id", cross, num_buckets)
+
+
+def aggregate_pairs(
+    cand,
+    pred: str,
+    num_buckets: int = 64,
+    as_string: bool = True,
+):
+    """(conv_id, subj_id, obj_id) -> (subj_id, pred, obj_id, conv_ids,
+    support). Two-phase: per-batch combiner then hash-partitioned merge."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["subj_id", "obj_id", "conv_id"]].drop_duplicates()
+        g = b.groupby(["subj_id", "obj_id"], sort=False)["conv_id"]
+        out = g.agg(lambda s: SET_SEP.join(sorted(set(s)))).reset_index()
+        return out.rename(columns={"conv_id": "convs_partial"})
+
+    partials = cand.map_batches(partial, batch_format="pandas")
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["subj_id", "obj_id"], sort=False)["convs_partial"]
+
+        def fuse(parts) -> tuple[str, int]:
+            seen: set[str] = set()
+            for p in parts:
+                seen.update(p.split(SET_SEP))
+            return SET_SEP.join(sorted(seen)), len(seen)
+
+        fused = g.agg(fuse).reset_index()
+        out = pd.DataFrame(
+            {
+                "subj_id": fused["subj_id"],
+                "pred": pred,
+                "obj_id": fused["obj_id"],
+                "conv_ids": [t[0] for t in fused["convs_partial"]],
+                "support": pd.Series(
+                    [t[1] for t in fused["convs_partial"]], dtype="int64"
+                ),
+            }
+        )
+        if not as_string:
+            out["conv_ids"] = out["conv_ids"].str.split(SET_SEP)
+        return out
+
+    return bucketed_group_apply(partials, ["subj_id", "obj_id"], merge, num_buckets)
+
+
+def triples(
+    mentions,
+    subj_type: str,
+    obj_type: str,
+    pred: str,
+    num_buckets: int = 64,
+    as_string: bool = True,
+):
+    """mentions -> aggregated co-occurrence triples for one type pair."""
+    cand = candidate_pairs(mentions, subj_type, obj_type, num_buckets)
+    return aggregate_pairs(cand, pred, num_buckets, as_string)
+
+
+def adjacency_edges(triples_ds):
+    """Flatten triples into symmetric flat edges
+    (entity_id, neighbor_id, pred, weight=support) — the flat form of the
+    adjacency index (nested list<struct> variant built in pipelines.kg)."""
+
+    def flip(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame(
+            {
+                "entity_id": batch["subj_id"],
+                "neighbor_id": batch["obj_id"],
+                "pred": batch["pred"],
+                "weight": batch["support"].astype("int64"),
+            }
+        )
+        rev = pd.DataFrame(
+            {
+                "entity_id": batch["obj_id"],
+                "neighbor_id": batch["subj_id"],
+                "pred": batch["pred"],
+                "weight": batch["support"].astype("int64"),
+            }
+        )
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    return triples_ds.map_batches(flip, batch_format="pandas")
