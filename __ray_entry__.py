@@ -21,9 +21,13 @@ from bio_re_with_entity_embeddings_ray.pipelines import kg
 from bio_re_with_entity_embeddings_ray.sources.transcripts import derive_transcripts
 from bio_re_with_entity_embeddings_ray.stages import (
     aggregate,
+    dedup,
     mentions as mstage,
     pairs as pstage,
     reassembly,
+    relational,
+    scoring,
+    textstats,
 )
 
 _NB = 16  # hash-shuffle buckets at test scale (scale knob: ~2-4x total cores)
@@ -98,8 +102,174 @@ def _q_conv_ids(sf_dir: str):
     return aggregate.unique_values(_all_mentions(sf_dir), "conv_id", _NB)
 
 
+# ----------------------------------------------------- dedup / similarity
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _corpus(sf_dir: str):
+    """documents ∪ shifted copy — non-trivial positives for dedup ops."""
+    import pandas as pd
+
+    docs = _docs(sf_dir)
+
+    def shift(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["doc_id"] = batch["doc_id"] + 1_000_000
+        return batch
+
+    return docs.union(docs.map_batches(shift, batch_format="pandas"))
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    quiet_ray_data()
+    return dedup.exact_dedup(_corpus(sf_dir), _NB)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    quiet_ray_data()
+    return dedup.ngram_jaccard_pairs(_corpus(sf_dir), k=3, threshold_bp=5000, num_buckets=_NB)
+
+
+def _q_minhash_lsh(sf_dir: str):
+    quiet_ray_data()
+    return dedup.minhash_lsh_pairs(_corpus(sf_dir), k=3, num_buckets=_NB)
+
+
+def _q_simhash(sf_dir: str):
+    quiet_ray_data()
+    return dedup.simhash_fingerprints(_docs(sf_dir))
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    quiet_ray_data()
+    return dedup.embedding_near_dup_pairs(_emb(sf_dir), threshold=0.4)
+
+
+def _q_knn(sf_dir: str):
+    quiet_ray_data()
+    return scoring.knn_topk(_emb(sf_dir), n_queries=5, k=10)
+
+
+def _q_ivf_assign(sf_dir: str):
+    quiet_ray_data()
+    return scoring.ivf_assign(_emb(sf_dir), n_centroids=8)
+
+
+# -------------------------------------------------------------- textstats
+
+
+def _q_token_counts(sf_dir: str):
+    quiet_ray_data()
+    return textstats.token_counts(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    quiet_ray_data()
+    return textstats.quality_scores(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    quiet_ray_data()
+    return textstats.lang_id(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    quiet_ray_data()
+    return textstats.fingerprints(_docs(sf_dir))
+
+
+# ------------------------------------------------------------- relational
+
+
+def _q_rel_groupby(sf_dir: str):
+    import ray.data as rd
+
+    quiet_ray_data()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return relational.groupby_sum_counts(li)
+
+
+def _q_rel_top_orders(sf_dir: str):
+    import ray.data as rd
+
+    quiet_ray_data()
+    return relational.top_orders(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    )
+
+
+def _q_rel_semi_join(sf_dir: str):
+    import ray.data as rd
+
+    quiet_ray_data()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    )
+    return relational.semi_join_customers(cust, orders, "F")
+
+
+def _q_rel_rekey_union(sf_dir: str):
+    import ray.data as rd
+
+    quiet_ray_data()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    return relational.rekey_grouped_union(cust, nation)
+
+
+def _q_window_tumbling(sf_dir: str):
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return relational.tumbling_window(ev)
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return relational.sessionize(ev)
+
+
+# ----------------------------------------- model scoring (non-SQL; rows-only)
+
+
+def _q_scored_triples(sf_dir: str):
+    quiet_ray_data()
+    trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
+    return scoring.score_triples(trip, _emb(sf_dir))
+
+
+def _q_classified_triples(sf_dir: str):
+    quiet_ray_data()
+    trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
+    return scoring.classify_triples(trip, _emb(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
         "mentions": _q_mentions,
@@ -110,6 +280,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacency_edges": _q_adjacency_edges,
         "doc2vec_input": _q_doc2vec_input,
         "conv_ids": _q_conv_ids,
+        # --- dedup family ---
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # --- similarity search ---
+        "knn_topk": _q_knn,
+        "ivf_assign": _q_ivf_assign,
+        # --- text analysis ---
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        # --- relational / windowed (§2.2, §2.4-2.6 analogs) ---
+        "rel_groupby_agg": _q_rel_groupby,
+        "rel_top_orders": _q_rel_top_orders,
+        "rel_semi_join": _q_rel_semi_join,
+        "rel_rekey_union": _q_rel_rekey_union,
+        "window_tumbling": _q_window_tumbling,
+        "sessionize": _q_sessionize,
+        # --- model scoring (non-SQL-expressible; rows-only checks) ---
+        "scored_triples": _q_scored_triples,
+        "classified_triples": _q_classified_triples,
     }
 
 
@@ -125,4 +319,23 @@ def oracle_sql() -> dict[str, str]:
         "adjacency_edges": oracles.ADJACENCY_EDGES,
         "doc2vec_input": oracles.DOC2VEC_INPUT,
         "conv_ids": oracles.CONV_IDS,
+        "dedup_exact": oracles.DEDUP_EXACT,
+        "dedup_ngram_jaccard": oracles.NGRAM_JACCARD,
+        "dedup_minhash_lsh": oracles.MINHASH_LSH,
+        "simhash": oracles.SIMHASH,
+        "embedding_near_dup": oracles.EMBEDDING_NEAR_DUP,
+        "knn_topk": oracles.KNN_TOPK,
+        "ivf_assign": oracles.IVF_ASSIGN,
+        "token_counts": oracles.TOKEN_COUNTS,
+        "quality_scores": oracles.QUALITY_SCORES,
+        "lang_id": oracles.LANG_ID,
+        "fingerprints": oracles.FINGERPRINTS,
+        "rel_groupby_agg": oracles.REL_GROUPBY_AGG,
+        "rel_top_orders": oracles.REL_TOP_ORDERS,
+        "rel_semi_join": oracles.REL_SEMI_JOIN,
+        "rel_rekey_union": oracles.REL_REKEY_UNION,
+        "window_tumbling": oracles.WINDOW_TUMBLING,
+        "sessionize": oracles.SESSIONIZE,
+        # scored_triples / classified_triples intentionally omitted:
+        # embedding-model scoring is not SQL-expressible (rows-only check).
     }

@@ -68,8 +68,10 @@ def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
     """MinHash signature (len = MINHASH_NUM_PERMS) of a set of shingle hashes."""
     if len(shingle_hashes) == 0:
         return np.full(MINHASH_NUM_PERMS, MINHASH_PRIME - 1, dtype=np.int64)
-    # (P, S) = (a[:,None] * x[None,:] + b[:,None]) % prime ; min over S
-    h = (MINHASH_A[:, None] * shingle_hashes[None, :] + MINHASH_B[:, None]) % MINHASH_PRIME
+    # reduce x mod p FIRST so a*x stays < 2^62 (no int64 overflow; the SQL
+    # oracle does the same): a < 2^31, x%p < 2^31
+    x = shingle_hashes % MINHASH_PRIME
+    h = (MINHASH_A[:, None] * x[None, :] + MINHASH_B[:, None]) % MINHASH_PRIME
     return h.min(axis=1)
 
 

@@ -107,3 +107,181 @@ SELECT t.conv_id, t.tags, c.text FROM __tags t JOIN __convs c ON t.conv_id = c.c
 
 CONV_IDS = f"""WITH {kg_cte()}
 SELECT DISTINCT conv_id FROM __mentions"""
+
+
+# ------------------------------------------------------------------ dedup
+# Duplicated corpus (documents ∪ shifted copy) so exact/near-dup operators
+# have non-trivial positives on the synthetic testdata.
+_CORPUS = """__corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)"""
+
+_SHINGLES = f"""{_CORPUS},
+__cp AS (SELECT doc_id, string_split(text, ' ') AS parts FROM __corpus),
+__ci AS (SELECT doc_id, parts, unnest(range(1, len(parts) - 1)) AS i FROM __cp),
+__sh AS (
+  SELECT DISTINCT doc_id,
+         parts[i] || ' ' || parts[i+1] || ' ' || parts[i+2] AS shingle
+  FROM __ci
+)"""
+
+DEDUP_EXACT = f"""WITH {_CORPUS}
+SELECT min(doc_id) AS doc_id, text FROM __corpus GROUP BY text"""
+
+NGRAM_JACCARD = f"""WITH {_SHINGLES},
+__sizes AS (SELECT doc_id, count(*) AS size FROM __sh GROUP BY doc_id),
+__pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM __sh a JOIN __sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.inter, sa.size AS size_a, sb.size AS size_b
+FROM __pairs p
+JOIN __sizes sa ON p.doc_a = sa.doc_id
+JOIN __sizes sb ON p.doc_b = sb.doc_id
+WHERE 10000 * p.inter >= 5000 * (sa.size + sb.size - p.inter)"""
+
+
+def _perm_values() -> str:
+    from bio_re_with_entity_embeddings_ray.functions.textfns import MINHASH_A, MINHASH_B
+
+    rows = ", ".join(
+        f"({p + 1}, {int(a)}, {int(b)})"
+        for p, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"(VALUES {rows}) AS perm(p, a, b)"
+
+
+MINHASH_LSH = f"""WITH {_SHINGLES},
+__shh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS x
+  FROM __sh
+),
+__sig AS (
+  SELECT doc_id, perm.p, min((perm.a * x + perm.b) % 2147483647) AS mh
+  FROM __shh, {_perm_values()} GROUP BY 1, 2
+),
+__band AS (
+  SELECT doc_id, CAST((p - 1) // 4 AS INT) AS band_id,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY p) AS band_key
+  FROM __sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM __band a
+JOIN __band b ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id"""
+
+SIMHASH = """WITH __tok AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+__bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM __tok, (SELECT unnest(range(0, 32)) AS j) GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM __bits GROUP BY doc_id"""
+
+EMBEDDING_NEAR_DUP = """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"""
+
+# ------------------------------------------------------------- similarity
+
+KNN_TOPK = """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s)
+SELECT qid, nid, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 10"""
+
+IVF_ASSIGN = """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.ce) AS sim
+  FROM embeddings e, c
+),
+r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM s)
+SELECT vec_id, cid AS centroid_id FROM r WHERE rk = 1"""
+
+# -------------------------------------------------------------- textstats
+
+TOKEN_COUNTS = """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents"""
+
+QUALITY_SCORES = """WITH __tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+__agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct,
+         SUM(CASE WHEN w IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+  FROM __tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(10000 * n_distinct // n_tokens AS BIGINT) AS distinct_bp,
+       CAST(10000 * n_stop // n_tokens AS BIGINT) AS stop_bp
+FROM __agg"""
+
+LANG_ID = """SELECT doc_id,
+       CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+            WHEN list_contains(string_split(text, ' '), 'le') THEN 'fr'
+            WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+            WHEN list_contains(string_split(text, ' '), 'el') THEN 'es'
+            ELSE 'und' END AS pred_lang
+FROM documents"""
+
+FINGERPRINTS = """WITH __p AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+__tok AS (
+  SELECT doc_id, unnest(parts) AS w, unnest(range(1, 1 + len(parts))) AS i FROM __p
+)
+SELECT doc_id,
+       CAST(SUM(CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) * i) AS BIGINT) AS fingerprint
+FROM __tok GROUP BY doc_id"""
+
+# ------------------------------------------------------------- relational
+
+REL_GROUPBY_AGG = """SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM lineitem GROUP BY 1, 2"""
+
+REL_TOP_ORDERS = """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10"""
+
+REL_SEMI_JOIN = """SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')"""
+
+REL_REKEY_UNION = """WITH d AS (
+  SELECT DISTINCT n.n_regionkey AS r_regionkey, c.c_custkey
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+       string_agg(CAST(c_custkey AS VARCHAR), ';;;' ORDER BY c_custkey) AS custkeys,
+       count(*) AS n_cust
+FROM d GROUP BY 1"""
+
+WINDOW_TUMBLING = """WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, (s // 3600) * 3600 AS window_start,
+       count(*) AS n, CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM e GROUP BY 1, 2"""
+
+SESSIONIZE = """WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+),
+l AS (SELECT user_id, s, lag(s) OVER (PARTITION BY user_id ORDER BY s) AS prev FROM e),
+m AS (SELECT user_id, CASE WHEN prev IS NULL OR s - prev > 1800 THEN 1 ELSE 0 END AS ns FROM l)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM m GROUP BY user_id"""

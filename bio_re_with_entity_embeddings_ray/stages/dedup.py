@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's exact dedup (utils/pandas_utils.py:109-120) these
+add the standard near-dup family. All are expressed as Ray Data
+shuffles with per-batch combiners; every hash primitive has an exact
+DuckDB equivalent (functions/textfns.py) so each operator is
+oracle-checkable.
+
+Scale notes:
+- exact dedup: content-hash computed per batch; shuffle ships one row per
+  (hash, batch) thanks to the local min-combiner.
+- MinHash-LSH: signatures are computed vectorized per batch; the shuffle
+  key is (band_id, band_key) so only banded collisions co-locate.
+- n-gram Jaccard: candidate pairs come from a shingle inverted index
+  (co-occurrence join), intersection counts from a pair-count aggregate,
+  set sizes broadcast (small side) into the final filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from bio_re_with_entity_embeddings_ray.functions.textfns import (
+    MINHASH_BAND_ROWS,
+    MINHASH_NUM_PERMS,
+    md5int8_array,
+    minhash_signature,
+    simhash32,
+    shingles,
+)
+from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+
+def exact_dedup(docs, num_buckets: int = 64):
+    """Keep the first (min doc_id) row per exact text; returns
+    (doc_id, text). Reference DropDuplicates semantics made deterministic
+    (utils/pandas_utils.py:109-120 keeps pandas iteration order; we keep
+    min id)."""
+
+    def local_min(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch[["doc_id", "text"]]
+            .groupby("text", sort=False, as_index=False)["doc_id"]
+            .min()[["doc_id", "text"]]
+        )
+
+    pre = docs.map_batches(local_min, batch_format="pandas")
+    return bucketed_group_apply(pre, "text", local_min, num_buckets)
+
+
+def _doc_shingles(batch: pd.DataFrame, k: int) -> pd.DataFrame:
+    ids: list[int] = []
+    shs: list[str] = []
+    for did, txt in zip(batch["doc_id"], batch["text"]):
+        for s in set(shingles(txt.split(" "), k)):
+            ids.append(did)
+            shs.append(s)
+    return pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+
+def shingle_table(docs, k: int = 3):
+    """(doc_id, shingle) distinct — the inverted-index feed."""
+    return docs.map_batches(lambda b: _doc_shingles(b, k), batch_format="pandas")
+
+
+def ngram_jaccard_pairs(
+    docs,
+    k: int = 3,
+    threshold_bp: int = 5000,
+    num_buckets: int = 64,
+):
+    """Near-dup pairs by k-token-shingle Jaccard.
+
+    Returns (doc_a, doc_b, inter, size_a, size_b) for pairs with
+    ``10000 * inter >= threshold_bp * (size_a + size_b - inter)`` —
+    integer arithmetic only, so engine and oracle agree bit-for-bit.
+    """
+    import ray
+
+    sh = shingle_table(docs, k)
+
+    # small side: per-doc distinct shingle counts (|docs| rows) — broadcast
+    def count_local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("doc_id", as_index=False).agg(size=("shingle", "nunique"))
+
+    def count_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby("doc_id", as_index=False).agg(size=("size", "sum"))
+
+    sizes = bucketed_group_apply(
+        sh.map_batches(count_local, batch_format="pandas"),
+        "doc_id",
+        count_merge,
+        num_buckets,
+    ).to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes["doc_id"], sizes["size"])))
+
+    # candidate pairs: co-occurrence in the shingle inverted index
+    def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return g.rename(
+            columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b", "size": "inter"}
+        )
+
+    partial = bucketed_group_apply(sh, "shingle", pairs_of, num_buckets)
+
+    def merge_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("inter", "sum")
+        )
+
+    pair_counts = bucketed_group_apply(partial, ["doc_a", "doc_b"], merge_pairs, num_buckets)
+
+    class JaccardFilter:
+        def __init__(self, sizes_ref):
+            self.sizes = ray.get(sizes_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return batch.assign(size_a=[], size_b=[])
+            sa = batch["doc_a"].map(self.sizes).astype("int64")
+            sb = batch["doc_b"].map(self.sizes).astype("int64")
+            inter = batch["inter"].astype("int64")
+            keep = 10000 * inter >= threshold_bp * (sa + sb - inter)
+            out = batch.assign(size_a=sa, size_b=sb)[keep.to_numpy()]
+            out["inter"] = out["inter"].astype("int64")
+            return out[["doc_a", "doc_b", "inter", "size_a", "size_b"]]
+
+    return pair_counts.map_batches(
+        JaccardFilter,
+        fn_constructor_args=(sizes_ref,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+def minhash_bands(docs, k: int = 3):
+    """(doc_id, band_id, band_key) — LSH banding of MinHash signatures,
+    computed vectorized per batch (no shuffle)."""
+    n_bands = MINHASH_NUM_PERMS // MINHASH_BAND_ROWS
+
+    def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        bid: list[int] = []
+        key: list[str] = []
+        for did, txt in zip(batch["doc_id"], batch["text"]):
+            sh = list(set(shingles(txt.split(" "), k)))
+            sig = minhash_signature(md5int8_array(sh) if sh else np.array([], dtype=np.int64))
+            for b in range(n_bands):
+                part = sig[b * MINHASH_BAND_ROWS : (b + 1) * MINHASH_BAND_ROWS]
+                ids.append(did)
+                bid.append(b)
+                key.append("-".join(str(int(x)) for x in part))
+        return pd.DataFrame({"doc_id": ids, "band_id": bid, "band_key": key})
+
+    return docs.map_batches(bands, batch_format="pandas")
+
+
+def minhash_lsh_pairs(docs, k: int = 3, num_buckets: int = 64):
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    Returns distinct (doc_a, doc_b)."""
+    banded = minhash_bands(docs, k)
+
+    def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on=["band_id", "band_key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return m[["doc_id_x", "doc_id_y"]].drop_duplicates().rename(
+            columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}
+        )
+
+    partial = bucketed_group_apply(
+        banded, ["band_id", "band_key"], pairs_of, num_buckets
+    )
+
+    def distinct(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates()
+
+    return bucketed_group_apply(partial, ["doc_a", "doc_b"], distinct, num_buckets)
+
+
+def simhash_fingerprints(docs):
+    """(doc_id, simhash) — 32-bit SimHash per document, multiset token
+    semantics; pure per-batch map (no shuffle)."""
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        out = np.empty(len(batch), dtype=np.int64)
+        for j, txt in enumerate(batch["text"]):
+            toks = txt.split(" ")
+            out[j] = simhash32(md5int8_array(toks))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out})
+
+    return docs.map_batches(fp, batch_format="pandas")
+
+
+def embedding_near_dup_pairs(emb, threshold: float = 0.4, block: int = 1024):
+    """Near-dup (vec_a, vec_b) pairs by cosine >= threshold.
+
+    Brute-force blocked matmul: the full (normalized) matrix is broadcast
+    once via ``ray.put``; each batch multiplies against it. O(n^2) compute
+    but O(n*d) shipped bytes — the baseline; the scale path bucketizes by
+    IVF centroid first (see scoring.ivf_assign).
+    """
+    import ray
+
+    pdf = emb.to_pandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids, M))
+
+    class Block:
+        def __init__(self, ref):
+            self.ids, self.M = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            q = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ self.M.T
+            qa = batch["vec_id"].to_numpy()
+            rows_a: list[int] = []
+            rows_b: list[int] = []
+            for r in range(len(qa)):
+                hits = np.where(sims[r] >= threshold)[0]
+                for h in hits:
+                    if qa[r] < self.ids[h]:
+                        rows_a.append(int(qa[r]))
+                        rows_b.append(int(self.ids[h]))
+            return pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b})
+
+    return emb.map_batches(
+        Block,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        batch_size=block,
+        concurrency=(1, 8),
+    )

@@ -1,0 +1,183 @@
+"""Generic relational / stream-shaped operators (SURVEY.md §2.2-2.7 analogs
+exercised over the TPC-H-ish testdata tables).
+
+M16 NotNull / M17 MapFunction / M18 RenameColumns -> Ray Data expressions;
+J3 broadcast semi-join; J6 re-key + grouped union; A1-style grouped
+aggregate; O2/O3 sort + limit; windowed aggregate + sessionization for the
+events stream (Ray Data has no event-time windows — implemented as
+key-partitioned group apply over ts-sorted groups, ordering assumption
+documented per fn).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+
+def groupby_sum_counts(lineitem):
+    """Pricing-summary-style aggregate with integer-exact sums:
+    (l_returnflag, l_linestatus, n, sum_qty, sum_price_cents).
+
+    Floats are cast to integer cents PER ROW before summing so the result
+    is order-independent and exactly matches the SQL oracle.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.assign(
+            qty=batch["l_quantity"].round().astype("int64"),
+            cents=(batch["l_extendedprice"] * 100).round().astype("int64"),
+        )
+        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("qty", "size"), sum_qty=("qty", "sum"), sum_price_cents=("cents", "sum")
+        )
+
+    partials = lineitem.map_batches(partial, batch_format="pandas")
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("n", "sum"),
+            sum_qty=("sum_qty", "sum"),
+            sum_price_cents=("sum_price_cents", "sum"),
+        )
+
+    return bucketed_group_apply(
+        partials, ["l_returnflag", "l_linestatus"], merge, 8
+    )
+
+
+def top_orders(orders, k: int = 10):
+    """Global top-k by total price (O3 analog: sort desc + limit), price in
+    integer cents; deterministic tie-break on o_orderkey."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "price_cents": (batch["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    proj = orders.map_batches(project, batch_format="pandas")
+    top = proj.sort(["price_cents", "o_orderkey"], descending=[True, False]).limit(k)
+    return top
+
+
+def semi_join_customers(customer, orders, status: str = "F"):
+    """J3 broadcast semi-join: customers having >=1 order in ``status``.
+    The key set is collected small-side and broadcast via ``ray.put``; each
+    batch filters with a vectorized isin (no shuffle of the big side)."""
+    import ray
+
+    keys = (
+        orders.filter(expr=f"o_orderstatus == '{status}'")
+        .select_columns(["o_custkey"])
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    ref = ray.put(set(int(k) for k in keys))
+
+    class SemiFilter:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch["c_custkey"].map(lambda x: int(x) in self.keys)
+            return batch[mask.to_numpy()][["c_custkey", "c_name"]]
+
+    return customer.map_batches(
+        SemiFilter, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+def rekey_grouped_union(customer, nation):
+    """J6 re-key + grouped union: customers keyed by nation -> re-key 1->1
+    to region via the broadcast nation->region map, union the per-key
+    customer sets on collision (reference utils/pandas_utils.py:123-197:
+    MeSH-keyed table re-keyed to DOID/DrugBank with article-set union).
+    Returns (r_regionkey, custkeys ';;;'-sorted, n_cust)."""
+    import ray
+
+    n2r = nation.select_columns(["n_nationkey", "n_regionkey"]).to_pandas()
+    ref = ray.put(dict(zip(n2r["n_nationkey"].astype(int), n2r["n_regionkey"].astype(int))))
+
+    class Rekey:
+        def __init__(self, ref):
+            self.map = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rk = batch["c_nationkey"].map(self.map)
+            keep = rk.notna()
+            return pd.DataFrame(
+                {
+                    "r_regionkey": rk[keep].astype("int64"),
+                    "c_custkey": batch["c_custkey"][keep].astype("int64"),
+                }
+            )
+
+    rekeyed = customer.map_batches(
+        Rekey, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def union_sets(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates().sort_values(
+            ["r_regionkey", "c_custkey"], kind="mergesort"
+        )
+        g = b.groupby("r_regionkey", sort=False)["c_custkey"]
+        out = g.agg(lambda s: ";;;".join(str(v) for v in s)).reset_index()
+        out = out.rename(columns={"c_custkey": "custkeys"})
+        out["n_cust"] = g.nunique().to_numpy().astype("int64")
+        return out
+
+    return bucketed_group_apply(rekeyed, "r_regionkey", union_sets, 4)
+
+
+def tumbling_window(events, width_s: int = 3600):
+    """Tumbling event-time window aggregate per event_type:
+    (event_type, window_start_epoch, n, value_cents). Pure partial+merge —
+    the window key is derived per row, so no ordering assumption."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch["ts"].astype("int64") // 1_000_000
+        b = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "window_start": (epoch // width_s) * width_s,
+                "cents": (batch["value"] * 100).round().astype("int64"),
+            }
+        )
+        return b.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("cents", "size"), value_cents=("cents", "sum")
+        )
+
+    partials = events.map_batches(partial, batch_format="pandas")
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("n", "sum"), value_cents=("value_cents", "sum")
+        )
+
+    return bucketed_group_apply(partials, ["event_type", "window_start"], merge, 16)
+
+
+def sessionize(events, gap_s: int = 1800):
+    """Session windows per user (gap > gap_s starts a new session):
+    (user_id, n_sessions, n_events). Ordering assumption: sessions are
+    computed over ts-sorted events WITHIN each user partition — the
+    partition key makes the sort local (no global order needed)."""
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts"], kind="mergesort")
+        epoch = b["ts"].astype("int64") // 1_000_000
+        new_user = b["user_id"].ne(b["user_id"].shift())
+        gap = epoch.diff().fillna(0) > gap_s
+        session_start = (new_user | gap).astype("int64")
+        g = b.assign(ss=session_start).groupby("user_id", sort=False)
+        out = g.agg(n_sessions=("ss", "sum"), n_events=("ss", "size")).reset_index()
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    ev = events.select_columns(["user_id", "ts"])
+    return bucketed_group_apply(ev, "user_id", per_user, 32)

@@ -1,0 +1,218 @@
+"""Stage 6 — embedding lookup, similarity search, triple scoring.
+
+Reference analog: the exported doc2vec ``KeyedVectors`` + ``most_similar``
+consumption (/root/reference/examples/load_entity_embeddings.py:1-17,
+extract_document_vectors.py:26-37). The embedding matrix lives in a
+stateful actor pool (loaded once per actor from a ``ray.put`` broadcast);
+similarity is blocked numpy matmul; top-k is per-batch partial
+``argpartition`` merged in a tiny final aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+
+def _load_matrix(emb_pdf: pd.DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
+    ids = emb_pdf[id_col].to_numpy()
+    M = np.array(emb_pdf[vec_col].tolist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    return ids, M
+
+
+def knn_topk(emb, n_queries: int = 5, k: int = 10, num_buckets: int = 16):
+    """Brute-force cosine top-k: queries = vec_id < n_queries (broadcast),
+    corpus streamed in batches. Returns (qid, nid, rank), rank 1..k,
+    ties broken by neighbor id.
+
+    Per batch: one numpy matmul against the broadcast query matrix, then a
+    per-query partial top-k; the final exact top-k merge handles only
+    n_queries * k * n_blocks rows.
+    """
+    import ray
+
+    qpdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas()
+    qids, Q = _load_matrix(qpdf)
+    qref = ray.put((qids, Q))
+
+    class PartialTopK:
+        def __init__(self, qref):
+            self.qids, self.Q = ray.get(qref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            sims = self.Q @ M.T  # (q, b)
+            rows = []
+            for qi in range(len(self.qids)):
+                s = sims[qi]
+                mask = ids != self.qids[qi]
+                cand_idx = np.where(mask)[0]
+                if len(cand_idx) > k:
+                    part = cand_idx[np.argpartition(-s[cand_idx], k)[: k + 1]]
+                else:
+                    part = cand_idx
+                for c in part:
+                    rows.append((int(self.qids[qi]), int(ids[c]), float(s[c])))
+            return pd.DataFrame(rows, columns=["qid", "nid", "sim"])
+
+    partial = emb.map_batches(
+        PartialTopK,
+        fn_constructor_args=(qref,),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+
+    def final_topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in bucket.groupby("qid", sort=False):
+            g = g.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort")
+            g = g.head(k).reset_index(drop=True)
+            out.append(
+                pd.DataFrame(
+                    {"qid": qid, "nid": g["nid"], "rank": np.arange(1, len(g) + 1)}
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(columns=["qid", "nid", "rank"])
+        )
+
+    res = bucketed_group_apply(partial, "qid", final_topk, min(num_buckets, n_queries))
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rank"] = batch["rank"].astype("int64")
+        return batch
+
+    return res.map_batches(cast, batch_format="pandas")
+
+
+def ivf_assign(emb, n_centroids: int = 8):
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (centroids = embeddings of vec_id < n_centroids — deterministic,
+    data-derived). Returns (vec_id, centroid_id). This bucketing is the
+    scale path for ANN: search only within the query's centroid bucket."""
+    import ray
+
+    cpdf = emb.filter(lambda r: r["vec_id"] < n_centroids).to_pandas()
+    cids, C = _load_matrix(cpdf)
+    cref = ray.put((cids, C))
+
+    class Assign:
+        def __init__(self, cref):
+            self.cids, self.C = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            sims = M @ self.C.T  # (b, c) ; ties broken by lowest centroid id
+            best = sims.argmax(axis=1)
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"],
+                    "centroid_id": self.cids[best].astype("int64"),
+                }
+            )
+
+    return emb.map_batches(
+        Assign,
+        fn_constructor_args=(cref,),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+
+
+class TripleScorer:
+    """Actor-pool triple scorer: holds the (tag->row, matrix) embedding
+    state once per actor (reference ST5: KeyedVectors lookup +
+    most_similar; here cosine(subj, obj) over deterministic id->vector
+    assignment ``md5int8(entity_id) % n_vecs`` when entity tags are not in
+    the embedding vocabulary)."""
+
+    def __init__(self, emb_ref):
+        import ray
+
+        self.ids, self.M = ray.get(emb_ref)
+        self.n = len(self.ids)
+        self.row_of = {int(v): i for i, v in enumerate(self.ids)}
+
+    def _rows(self, entity_ids: pd.Series) -> np.ndarray:
+        vec_ids = md5int8_array(entity_ids.tolist()) % self.n
+        return np.array([self.row_of[int(v)] for v in vec_ids])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            batch["score"] = pd.Series([], dtype="float64")
+            return batch
+        s = self.M[self._rows(batch["subj_id"])]
+        o = self.M[self._rows(batch["obj_id"])]
+        batch = batch.copy(deep=False)
+        batch["score"] = (s * o).sum(axis=1)
+        return batch
+
+
+def score_triples(triples_ds, emb, concurrency=(1, 8), batch_size: int = 4096):
+    """Attach an embedding-similarity score to each triple."""
+    import ray
+
+    ids, M = _load_matrix(emb.to_pandas())
+    ref = ray.put((ids, M))
+    return triples_ds.map_batches(
+        TripleScorer,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class LogisticRelationClassifier:
+    """Embedding-based relation classifier (the paper's downstream scorer):
+    sigmoid(w . [subj_vec ++ obj_vec] + b) per predicate, weights held in the
+    actor (deterministic seeded weights when none are supplied)."""
+
+    def __init__(self, emb_ref, dim: int, seed: int = 7):
+        import ray
+
+        self.ids, self.M = ray.get(emb_ref)
+        self.n = len(self.ids)
+        self.row_of = {int(v): i for i, v in enumerate(self.ids)}
+        rng = np.random.RandomState(seed)
+        self.w = rng.normal(0, 0.3, size=2 * dim)
+        self.b = 0.0
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            batch["prob"] = pd.Series([], dtype="float64")
+            return batch
+        rows_s = md5int8_array(batch["subj_id"].tolist()) % self.n
+        rows_o = md5int8_array(batch["obj_id"].tolist()) % self.n
+        s = self.M[[self.row_of[int(v)] for v in rows_s]]
+        o = self.M[[self.row_of[int(v)] for v in rows_o]]
+        z = np.concatenate([s, o], axis=1) @ self.w + self.b
+        batch = batch.copy(deep=False)
+        batch["prob"] = 1.0 / (1.0 + np.exp(-z))
+        return batch
+
+
+def classify_triples(triples_ds, emb, concurrency=(1, 8)):
+    import ray
+
+    pdf = emb.to_pandas()
+    ids, M = _load_matrix(pdf)
+    dim = M.shape[1]
+    ref = ray.put((ids, M))
+    return triples_ds.map_batches(
+        LogisticRelationClassifier,
+        fn_constructor_args=(ref, dim),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
