@@ -257,4 +257,5 @@ def verify_annotations(
         AnnotationVerifier,
         fn_constructor_kwargs={"normalizers": normalizers},
         batch_format="pandas",
+        concurrency=(1, 4),
     )
