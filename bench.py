@@ -1,0 +1,184 @@
+"""Benchmark harness.
+
+Runs the headline KG-construction pipeline (and three secondary pipelines)
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
+line. ``--scaling`` re-runs the headline in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency (the sandbox evidence for the north rule's
+N vs 4N cluster criterion).
+
+The corpus is deterministically replicated ``GRAFT_BENCH_REPLICAS`` times
+(doc_id offsets) so the bench input is meaningfully larger than the
+testdata files while staying derived from them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _corpus(sf_dir: str, replicas: int):
+    """Read documents ONCE and emit ``replicas`` deterministic doc_id-shifted
+    copies inside a single map_batches (a union of per-replica read DAGs
+    costs ~10x more in scheduling overhead at this scale)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)
+        outs = [
+            batch.set_column(
+                0, "doc_id", pc.add(batch["doc_id"], r * 10_000_000)
+            )
+            for r in range(replicas)
+        ]
+        return pa.concat_tables(outs)
+
+    return docs.map_batches(replicate, batch_format="pyarrow", batch_size=1024)
+
+
+def _transcripts(sf_dir: str, replicas: int):
+    from bio_re_with_entity_embeddings_ray.sources.transcripts import derive_batch
+
+    return _corpus(sf_dir, replicas).map_batches(
+        derive_batch, batch_format="pyarrow", batch_size=1024
+    )
+
+
+def bench_kg(sf_dir: str, replicas: int, num_buckets: int) -> dict:
+    """Headline: transcripts -> mentions -> nodes + triples, single pass.
+
+    The shared ``mentions`` intermediate is materialized once so the two
+    wide consumers (entity2conv nodes, pair aggregation) don't re-execute
+    the scan — the Ray Data analog of a persisted stage boundary.
+    """
+    from bio_re_with_entity_embeddings_ray.stages.aggregate import entity2conv
+    from bio_re_with_entity_embeddings_ray.stages.mentions import scan_mentions
+    from bio_re_with_entity_embeddings_ray.stages.pairs import triples
+
+    t0 = time.perf_counter()
+    ts = _transcripts(sf_dir, replicas)
+    mentions = scan_mentions(ts, include_tool=True).materialize()
+    n_triples = triples(mentions, "op", "res", "applies_to", num_buckets).count()
+    n_nodes = entity2conv(mentions, num_buckets).count()
+    sec = time.perf_counter() - t0
+    return {"sec": sec, "triples": n_triples, "nodes": n_nodes}
+
+
+def bench_minhash(sf_dir: str, replicas: int, num_buckets: int) -> float:
+    from bio_re_with_entity_embeddings_ray.stages.dedup import minhash_lsh_pairs
+
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(_corpus(sf_dir, replicas), num_buckets=num_buckets).count()
+    return time.perf_counter() - t0
+
+
+def bench_knn(sf_dir: str) -> float:
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.scoring import knn_topk
+
+    t0 = time.perf_counter()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    knn_topk(emb, n_queries=5, k=10).count()
+    return time.perf_counter() - t0
+
+
+def bench_window(sf_dir: str) -> float:
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import tumbling_window
+
+    t0 = time.perf_counter()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    tumbling_window(ev).count()
+    return time.perf_counter() - t0
+
+
+def run_once() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "8"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from bio_re_with_entity_embeddings_ray import quiet_ray_data
+
+    quiet_ray_data()
+    num_buckets = max(16, 2 * num_cpus)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    n_turns = _transcripts(sf_dir, replicas).count()
+
+    kg = bench_kg(sf_dir, replicas, num_buckets)
+    queries = {
+        "kg_e2e": round(kg["sec"], 3),
+        "minhash_lsh": round(bench_minhash(sf_dir, replicas, num_buckets), 3),
+        "knn_topk": round(bench_knn(sf_dir), 3),
+        "tumbling_window": round(bench_window(sf_dir), 3),
+    }
+    result = {
+        "metric": "kg_e2e_sec",
+        "value": queries["kg_e2e"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "replicas": replicas,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / kg["sec"], 1),
+        "triples": kg["triples"],
+        "nodes": kg["nodes"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["turns_per_sec"]
+    tput_hi = hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "turns_per_sec_8": tput_lo,
+        "turns_per_sec_32": tput_hi,
+        "turns": hi["turns"],
+        "sf": hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

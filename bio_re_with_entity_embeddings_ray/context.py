@@ -19,10 +19,14 @@ def quiet_ray_data(preserve_order: bool = False) -> None:
     affects results.
     """
     global _DONE
+    import logging
+
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
     ctx.execution_options.preserve_order = preserve_order
+    for name in ("ray.data", "ray"):
+        logging.getLogger(name).setLevel(logging.ERROR)
     _DONE = True

@@ -1,0 +1,103 @@
+"""Kill-and-resume over the per-partition lineage layer (BASELINE.md
+resumability criterion)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+from bio_re_with_entity_embeddings_ray.stages import aggregate
+from bio_re_with_entity_embeddings_ray.stages.mentions import scan_mentions
+from bio_re_with_entity_embeddings_ray.state import checkpoint
+
+
+def _make_input(fixture_dir):
+    import ray.data as rd
+
+    def factory():
+        return rd.read_parquet(f"{fixture_dir}/transcripts.parquet")
+
+    return factory
+
+
+def _stage(ds):
+    # conv-keyed aggregate: partition key (conv_id) makes each partition's
+    # output complete for its keys, so the per-partition union equals one
+    # global run — the property a checkpointable stage must have
+    m = scan_mentions(ds, include_tool=True, concurrency=2)
+    return aggregate.conv2entity(m, num_buckets=4)
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def test_resume_skips_committed_partitions(fixture_dir, tmp_path):
+    out = str(tmp_path / "ckpt")
+    factory = _make_input(fixture_dir)
+
+    calls = {"n": 0}
+
+    def failing_stage(ds):
+        calls["n"] += 1
+        if calls["n"] == 3:  # die while processing the third partition
+            raise Boom("simulated worker loss")
+        return _stage(ds)
+
+    with pytest.raises(Boom):
+        checkpoint.run_checkpointed(
+            factory, failing_stage, out, num_partitions=4, input_fingerprint="fp1"
+        )
+    committed = checkpoint.read_lineage(out)
+    assert len(committed) == 2  # two partitions committed before the crash
+
+    # resume: completes the remaining partitions without re-running done ones
+    calls2 = {"n": 0}
+
+    def counting_stage(ds):
+        calls2["n"] += 1
+        return _stage(ds)
+
+    records = checkpoint.run_checkpointed(
+        factory, counting_stage, out, num_partitions=4, input_fingerprint="fp1"
+    )
+    assert calls2["n"] == 2  # only the two uncommitted partitions ran
+    assert [r["reused"] for r in records] == [True, True, False, False]
+    assert all(r["input_fingerprint"] == "fp1" for r in records)
+    assert {r["partition"] for r in records} == {0, 1, 2, 3}
+
+    # committed output equals a clean one-shot run
+    files = [
+        f"{out}/part={p:05d}/{name}"
+        for p in range(4)
+        for name in os.listdir(f"{out}/part={p:05d}")
+    ]
+    ds = pads.dataset(files, format="parquet").to_table()
+    clean = _stage(factory()).to_pandas()
+    got = ds.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    clean = clean.sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, clean)
+
+    # changed input fingerprint invalidates the cache
+    records2 = checkpoint.run_checkpointed(
+        factory, counting_stage, out, num_partitions=4, input_fingerprint="fp2"
+    )
+    assert all(not r["reused"] for r in records2)
+
+
+def test_lineage_records_have_metrics(fixture_dir, tmp_path):
+    out = str(tmp_path / "ckpt2")
+    checkpoint.run_checkpointed(
+        _make_input(fixture_dir), _stage, out, num_partitions=2, input_fingerprint="x"
+    )
+    recs = checkpoint.read_lineage(out)
+    assert len(recs) == 2
+    for r in recs:
+        assert r["rows"] > 0 and r["wall_s"] >= 0
+        assert os.path.isdir(f"{out}/part={r['partition']:05d}")
+        with open(f"{out}/_lineage/part-{r['partition']:05d}.json") as f:
+            assert json.load(f)["rows"] == r["rows"]
