@@ -26,9 +26,18 @@ def _corpus(sf_dir: str, replicas: int):
     costs ~10x more in scheduling overhead at this scale)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
+
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # a single small parquet file reads as a handful of blocks, capping every
+    # downstream stage's parallelism at that block count — explicitly split
+    # it across the cluster first (cheap: rows are only re-sliced, not moved
+    # through a shuffle)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(2 * ncpu)
 
     def replicate(batch: pa.Table) -> pa.Table:
         batch = batch.replace_schema_metadata(None)

@@ -35,35 +35,57 @@ def _role_of(turn_idx: int) -> str:
 
 
 def derive_batch(batch: pa.Table) -> pa.Table:
-    """documents(doc_id, text) -> transcripts rows. Pure, deterministic."""
-    doc_ids = batch["doc_id"].to_pylist()
+    """documents(doc_id, text) -> transcripts rows. Pure, deterministic.
+
+    Vectorized: a turn's text is a character-range slice of the (single-
+    space-separated) document text, so all boundaries are numpy cumsums
+    over token lengths — the only per-row Python is the final substring
+    slice per TURN (not per token)."""
+    import pyarrow.compute as pc
+
+    batch = batch.replace_schema_metadata(None)
+    doc_ids = batch["doc_id"].to_numpy()
     texts = batch["text"].to_pylist()
-    conv_id: list[str] = []
-    turn_idx: list[int] = []
-    role: list[str] = []
-    text_out: list[str] = []
-    tool: list[str | None] = []
-    ts: list[int] = []
-    for did, txt in zip(doc_ids, texts):
-        toks = txt.split(" ")
-        cid = str(did)
-        for t in range(0, (len(toks) + TURN_WORDS - 1) // TURN_WORDS):
-            chunk = toks[t * TURN_WORDS : (t + 1) * TURN_WORDS]
-            r = _role_of(t)
-            conv_id.append(cid)
-            turn_idx.append(t)
-            role.append(r)
-            text_out.append(" ".join(chunk))
-            tool.append(chunk[0] if r == "tool" else None)
-            ts.append((did * _TS_BASE_STRIDE + t) * 1_000_000)
+    tok = pc.split_pattern(batch["text"], " ")
+    la = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok
+    offs = la.offsets.to_numpy().astype(np.int64)  # ndocs+1 token offsets
+    lens = pc.utf8_length(la.values).to_numpy().astype(np.int64)
+    ndocs = len(doc_ids)
+    ntok = int(offs[-1])
+    n_per_doc = np.diff(offs)
+    doc_idx = np.repeat(np.arange(ndocs), n_per_doc)
+    pos = np.arange(ntok, dtype=np.int64) - offs[:-1][doc_idx]
+
+    # char offset of each token within its doc
+    cs = np.zeros(ntok + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=cs[1:])
+    tok_start = cs[:-1] - cs[offs[:-1]][doc_idx]
+    tok_end = tok_start + lens
+
+    first = np.flatnonzero(pos % TURN_WORDS == 0)  # first token of each turn
+    last = np.append(first[1:] - 1, ntok - 1)
+    t_doc = doc_idx[first]
+    t_idx = (pos[first] // TURN_WORDS).astype(np.int32)
+    t_start = tok_start[first]
+    t_end = tok_end[last]
+    text_out = [texts[d][s:e] for d, s, e in zip(t_doc, t_start, t_end)]
+
+    mod4 = t_idx % 4
+    roles = np.where(mod4 == 3, "tool", np.where(t_idx % 2 == 0, "user", "assistant"))
+    first_len = lens[first]
+    tool_out: list[str | None] = [None] * len(t_idx)
+    for j in np.flatnonzero(mod4 == 3):
+        tool_out[j] = texts[t_doc[j]][t_start[j] : t_start[j] + first_len[j]]
+    ts_us = (doc_ids[t_doc] * _TS_BASE_STRIDE + t_idx) * 1_000_000
+
     return pa.table(
         {
-            "conv_id": pa.array(conv_id, pa.string()),
-            "turn_idx": pa.array(turn_idx, pa.int32()),
-            "role": pa.array(role, pa.string()),
+            "conv_id": pc.cast(pa.array(doc_ids[t_doc]), pa.string()),
+            "turn_idx": pa.array(t_idx, pa.int32()),
+            "role": pa.array(roles, pa.string()),
             "text": pa.array(text_out, pa.string()),
-            "tool": pa.array(tool, pa.string()),
-            "ts": pa.array(ts, pa.timestamp("us")),
+            "tool": pa.array(tool_out, pa.string()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
         }
     )
 

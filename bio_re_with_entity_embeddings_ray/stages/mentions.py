@@ -135,12 +135,23 @@ def scan_mentions(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 8192,
 ):
-    """Gazetteer mention scan as an actor-pool ``map_batches`` stage.
+    """Gazetteer mention scan.
 
-    Default pool autoscales (1, 8): enough to keep a node busy without
-    starving the read / shuffle stages; callers size it per cluster.
+    Default (``concurrency=None``): a STATELESS task pool — the scanner
+    (compiled regex + surface map) is built once on the driver and shipped
+    in the task closure, giving full-cluster elastic parallelism with no
+    actor ramp-up. Pass ``concurrency`` to switch to an actor pool, which
+    is the right shape when the dictionary state is heavy (the reference's
+    ~177k-entry vocabularies, README.md:55-146) and per-task shipping
+    would dominate.
     """
-    kwargs = {"concurrency": concurrency if concurrency is not None else (1, 8)}
+    if concurrency is None:
+        scanner = MentionScanner(entries, normalizers, include_tool)
+        return transcripts.map_batches(
+            lambda batch: scanner(batch),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return transcripts.map_batches(
         MentionScanner,
         fn_constructor_kwargs={
@@ -150,7 +161,7 @@ def scan_mentions(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        **kwargs,
+        concurrency=concurrency,
     )
 
 
