@@ -20,44 +20,56 @@ import sys
 import time
 
 
-def _corpus(sf_dir: str, replicas: int):
-    """Read documents ONCE and emit ``replicas`` deterministic doc_id-shifted
-    copies inside a single map_batches (a union of per-replica read DAGs
-    costs ~10x more in scheduling overhead at this scale)."""
+def _sharded(sf_dir: str, replicas: int, emit):
+    """Shard the replicated corpus as (replica, chunk) WORK ITEMS over a
+    broadcast documents table.
+
+    The testdata documents file is one parquet row group, so a plain read
+    yields ~5 blocks and caps the whole fused streaming plan's parallelism
+    at 5 (a mid-stream repartition is fused away by the optimizer and does
+    NOT help — measured 40s fused vs 2s staged). Broadcasting the small
+    table once via ray.put and fanning out one task per (replica, chunk)
+    gives clean elastic parallelism. Production inputs are many-file
+    partitioned Parquet and never need this.
+    """
     import pyarrow as pa
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
     import ray
-
     import ray.data as rd
 
-    # a single small parquet file reads as a handful of blocks, capping every
-    # downstream stage's parallelism at that block count — explicitly split
-    # it across the cluster first (cheap: rows are only re-sliced, not moved
-    # through a shuffle)
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    docs = rd.read_parquet(
+    tbl = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).repartition(2 * ncpu)
+    ).replace_schema_metadata(None)
+    ref = ray.put(tbl)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    chunks = max(1, (4 * ncpu + replicas - 1) // replicas)
+    csize = (tbl.num_rows + chunks - 1) // chunks
+    total = replicas * chunks
 
-    def replicate(batch: pa.Table) -> pa.Table:
-        batch = batch.replace_schema_metadata(None)
-        outs = [
-            batch.set_column(
-                0, "doc_id", pc.add(batch["doc_id"], r * 10_000_000)
-            )
-            for r in range(replicas)
-        ]
+    def build(batch) -> pa.Table:
+        t = ray.get(ref)
+        outs = []
+        for i in batch["id"]:
+            r, c = divmod(int(i), chunks)
+            sl = t.slice(c * csize, csize)
+            sl = sl.set_column(0, "doc_id", pc.add(sl["doc_id"], r * 10_000_000))
+            outs.append(emit(sl))
         return pa.concat_tables(outs)
 
-    return docs.map_batches(replicate, batch_format="pyarrow", batch_size=1024)
+    return rd.range(total, override_num_blocks=total).map_batches(
+        build, batch_format="numpy", batch_size=1
+    )
+
+
+def _corpus(sf_dir: str, replicas: int):
+    return _sharded(sf_dir, replicas, lambda t: t)
 
 
 def _transcripts(sf_dir: str, replicas: int):
     from bio_re_with_entity_embeddings_ray.sources.transcripts import derive_batch
 
-    return _corpus(sf_dir, replicas).map_batches(
-        derive_batch, batch_format="pyarrow", batch_size=1024
-    )
+    return _sharded(sf_dir, replicas, derive_batch)
 
 
 def bench_kg(sf_dir: str, replicas: int, num_buckets: int) -> dict:
@@ -74,7 +86,12 @@ def bench_kg(sf_dir: str, replicas: int, num_buckets: int) -> dict:
     t0 = time.perf_counter()
     ts = _transcripts(sf_dir, replicas)
     mentions = scan_mentions(ts, include_tool=True).materialize()
-    n_triples = triples(mentions, "op", "res", "applies_to", num_buckets).count()
+    # conv_partitioned: the derive stage emits each conversation's turns
+    # contiguously in one block and the scan preserves row order, so the
+    # cross product can run per block with no conv shuffle
+    n_triples = triples(
+        mentions, "op", "res", "applies_to", num_buckets, conv_partitioned=True
+    ).count()
     n_nodes = entity2conv(mentions, num_buckets).count()
     sec = time.perf_counter() - t0
     return {"sec": sec, "triples": n_triples, "nodes": n_nodes}
@@ -132,12 +149,15 @@ def run_once() -> dict:
     n_turns = _transcripts(sf_dir, replicas).count()
 
     kg = bench_kg(sf_dir, replicas, num_buckets)
-    queries = {
-        "kg_e2e": round(kg["sec"], 3),
-        "minhash_lsh": round(bench_minhash(sf_dir, replicas, num_buckets), 3),
-        "knn_topk": round(bench_knn(sf_dir), 3),
-        "tumbling_window": round(bench_window(sf_dir), 3),
-    }
+    queries = {"kg_e2e": round(kg["sec"], 3)}
+    if os.environ.get("GRAFT_BENCH_ONLY", "") != "kg":
+        queries.update(
+            {
+                "minhash_lsh": round(bench_minhash(sf_dir, replicas, num_buckets), 3),
+                "knn_topk": round(bench_knn(sf_dir), 3),
+                "tumbling_window": round(bench_window(sf_dir), 3),
+            }
+        )
     result = {
         "metric": "kg_e2e_sec",
         "value": queries["kg_e2e"],
@@ -159,7 +179,15 @@ def run_scaling() -> dict:
     import subprocess
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # headline only, at a compute-dominated input size (fixed scheduler
+        # + shuffle overheads would otherwise swamp an 8s run and make any
+        # efficiency number meaningless)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY="kg",
+            GRAFT_BENCH_REPLICAS=os.environ.get("GRAFT_BENCH_REPLICAS", "64"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -2,15 +2,17 @@
 
 Reference analog: ``build_mappings`` (/root/reference/data/pubtator.py:384-409)
 — the dual doc->entities / entity->docs dict aggregation that the reference
-runs driver-side; here each is a hash-partitioned distributed aggregate.
+runs driver-side; here each is a distributed partial-aggregate + merge.
 Sorted-distinct list semantics mirror the reference's ``set_to_string``
 (prepare_entity_dataset.py:76-81) so outputs are deterministic regardless
 of block order / parallelism.
 
-Scale note (SURVEY.md §7.3): before the shuffle we pre-deduplicate
-(conv_id, entity_id) pairs inside every input batch, so the shuffled volume
-for a hot entity is one row per (entity, input-batch) — the combiner
-pattern — rather than one row per mention.
+Scale design (combiner pattern, SURVEY.md §4): set-union is associative,
+so every aggregate here runs a PARTIAL stage inside ``map_batches`` (one
+row per key per input block, entity sets already deduped and ';;;'-packed)
+and only those partials go through the hash-partitioned merge. For a hot
+key the shuffle ships one row per block, not one row per mention — the
+same discipline the pair aggregation uses (pairs.py).
 """
 
 from __future__ import annotations
@@ -22,68 +24,83 @@ from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
 SET_SEP = ";;;"  # reference's set serialization separator
 
 
-def _prededup(cols: list[str]):
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[cols].drop_duplicates()
+def _pack(series: pd.Series) -> str:
+    return SET_SEP.join(sorted(set(series)))
 
-    return fn
+
+def _merge_packed(series: pd.Series) -> tuple[str, int]:
+    seen: set[str] = set()
+    for part in series:
+        seen.update(part.split(SET_SEP))
+    return SET_SEP.join(sorted(seen)), len(seen)
 
 
 def conv2entity(mentions, num_buckets: int = 64, as_string: bool = True):
-    """conv_id -> sorted distinct entity ids (+count).
+    """conv_id -> sorted distinct entity ids (+count)."""
 
-    ``as_string=True`` emits the reference-style ';;;'-joined string (also
-    what the DuckDB oracle can reproduce with string_agg); ``False`` emits a
-    real Arrow list column.
-    """
-    pairs = mentions.map_batches(
-        _prededup(["conv_id", "entity_id"]), batch_format="pandas"
-    )
-
-    def agg(bucket: pd.DataFrame) -> pd.DataFrame:
-        b = bucket.drop_duplicates().sort_values(
-            ["conv_id", "entity_id"], kind="mergesort"
-        )
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["conv_id", "entity_id"]].drop_duplicates()
         g = b.groupby("conv_id", sort=False)["entity_id"]
-        if as_string:
-            out = g.agg(SET_SEP.join).reset_index().rename(columns={"entity_id": "entity_ids"})
-        else:
-            out = g.agg(list).reset_index().rename(columns={"entity_id": "entity_ids"})
-        out["n_entities"] = g.nunique().to_numpy().astype("int32")
+        return g.agg(_pack).reset_index().rename(columns={"entity_id": "packed"})
+
+    partials = mentions.map_batches(partial, batch_format="pandas")
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("conv_id", sort=False)["packed"].agg(_merge_packed)
+        out = pd.DataFrame(
+            {
+                "conv_id": g.index,
+                "entity_ids": [t[0] for t in g],
+                "n_entities": pd.Series([t[1] for t in g], dtype="int32").to_numpy(),
+            }
+        )
+        if not as_string:
+            out["entity_ids"] = out["entity_ids"].str.split(SET_SEP)
         return out
 
-    return bucketed_group_apply(pairs, "conv_id", agg, num_buckets)
+    return bucketed_group_apply(partials, "conv_id", merge, num_buckets)
 
 
 def entity2conv(mentions, num_buckets: int = 64, as_string: bool = True):
     """entity_id -> sorted distinct conv ids + support (graph node table)."""
-    pairs = mentions.map_batches(
-        _prededup(["entity_id", "entity_type", "conv_id"]), batch_format="pandas"
-    )
 
-    def agg(bucket: pd.DataFrame) -> pd.DataFrame:
-        b = bucket.drop_duplicates().sort_values(
-            ["entity_id", "conv_id"], kind="mergesort"
-        )
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["entity_id", "entity_type", "conv_id"]].drop_duplicates()
         g = b.groupby(["entity_id", "entity_type"], sort=False)["conv_id"]
-        joiner = SET_SEP.join if as_string else list
-        out = g.agg(joiner).reset_index().rename(columns={"conv_id": "conv_ids"})
-        out["support"] = g.nunique().to_numpy().astype("int64")
+        return g.agg(_pack).reset_index().rename(columns={"conv_id": "packed"})
+
+    partials = mentions.map_batches(partial, batch_format="pandas")
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["entity_id", "entity_type"], sort=False)["packed"].agg(
+            _merge_packed
+        )
+        idx = g.index.to_frame(index=False)
+        out = pd.DataFrame(
+            {
+                "entity_id": idx["entity_id"],
+                "entity_type": idx["entity_type"],
+                "conv_ids": [t[0] for t in g],
+                "support": pd.Series([t[1] for t in g], dtype="int64").to_numpy(),
+            }
+        )
+        if not as_string:
+            out["conv_ids"] = out["conv_ids"].str.split(SET_SEP)
         return out
 
-    return bucketed_group_apply(pairs, "entity_id", agg, num_buckets)
+    return bucketed_group_apply(partials, "entity_id", merge, num_buckets)
 
 
 def unique_values(ds, column: str, num_buckets: int = 64):
     """Global distinct of one column (reference UniqueValueExtractor,
     utils/pandas_utils.py:86-106 — there a driver-side side effect; here a
-    first-class distributed distinct)."""
-    vals = ds.map_batches(_prededup([column]), batch_format="pandas")
+    first-class distributed distinct with a per-block combiner)."""
 
-    def agg(bucket: pd.DataFrame) -> pd.DataFrame:
-        return bucket.drop_duplicates()
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[column]].drop_duplicates()
 
-    return bucketed_group_apply(vals, column, agg, num_buckets)
+    vals = ds.map_batches(local, batch_format="pandas")
+    return bucketed_group_apply(vals, column, local, num_buckets)
 
 
 def drop_duplicates(ds, subset: list[str], order_col: str, num_buckets: int = 64):

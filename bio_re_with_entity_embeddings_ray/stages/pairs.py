@@ -73,6 +73,11 @@ def aggregate_pairs(
         return out.rename(columns={"conv_id": "convs_partial"})
 
     partials = cand.map_batches(partial, batch_format="pandas")
+    return _merge_pair_partials(partials, pred, num_buckets, as_string)
+
+
+def _merge_pair_partials(partials, pred: str, num_buckets: int, as_string: bool):
+    """Final hash-partitioned merge of (subj, obj, convs_partial) rows."""
 
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(["subj_id", "obj_id"], sort=False)["convs_partial"]
@@ -109,10 +114,43 @@ def triples(
     pred: str,
     num_buckets: int = 64,
     as_string: bool = True,
+    conv_partitioned: bool = False,
 ):
-    """mentions -> aggregated co-occurrence triples for one type pair."""
-    cand = candidate_pairs(mentions, subj_type, obj_type, num_buckets)
-    return aggregate_pairs(cand, pred, num_buckets, as_string)
+    """mentions -> aggregated co-occurrence triples for one type pair.
+
+    ``conv_partitioned=True`` declares that every conversation's mention
+    rows are contiguous within one block (true when the upstream pipeline
+    derived/scanned transcripts per conversation and blocks were never
+    split mid-conversation — the engine's standard layout, and the layout
+    the checkpoint partitioning produces). Under that assumption the
+    per-conv cross product + pair partial runs per BLOCK with no conv
+    shuffle; only the tiny (subj, obj, packed-convs) partials shuffle into
+    the final merge. Without it, the general path shuffles by conv first.
+    """
+    if not conv_partitioned:
+        cand = candidate_pairs(mentions, subj_type, obj_type, num_buckets)
+        return aggregate_pairs(cand, pred, num_buckets, as_string)
+
+    def cross_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["entity_type"].isin([subj_type, obj_type])][
+            ["conv_id", "entity_type", "entity_id"]
+        ].drop_duplicates()
+        src = b[b["entity_type"] == subj_type][["conv_id", "entity_id"]].rename(
+            columns={"entity_id": "subj_id"}
+        )
+        tgt = b[b["entity_type"] == obj_type][["conv_id", "entity_id"]].rename(
+            columns={"entity_id": "obj_id"}
+        )
+        m = src.merge(tgt, on="conv_id")
+        g = m.groupby(["subj_id", "obj_id"], sort=False)["conv_id"]
+        out = g.agg(lambda s: SET_SEP.join(sorted(set(s)))).reset_index()
+        return out.rename(columns={"conv_id": "convs_partial"})
+
+    # batch = whole block so a conversation is never split across batches
+    partials = mentions.map_batches(
+        cross_and_partial, batch_format="pandas", batch_size=None
+    )
+    return _merge_pair_partials(partials, pred, num_buckets, as_string)
 
 
 def adjacency_edges(triples_ds):
