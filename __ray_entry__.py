@@ -189,6 +189,74 @@ def _q_fingerprints(sf_dir: str):
     return textstats.fingerprints(_docs(sf_dir))
 
 
+# ------------------------------------------------------------- multimodal
+
+
+def _media(sf_dir: str):
+    from bio_re_with_entity_embeddings_ray.stages import multimodal
+
+    return multimodal.attach_media(_docs(sf_dir))
+
+
+def _q_media_stats(sf_dir: str):
+    from bio_re_with_entity_embeddings_ray.stages import multimodal
+
+    quiet_ray_data()
+    return multimodal.media_stats(_media(sf_dir))
+
+
+def _q_media_features(sf_dir: str):
+    from bio_re_with_entity_embeddings_ray.stages import multimodal
+
+    quiet_ray_data()
+    return multimodal.featurize_media(_media(sf_dir))
+
+
+def _q_media_frames(sf_dir: str):
+    from bio_re_with_entity_embeddings_ray.stages import multimodal
+
+    quiet_ray_data()
+    return multimodal.sample_frames(_media(sf_dir)).select_columns(
+        ["doc_id", "frame_idx", "n_bytes"]
+    )
+
+
+def _q_media_resize(sf_dir: str):
+    from bio_re_with_entity_embeddings_ray.stages import multimodal
+
+    quiet_ray_data()
+    return multimodal.resize_media(_media(sf_dir), max_dim=32).select_columns(
+        ["doc_id", "kind", "width", "height", "n_bytes"]
+    )
+
+
+def _q_drop_duplicates(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+
+    quiet_ray_data()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "price_cents": (batch["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    return aggregate.drop_duplicates(
+        orders.map_batches(cents, batch_format="pandas"),
+        subset=["o_custkey"],
+        order_col="o_orderkey",
+        num_buckets=_NB,
+    )
+
+
 # ------------------------------------------------------------- relational
 
 
@@ -294,6 +362,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        # --- multimodal (binary columns; actor-pool decode stages) ---
+        "media_stats": _q_media_stats,
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
+        "drop_duplicates": _q_drop_duplicates,
         # --- relational / windowed (§2.2, §2.4-2.6 analogs) ---
         "rel_groupby_agg": _q_rel_groupby,
         "rel_top_orders": _q_rel_top_orders,
@@ -330,6 +404,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": oracles.QUALITY_SCORES,
         "lang_id": oracles.LANG_ID,
         "fingerprints": oracles.FINGERPRINTS,
+        "media_stats": oracles.MEDIA_STATS,
+        "media_features": oracles.MEDIA_FEATURES,
+        "media_frames": oracles.MEDIA_FRAMES,
+        "media_resize": oracles.MEDIA_RESIZE,
+        "drop_duplicates": oracles.DROP_DUPLICATES,
         "rel_groupby_agg": oracles.REL_GROUPBY_AGG,
         "rel_top_orders": oracles.REL_TOP_ORDERS,
         "rel_semi_join": oracles.REL_SEMI_JOIN,

@@ -285,3 +285,60 @@ m AS (SELECT user_id, CASE WHEN prev IS NULL OR s - prev > 1800 THEN 1 ELSE 0 EN
 SELECT CAST(user_id AS BIGINT) AS user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM m GROUP BY user_id"""
+
+# ------------------------------------------------------------- multimodal
+# The media table is synthesized deterministically from documents
+# (stages/multimodal.attach_media): payload = UTF-8 bytes of text, kind and
+# dimensions pure functions of doc_id. These CTEs restate that derivation.
+
+_MEDIA = """__media AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS len,
+         16 + doc_id % 49 AS w,
+         16 + doc_id % 33 AS h
+  FROM documents
+)"""
+
+MEDIA_STATS = f"""WITH {_MEDIA}
+SELECT doc_id, kind, CAST(len AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height
+FROM __media"""
+
+MEDIA_FEATURES = f"""WITH {_MEDIA}
+SELECT doc_id, kind, CAST(len AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * 10000 // h AS BIGINT) AS aspect_bp
+FROM __media"""
+
+MEDIA_FRAMES = f"""WITH {_MEDIA},
+__f AS (
+  SELECT doc_id, len, unnest(range(0, CAST((len - 1) // 256 + 1 AS BIGINT), 2)) AS i
+  FROM __media WHERE kind = 'video'
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(LEAST(256, len - i * 256) AS BIGINT) AS n_bytes
+FROM __f"""
+
+MEDIA_RESIZE = f"""WITH {_MEDIA},
+__r AS (
+  SELECT doc_id, kind, len,
+         CASE WHEN GREATEST(w, h) <= 32 THEN w
+              WHEN w >= h THEN 32 ELSE w * 32 // h END AS nw,
+         CASE WHEN GREATEST(w, h) <= 32 THEN h
+              WHEN w >= h THEN h * 32 // w ELSE 32 END AS nh
+  FROM __media
+)
+SELECT doc_id, kind, CAST(nw AS INT) AS width, CAST(nh AS INT) AS height,
+       CAST(LEAST(len, nw * nh) AS BIGINT) AS n_bytes
+FROM __r"""
+
+# ------------------------------------------------------- drop_duplicates
+
+DROP_DUPLICATES = """SELECT o_custkey, o_orderkey, price_cents FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1"""

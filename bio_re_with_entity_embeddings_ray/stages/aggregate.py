@@ -10,16 +10,19 @@ of block order / parallelism.
 Scale design (combiner pattern, SURVEY.md §4): set-union is associative,
 so every aggregate here runs a PARTIAL stage inside ``map_batches`` (one
 row per key per input block, entity sets already deduped and ';;;'-packed)
-and only those partials go through the hash-partitioned merge. For a hot
-key the shuffle ships one row per block, not one row per mention — the
-same discipline the pair aggregation uses (pairs.py).
+and only those partials go through the merge, whose physical plan
+(no-shuffle reduction tree vs hash-partitioned exchange) is picked by
+measured partial size — see :func:`common.merge_partials`.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
-from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+from bio_re_with_entity_embeddings_ray.stages.common import (
+    bucketed_group_apply,
+    merge_partials,
+)
 
 SET_SEP = ";;;"  # reference's set serialization separator
 
@@ -28,67 +31,143 @@ def _pack(series: pd.Series) -> str:
     return SET_SEP.join(sorted(set(series)))
 
 
-def _merge_packed(series: pd.Series) -> tuple[str, int]:
+def _union_packed(series: pd.Series) -> str:
     seen: set[str] = set()
     for part in series:
         seen.update(part.split(SET_SEP))
-    return SET_SEP.join(sorted(seen)), len(seen)
+    return SET_SEP.join(sorted(seen))
 
 
-def conv2entity(mentions, num_buckets: int = 64, as_string: bool = True):
-    """conv_id -> sorted distinct entity ids (+count)."""
+def _combine_packed(keys: list[str], col: str = "packed", disjoint: bool = False):
+    """Associative combine of ';;;'-packed sets per key (schema-preserving).
+
+    ``disjoint=True`` asserts the partials for one key never share members
+    (true when the set elements are conv ids and every conversation's rows
+    live in exactly one upstream block — the conv-partitioned layout): the
+    union degenerates to a C-speed string concat, no split/set/sort. The
+    set CONTENT stays deterministic; intra-list order then follows block
+    order. Default keeps full sorted-union semantics (byte-stable output).
+    """
+    joiner = SET_SEP.join if disjoint else _union_packed
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False)[col].agg(joiner)
+        return g.reset_index()
+
+    return combine
+
+
+def conv2entity(
+    mentions,
+    num_buckets: int = 64,
+    as_string: bool = True,
+    disjoint_blocks: bool = False,
+    merge_plan: str = "auto",
+):
+    """conv_id -> sorted distinct entity ids (+count).
+
+    ``disjoint_blocks``: pass True when every conversation's mention rows
+    are contiguous in one block (conv-partitioned layout) — the merge then
+    concatenates disjoint partials instead of set-unioning (see
+    ``_combine_packed``).
+    """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[["conv_id", "entity_id"]].drop_duplicates()
         g = b.groupby("conv_id", sort=False)["entity_id"]
         return g.agg(_pack).reset_index().rename(columns={"entity_id": "packed"})
 
-    partials = mentions.map_batches(partial, batch_format="pandas")
+    partials = mentions.map_batches(partial, batch_format="pandas", batch_size=None)
 
-    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby("conv_id", sort=False)["packed"].agg(_merge_packed)
-        out = pd.DataFrame(
-            {
-                "conv_id": g.index,
-                "entity_ids": [t[0] for t in g],
-                "n_entities": pd.Series([t[1] for t in g], dtype="int32").to_numpy(),
-            }
-        )
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        out = combined.rename(columns={"packed": "entity_ids"})
+        counts = out["entity_ids"].str.count(SET_SEP) + 1
+        out["n_entities"] = counts.astype("int32")
         if not as_string:
             out["entity_ids"] = out["entity_ids"].str.split(SET_SEP)
         return out
 
-    return bucketed_group_apply(partials, "conv_id", merge, num_buckets)
+    return merge_partials(
+        partials,
+        "conv_id",
+        _combine_packed(["conv_id"], disjoint=disjoint_blocks),
+        finalize,
+        num_buckets,
+        plan=merge_plan,
+    )
 
 
-def entity2conv(mentions, num_buckets: int = 64, as_string: bool = True):
-    """entity_id -> sorted distinct conv ids + support (graph node table)."""
+def entity2conv(
+    mentions,
+    num_buckets: int = 64,
+    as_string: bool = True,
+    disjoint_blocks: bool = False,
+    merge_plan: str = "auto",
+):
+    """entity_id -> sorted distinct conv ids + support (graph node table).
+
+    ``disjoint_blocks`` as in :func:`conv2entity` — per-entity partial conv
+    sets from different blocks cannot overlap when conversations are
+    block-contiguous, so the merge is a concat.
+    """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[["entity_id", "entity_type", "conv_id"]].drop_duplicates()
         g = b.groupby(["entity_id", "entity_type"], sort=False)["conv_id"]
         return g.agg(_pack).reset_index().rename(columns={"conv_id": "packed"})
 
-    partials = mentions.map_batches(partial, batch_format="pandas")
+    partials = mentions.map_batches(partial, batch_format="pandas", batch_size=None)
 
-    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby(["entity_id", "entity_type"], sort=False)["packed"].agg(
-            _merge_packed
-        )
-        idx = g.index.to_frame(index=False)
-        out = pd.DataFrame(
-            {
-                "entity_id": idx["entity_id"],
-                "entity_type": idx["entity_type"],
-                "conv_ids": [t[0] for t in g],
-                "support": pd.Series([t[1] for t in g], dtype="int64").to_numpy(),
-            }
-        )
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        out = combined.rename(columns={"packed": "conv_ids"})
+        counts = out["conv_ids"].str.count(SET_SEP) + 1
+        out["support"] = counts.astype("int64")
         if not as_string:
             out["conv_ids"] = out["conv_ids"].str.split(SET_SEP)
         return out
 
-    return bucketed_group_apply(partials, "entity_id", merge, num_buckets)
+    return merge_partials(
+        partials,
+        "entity_id",
+        _combine_packed(["entity_id", "entity_type"], disjoint=disjoint_blocks),
+        finalize,
+        num_buckets,
+        plan=merge_plan,
+    )
+
+
+def entity2conv_bucketed(mentions, num_buckets: int = 64):
+    """Scale path for hot entities: bucketed provenance + payload-free
+    exact support (same design as pairs.triples_bucketed — SURVEY.md §7.3).
+    Requires the conv-partitioned layout (disjoint buckets).
+
+    Returns ``(nodes, provenance)``: nodes = (entity_id, entity_type,
+    support); provenance = one (entity, input-block) row with its conv
+    bucket."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["entity_id", "entity_type", "conv_id"]].drop_duplicates()
+        g = b.groupby(["entity_id", "entity_type"], sort=False)["conv_id"]
+        out = g.agg(_pack).reset_index().rename(columns={"conv_id": "conv_ids"})
+        out["n_convs"] = (out["conv_ids"].str.count(SET_SEP) + 1).astype("int64")
+        return out
+
+    provenance = mentions.map_batches(
+        partial, batch_format="pandas", batch_size=None
+    ).materialize()
+    counts = provenance.select_columns(["entity_id", "entity_type", "n_convs"])
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["entity_id", "entity_type"], sort=False)["n_convs"].sum()
+        return g.reset_index()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        return combined.rename(columns={"n_convs": "support"})
+
+    nodes = merge_partials(
+        counts, ["entity_id", "entity_type"], combine, finalize, num_buckets
+    )
+    return nodes, provenance
 
 
 def unique_values(ds, column: str, num_buckets: int = 64):
@@ -99,8 +178,8 @@ def unique_values(ds, column: str, num_buckets: int = 64):
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[[column]].drop_duplicates()
 
-    vals = ds.map_batches(local, batch_format="pandas")
-    return bucketed_group_apply(vals, column, local, num_buckets)
+    vals = ds.map_batches(local, batch_format="pandas", batch_size=None)
+    return merge_partials(vals, column, local, lambda b: b, num_buckets)
 
 
 def drop_duplicates(ds, subset: list[str], order_col: str, num_buckets: int = 64):
@@ -113,5 +192,5 @@ def drop_duplicates(ds, subset: list[str], order_col: str, num_buckets: int = 64
             subset=subset, keep="first"
         )
 
-    pre = ds.map_batches(local_first, batch_format="pandas")
-    return bucketed_group_apply(pre, subset, local_first, num_buckets)
+    pre = ds.map_batches(local_first, batch_format="pandas", batch_size=None)
+    return merge_partials(pre, subset, local_first, lambda b: b, num_buckets)

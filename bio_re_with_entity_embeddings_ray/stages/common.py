@@ -34,7 +34,7 @@ def add_bucket(ds, key: str, num_buckets: int):
         batch[BUCKET_COL] = hash_bucket(batch[key].to_numpy(), num_buckets)
         return batch
 
-    return ds.map_batches(_assign, batch_format="pandas")
+    return ds.map_batches(_assign, batch_format="pandas", batch_size=None)
 
 
 def bucketed_group_apply(
@@ -73,8 +73,76 @@ def bucketed_group_apply(
         out = fn(group.drop(columns=[BUCKET_COL]))
         return out
 
-    bucketed = ds.map_batches(_assign, batch_format="pandas")
+    bucketed = ds.map_batches(_assign, batch_format="pandas", batch_size=None)
     return bucketed.groupby(BUCKET_COL).map_groups(_apply, batch_format="pandas")
+
+
+def merge_partials(
+    partials,
+    key: str | Sequence[str],
+    combine: Callable[[pd.DataFrame], pd.DataFrame],
+    finalize: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 64,
+    small_rows: int = 2_000_000,
+    fanin: int = 16,
+    plan: str = "auto",
+):
+    """Merge side of a two-phase (combiner) aggregate, with a size-based
+    physical plan choice.
+
+    ``combine`` must be ASSOCIATIVE and schema-preserving over partial rows
+    (e.g. union of packed sets, local min/first); ``finalize`` maps a
+    key-complete combined frame to the output schema.
+
+    The combiner bounds partials to (distinct keys x upstream blocks) rows.
+    The partials are materialized (they are the small side by construction)
+    and counted — measured, not guessed:
+
+    - small partial set  -> no-shuffle REDUCTION TREE: coalesce blocks with
+      ``repartition`` (a split/merge, not an exchange) and re-apply
+      ``combine`` until one key-complete block remains. Ray's sort-based
+      ``groupby`` exchange costs seconds of fixed barrier even on a few
+      thousand rows (measured 5.4s at 32 cpus for 5k partial rows), which a
+      tree avoids entirely.
+    - large (high-cardinality keys, e.g. millions of entity pairs) -> the
+      hash-partitioned shuffle merge, which scales out with cluster size.
+
+    ``plan``: "auto" (default) probes as above; "tree" / "shuffle" skip the
+    probe when the caller already knows the key-space size — "tree" stays
+    fully lazy (no materialize barrier), the right call for bounded
+    vocabularies like predicate/type pairs.
+    """
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return finalize(combine(batch))
+
+    if plan == "tree":
+        # caller asserts a small key space: fully LAZY two-level reduction,
+        # no probe barrier — one streaming execution end to end
+        return (
+            partials.repartition(fanin)
+            .map_batches(combine, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None)
+        )
+    if plan == "shuffle":
+        return bucketed_group_apply(
+            partials, key, lambda b: final(b), num_buckets
+        )
+    p = partials.materialize()
+    if p.count() <= small_rows:
+        nb = p.num_blocks()
+        if nb <= 1:
+            return p.map_batches(final, batch_format="pandas", batch_size=None)
+        while nb > 1:
+            nb = max(1, -(-nb // fanin))
+            step = combine if nb > 1 else final
+            p = p.repartition(nb).map_batches(
+                step, batch_format="pandas", batch_size=None
+            )
+        return p
+    return bucketed_group_apply(
+        p, key, lambda b: final(b), num_buckets
+    )
 
 
 def to_arrow_sorted(df: pd.DataFrame, by: list[str], schema: pa.Schema | None = None) -> pa.Table:

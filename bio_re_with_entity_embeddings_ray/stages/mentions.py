@@ -49,13 +49,29 @@ _EMPTY = pa.table(
 
 
 class MentionScanner:
-    """Actor-pool gazetteer scanner: regex alternation compiled in __init__."""
+    """Actor-pool gazetteer scanner.
+
+    Two match engines, chosen in ``__init__`` (mode='auto'):
+
+    - **token** (vectorized, the default when every surface is one bare
+      word): ``pc.split_pattern`` -> ``pc.index_in`` against the surface
+      set — C-speed hash matching, numpy offset math, no Python loop.
+      This is exactly the oracle's semantics (oracles.kg_cte: token
+      equality on lowered words).
+    - **regex** (general fallback): compiled word-boundary alternation,
+      required for multi-word or punctuated surfaces.
+
+    Normalization (1->N per raw id, data/pubtator.py:96-278 analogs) is
+    PRECOMPUTED per surface in ``__init__`` into flat expansion arrays, so
+    the batch path never calls a normalizer.
+    """
 
     def __init__(
         self,
         entries: list[DictEntry] | None = None,
         normalizers: dict | None = None,
         include_tool: bool = False,
+        mode: str = "auto",
     ):
         entries = entries if entries is not None else GAZETTEER
         self.surfaces = surface_map(entries)
@@ -67,13 +83,120 @@ class MentionScanner:
         self.normalizers = normalizers or {}
         self.include_tool = include_tool
 
+        if mode == "auto":
+            mode = (
+                "token"
+                if all(re.fullmatch(r"\w+", s) for s in self.surfaces)
+                else "regex"
+            )
+        self.mode = mode
+        if mode == "token":
+            # expansion tables: surface index -> contiguous run of
+            # (entity_type, canonical_id) rows after normalization
+            surf_list = sorted(self.surfaces)
+            exp_type: list[str] = []
+            exp_id: list[str] = []
+            counts = np.zeros(len(surf_list), dtype=np.int64)
+            for i, s in enumerate(surf_list):
+                for entity_type, raw_id in self.surfaces[s]:
+                    for canon in self._normalize(entity_type, raw_id):
+                        exp_type.append(entity_type)
+                        exp_id.append(canon)
+                        counts[i] += 1
+            self._surf_arr = pa.array(surf_list, pa.string())
+            self._exp_type = np.asarray(exp_type, dtype=object)
+            self._exp_id = np.asarray(exp_id, dtype=object)
+            self._exp_off = np.concatenate(([0], np.cumsum(counts)))
+            self._exp_cnt = counts
+
     def _normalize(self, entity_type: str, raw_id: str) -> list[str]:
         fn = self.normalizers.get(entity_type)
         if fn is None:
             return normalize.normalize_default(raw_id)
         return fn(raw_id)
 
+    def _scan_token(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tok = pc.split_pattern(text, " ")
+        la = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok
+        offs = la.offsets.to_numpy().astype(np.int64)
+        flat = la.values
+        lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        ntok = len(flat)
+        nrow = batch.num_rows
+
+        # char start of each token within its row (same cumsum trick as
+        # sources/transcripts.derive_batch)
+        cs = np.zeros(ntok + 1, dtype=np.int64)
+        np.cumsum(lens + 1, out=cs[1:])
+        row_idx = np.repeat(np.arange(nrow), np.diff(offs))
+        tok_start = cs[:-1] - cs[offs[:-1]][row_idx]
+
+        sidx = pc.fill_null(
+            pc.index_in(pc.utf8_lower(flat), value_set=self._surf_arr), -1
+        ).to_numpy()
+        hit = np.flatnonzero(sidx >= 0)
+        surf_i = sidx[hit].astype(np.int64)
+
+        # 1->N expansion: each hit token repeats for every normalized id
+        reps = self._exp_cnt[surf_i]
+        tok_rep = np.repeat(hit, reps)
+        # flat expansion index: run start per hit + intra-run position
+        run_start = np.repeat(self._exp_off[surf_i], reps)
+        intra = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)))[:-1], reps
+        )
+        exp_i = run_start + intra
+
+        rows = row_idx[tok_rep]
+        mention = flat.take(pa.array(tok_rep))
+        starts = tok_start[tok_rep]
+        ends = starts + lens[tok_rep]
+        out = pa.table(
+            {
+                "conv_id": batch["conv_id"].take(pa.array(rows)),
+                "turn_idx": batch["turn_idx"].take(pa.array(rows)),
+                "entity_type": pa.array(self._exp_type[exp_i], pa.string()),
+                "entity_id": pa.array(self._exp_id[exp_i], pa.string()),
+                "mention_text": mention,
+                "start": pa.array(starts, pa.int32()),
+                "end": pa.array(ends, pa.int32()),
+            }
+        )
+        if self.include_tool:
+            import pyarrow.compute as pc2
+
+            mask = pc2.and_(
+                pc2.is_valid(batch["tool"]), pc2.not_equal(batch["tool"], "")
+            )
+            sel = batch.filter(mask)
+            if sel.num_rows:
+                tool_up = pc2.utf8_upper(sel["tool"])
+                tool_tbl = pa.table(
+                    {
+                        "conv_id": sel["conv_id"],
+                        "turn_idx": sel["turn_idx"],
+                        "entity_type": pa.array(
+                            ["tool"] * sel.num_rows, pa.string()
+                        ),
+                        "entity_id": pc2.binary_join_element_wise(
+                            pa.array(["TOOL:"] * sel.num_rows), tool_up, ""
+                        ),
+                        "mention_text": sel["tool"],
+                        "start": pa.array([-1] * sel.num_rows, pa.int32()),
+                        "end": pa.array([-1] * sel.num_rows, pa.int32()),
+                    }
+                )
+                out = pa.concat_tables([out, tool_tbl]).combine_chunks()
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "token":
+            return self._scan_token(batch)
         conv_ids = batch["conv_id"].to_pylist()
         turn_idxs = batch["turn_idx"].to_pylist()
         texts = batch["text"].to_pylist()
@@ -133,7 +256,7 @@ def scan_mentions(
     normalizers: dict | None = None,
     include_tool: bool = False,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
 ):
     """Gazetteer mention scan.
 
@@ -144,6 +267,13 @@ def scan_mentions(
     is the right shape when the dictionary state is heavy (the reference's
     ~177k-entry vocabularies, README.md:55-146) and per-task shipping
     would dominate.
+
+    ``batch_size=None`` (whole upstream block per call) is deliberate: a
+    row-count batch size makes Ray Data bundle *input* blocks of the fused
+    operator chain up to that many rows, which collapses parallelism when
+    the upstream emits few-row work-item blocks that fan out into large
+    outputs (measured: 1 task instead of 128). Block size is already
+    bounded by DataContext.target_max_block_size.
     """
     if concurrency is None:
         scanner = MentionScanner(entries, normalizers, include_tool)

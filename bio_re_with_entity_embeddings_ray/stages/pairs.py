@@ -22,8 +22,11 @@ from __future__ import annotations
 
 import pandas as pd
 
-from bio_re_with_entity_embeddings_ray.stages.aggregate import SET_SEP
-from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+from bio_re_with_entity_embeddings_ray.stages.aggregate import SET_SEP, _union_packed
+from bio_re_with_entity_embeddings_ray.stages.common import (
+    bucketed_group_apply,
+    merge_partials,
+)
 
 
 def candidate_pairs(
@@ -39,7 +42,7 @@ def candidate_pairs(
         b = batch[batch["entity_type"].isin([subj_type, obj_type])]
         return b[["conv_id", "entity_type", "entity_id"]].drop_duplicates()
 
-    slim = mentions.map_batches(prededup, batch_format="pandas")
+    slim = mentions.map_batches(prededup, batch_format="pandas", batch_size=None)
 
     def cross(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.drop_duplicates()
@@ -72,39 +75,52 @@ def aggregate_pairs(
         out = g.agg(lambda s: SET_SEP.join(sorted(set(s)))).reset_index()
         return out.rename(columns={"conv_id": "convs_partial"})
 
-    partials = cand.map_batches(partial, batch_format="pandas")
+    partials = cand.map_batches(partial, batch_format="pandas", batch_size=None)
     return _merge_pair_partials(partials, pred, num_buckets, as_string)
 
 
-def _merge_pair_partials(partials, pred: str, num_buckets: int, as_string: bool):
-    """Final hash-partitioned merge of (subj, obj, convs_partial) rows."""
+def _merge_pair_partials(
+    partials,
+    pred: str,
+    num_buckets: int,
+    as_string: bool,
+    disjoint: bool = False,
+    plan: str = "auto",
+):
+    """Merge of (subj, obj, convs_partial) rows — associative combine +
+    finalize, physical plan picked by measured partial size
+    (common.merge_partials). ``disjoint=True`` (conv-partitioned upstream:
+    a conversation's rows live in exactly one block, so per-pair partial
+    conv sets cannot overlap) turns the set-union into a C-speed concat —
+    see aggregate._combine_packed."""
 
-    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby(["subj_id", "obj_id"], sort=False)["convs_partial"]
+    joiner = SET_SEP.join if disjoint else _union_packed
 
-        def fuse(parts) -> tuple[str, int]:
-            seen: set[str] = set()
-            for p in parts:
-                seen.update(p.split(SET_SEP))
-            return SET_SEP.join(sorted(seen)), len(seen)
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["subj_id", "obj_id"], sort=False)["convs_partial"].agg(
+            joiner
+        )
+        return g.reset_index()
 
-        fused = g.agg(fuse).reset_index()
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
-                "subj_id": fused["subj_id"],
+                "subj_id": combined["subj_id"],
                 "pred": pred,
-                "obj_id": fused["obj_id"],
-                "conv_ids": [t[0] for t in fused["convs_partial"]],
-                "support": pd.Series(
-                    [t[1] for t in fused["convs_partial"]], dtype="int64"
-                ),
+                "obj_id": combined["obj_id"],
+                "conv_ids": combined["convs_partial"],
+                "support": (
+                    combined["convs_partial"].str.count(SET_SEP) + 1
+                ).astype("int64"),
             }
         )
         if not as_string:
             out["conv_ids"] = out["conv_ids"].str.split(SET_SEP)
         return out
 
-    return bucketed_group_apply(partials, ["subj_id", "obj_id"], merge, num_buckets)
+    return merge_partials(
+        partials, ["subj_id", "obj_id"], combine, finalize, num_buckets, plan=plan
+    )
 
 
 def triples(
@@ -115,6 +131,7 @@ def triples(
     num_buckets: int = 64,
     as_string: bool = True,
     conv_partitioned: bool = False,
+    merge_plan: str = "auto",
 ):
     """mentions -> aggregated co-occurrence triples for one type pair.
 
@@ -150,7 +167,77 @@ def triples(
     partials = mentions.map_batches(
         cross_and_partial, batch_format="pandas", batch_size=None
     )
-    return _merge_pair_partials(partials, pred, num_buckets, as_string)
+    return _merge_pair_partials(
+        partials, pred, num_buckets, as_string, disjoint=True, plan=merge_plan
+    )
+
+
+def triples_bucketed(
+    mentions,
+    subj_type: str,
+    obj_type: str,
+    pred: str,
+    num_buckets: int = 64,
+):
+    """Scale path for HOT pairs (SURVEY.md §7.3: cap/stream giant groups,
+    support counts + bucketed provenance).
+
+    When pair keys are pathologically hot (every pair co-occurring with a
+    large fraction of all conversations), materializing one row per pair
+    with its full conv list funnels the whole provenance payload through
+    single tasks. Here provenance stays BUCKETED — one bucket per input
+    block, buckets disjoint under the conv-partitioned layout — and is
+    written/consumed in parallel; the edge table carries EXACT global
+    support from a payload-free integer sum.
+
+    Returns ``(edges, provenance)``:
+      edges      — (subj_id, pred, obj_id, support) one row per pair
+      provenance — (subj_id, obj_id, bucket, conv_ids, n_convs) one row
+                   per (pair, input block), union of buckets == the full
+                   conv set of the pair
+    """
+
+    def cross_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["entity_type"].isin([subj_type, obj_type])][
+            ["conv_id", "entity_type", "entity_id"]
+        ].drop_duplicates()
+        src = b[b["entity_type"] == subj_type][["conv_id", "entity_id"]].rename(
+            columns={"entity_id": "subj_id"}
+        )
+        tgt = b[b["entity_type"] == obj_type][["conv_id", "entity_id"]].rename(
+            columns={"entity_id": "obj_id"}
+        )
+        m = src.merge(tgt, on="conv_id").drop_duplicates()
+        g = m.groupby(["subj_id", "obj_id"], sort=False)["conv_id"]
+        out = g.agg(lambda s: SET_SEP.join(sorted(set(s)))).reset_index()
+        out = out.rename(columns={"conv_id": "conv_ids"})
+        out["n_convs"] = (out["conv_ids"].str.count(SET_SEP) + 1).astype("int64")
+        return out
+
+    provenance = mentions.map_batches(
+        cross_and_partial, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    counts = provenance.select_columns(["subj_id", "obj_id", "n_convs"])
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["subj_id", "obj_id"], sort=False)["n_convs"].sum()
+        return g.reset_index()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj_id": combined["subj_id"],
+                "pred": pred,
+                "obj_id": combined["obj_id"],
+                "support": combined["n_convs"].astype("int64"),
+            }
+        )
+
+    edges = merge_partials(
+        counts, ["subj_id", "obj_id"], combine, finalize, num_buckets
+    )
+    return edges, provenance
 
 
 def adjacency_edges(triples_ds):

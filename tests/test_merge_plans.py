@@ -1,0 +1,126 @@
+"""Physical-plan equivalence: every merge plan (auto probe / lazy tree /
+hash shuffle) and the disjoint-concat combine must produce identical
+aggregate CONTENT (set membership + counts), and the sorted-union paths
+must be byte-identical regardless of parallelism."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from bio_re_with_entity_embeddings_ray.stages import aggregate, pairs
+
+
+def _mentions(num_blocks: int):
+    """Synthetic mentions with conversations contiguous per block."""
+    tables = []
+    for b in range(num_blocks):
+        rows = []
+        for c in range(3):
+            conv = f"c{b}_{c}"
+            rows += [
+                (conv, "op", f"OP:{(b + c) % 4}"),
+                (conv, "op", f"OP:{(b * c) % 4}"),
+                (conv, "res", f"RES:{c % 2}"),
+            ]
+        tables.append(
+            pa.table(
+                {
+                    "conv_id": pa.array([r[0] for r in rows]),
+                    "entity_type": pa.array([r[1] for r in rows]),
+                    "entity_id": pa.array([r[2] for r in rows]),
+                }
+            )
+        )
+    return rd.from_arrow(tables)
+
+
+def _norm_triples(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["conv_ids"] = df["conv_ids"].map(
+        lambda s: ";;;".join(sorted(s.split(";;;")))
+    )
+    return df.sort_values(["subj_id", "obj_id"]).reset_index(drop=True)[
+        sorted(df.columns)
+    ]
+
+
+def test_triples_plans_agree():
+    m = _mentions(6)
+    base = None
+    for kwargs in (
+        dict(conv_partitioned=False),
+        dict(conv_partitioned=True),
+        dict(conv_partitioned=True, merge_plan="tree"),
+        dict(conv_partitioned=True, merge_plan="shuffle"),
+    ):
+        out = _norm_triples(
+            pairs.triples(m, "op", "res", "applies_to", 8, **kwargs).to_pandas()
+        )
+        if base is None:
+            base = out
+        else:
+            pd.testing.assert_frame_equal(base, out)
+
+
+def test_entity2conv_disjoint_matches_union():
+    m = _mentions(5)
+    ref = aggregate.entity2conv(m, 8).to_pandas()
+    fast = aggregate.entity2conv(m, 8, disjoint_blocks=True).to_pandas()
+
+    def norm(df):
+        df = df.copy()
+        df["conv_ids"] = df["conv_ids"].map(
+            lambda s: ";;;".join(sorted(s.split(";;;")))
+        )
+        return df.sort_values("entity_id").reset_index(drop=True)[sorted(df.columns)]
+
+    pd.testing.assert_frame_equal(norm(ref), norm(fast))
+
+
+def test_sorted_union_is_parallelism_invariant():
+    # same rows, different block layouts -> byte-identical default output
+    a = aggregate.conv2entity(_mentions(4), 4).to_pandas()
+    b = aggregate.conv2entity(_mentions(4).repartition(2), 4).to_pandas()
+    a = a.sort_values("conv_id").reset_index(drop=True)
+    b = b.sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bucketed_provenance_paths_match_exact_support():
+    m = _mentions(6)
+    edges, prov = pairs.triples_bucketed(m, "op", "res", "applies_to", 8)
+    ref = pairs.triples(m, "op", "res", "applies_to", 8).to_pandas()
+    e = edges.to_pandas().sort_values(["subj_id", "obj_id"]).reset_index(drop=True)
+    r = (
+        ref[["subj_id", "pred", "obj_id", "support"]]
+        .sort_values(["subj_id", "obj_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(e[["subj_id", "pred", "obj_id", "support"]], r)
+    # union of provenance buckets == the full conv set per pair
+    pv = prov.to_pandas()
+    got = (
+        pv.groupby(["subj_id", "obj_id"])["conv_ids"]
+        .agg(lambda s: ";;;".join(sorted(";;;".join(s).split(";;;"))))
+        .reset_index()
+    )
+    want = ref[["subj_id", "obj_id", "conv_ids"]].copy()
+    want["conv_ids"] = want["conv_ids"].map(
+        lambda s: ";;;".join(sorted(s.split(";;;")))
+    )
+    merged = got.merge(want, on=["subj_id", "obj_id"], suffixes=("_b", "_r"))
+    assert (merged["conv_ids_b"] == merged["conv_ids_r"]).all()
+
+    nodes, nprov = aggregate.entity2conv_bucketed(m, 8)
+    nref = aggregate.entity2conv(m, 8).to_pandas()
+    n = nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
+    nr = (
+        nref[["entity_id", "entity_type", "support"]]
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        n[["entity_id", "entity_type", "support"]], nr
+    )
