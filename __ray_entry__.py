@@ -257,6 +257,39 @@ def _q_drop_duplicates(sf_dir: str):
     )
 
 
+def _q_pubtator_roundtrip(sf_dir: str):
+    """PubTator offset-format compat (SURVEY.md S1/M1): documents ->
+    PubTator text file -> byte-range sharded parse -> documents. The
+    fixture file is written driver-side (500 rows at test scale); at
+    production scale the reader consumes existing multi-GB files via
+    shard_offsets without any whole-file task."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from bio_re_with_entity_embeddings_ray.sources import pubtator_compat
+
+    quiet_ray_data()
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    fd, path = tempfile.mkstemp(suffix=".pubtator.txt", dir="/tmp")
+    with os.fdopen(fd, "w") as f:
+        for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            f.write(f"{doc_id}|t|{text}\n{doc_id}|a|\n\n")
+    ds = pubtator_compat.read_pubtator_sharded(path, shard_bytes=16_384)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "text": batch["text"],
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
 # ------------------------------------------------------------- relational
 
 
@@ -368,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "drop_duplicates": _q_drop_duplicates,
+        "pubtator_roundtrip": _q_pubtator_roundtrip,
         # --- relational / windowed (§2.2, §2.4-2.6 analogs) ---
         "rel_groupby_agg": _q_rel_groupby,
         "rel_top_orders": _q_rel_top_orders,
@@ -409,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": oracles.MEDIA_FRAMES,
         "media_resize": oracles.MEDIA_RESIZE,
         "drop_duplicates": oracles.DROP_DUPLICATES,
+        "pubtator_roundtrip": "SELECT doc_id, text FROM documents",
         "rel_groupby_agg": oracles.REL_GROUPBY_AGG,
         "rel_top_orders": oracles.REL_TOP_ORDERS,
         "rel_semi_join": oracles.REL_SEMI_JOIN,

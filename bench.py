@@ -242,6 +242,7 @@ def run_scaling() -> dict:
     tput_lo = lo["turns_per_sec"]
     tput_hi = hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (32 / 8)
+    hw = hw_ceiling()
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -252,7 +253,55 @@ def run_scaling() -> dict:
         "turns_per_sec_32": tput_hi,
         "turns": hi["turns"],
         "sf": hi["sf"],
+        # the same 8->32 ratio for EMBARRASSINGLY PARALLEL raw Ray tasks
+        # (no Ray Data, no shuffle, no barriers) running the identical
+        # per-batch kernels: this single-box sandbox shares one memory bus,
+        # so memory-bound batch work stops scaling before 32 cores. On a
+        # real 256-node cluster each node brings its own memory bandwidth,
+        # so the framework ratio (value / hw_ceiling) is the portable
+        # number; the raw ratio is reported unmodified above.
+        "hw_ceiling_eff": hw,
+        "framework_eff": round(min(1.0, eff / hw), 3) if hw else None,
     }
+
+
+def hw_ceiling() -> float:
+    """8->32 scaling of the headline per-batch kernels as plain Ray tasks.
+
+    Pure hardware measurement: zero framework machinery — if this is < 1.0
+    the box itself (memory bandwidth) cannot scale the workload linearly,
+    independent of any engine design."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=32,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    @ray.remote
+    def kernel(reps: int) -> None:
+        import pyarrow.parquet as pq
+
+        from bio_re_with_entity_embeddings_ray.sources.transcripts import derive_batch
+        from bio_re_with_entity_embeddings_ray.stages.mentions import MentionScanner
+
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        scanner = MentionScanner(include_tool=True)
+        for _ in range(reps):
+            scanner(derive_batch(tbl))
+
+    ray.get([kernel.remote(1) for _ in range(32)])  # warm imports + cache
+    tput = {}
+    for par in (8, 32):
+        t0 = time.perf_counter()
+        ray.get([kernel.remote(6) for _ in range(par)])
+        tput[par] = par * 6 / (time.perf_counter() - t0)
+    ray.shutdown()
+    return round((tput[32] / tput[8]) / (32 / 8), 3)
 
 
 if __name__ == "__main__":
