@@ -290,6 +290,32 @@ def _q_pubtator_roundtrip(sf_dir: str):
     return ds.map_batches(project, batch_format="pandas")
 
 
+def _q_pipeline_compose(sf_dir: str):
+    """Declarative step-descriptor pipeline (reference sklearn-Pipeline
+    analog, SURVEY.md §2.9) compiled onto one lazy Dataset chain."""
+    from bio_re_with_entity_embeddings_ray.pipelines import compose
+
+    quiet_ray_data()
+    return compose.run_config(
+        {
+            "input": {
+                "path": f"{sf_dir}/documents.parquet",
+                "columns": ["doc_id", "text"],
+            },
+            "steps": [
+                {"step": "not_null", "column": "text"},
+                {
+                    "step": "map_column",
+                    "source": "text",
+                    "target": "n_words",
+                    "fn": "word_count",
+                },
+                {"step": "rename_columns", "mapping": {"doc_id": "id"}},
+            ],
+        }
+    )
+
+
 # ------------------------------------------------------------- relational
 
 
@@ -402,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "drop_duplicates": _q_drop_duplicates,
         "pubtator_roundtrip": _q_pubtator_roundtrip,
+        "pipeline_compose": _q_pipeline_compose,
         # --- relational / windowed (§2.2, §2.4-2.6 analogs) ---
         "rel_groupby_agg": _q_rel_groupby,
         "rel_top_orders": _q_rel_top_orders,
@@ -444,6 +471,11 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": oracles.MEDIA_RESIZE,
         "drop_duplicates": oracles.DROP_DUPLICATES,
         "pubtator_roundtrip": "SELECT doc_id, text FROM documents",
+        "pipeline_compose": (
+            "SELECT doc_id AS id, text, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "
+            "FROM documents WHERE text IS NOT NULL"
+        ),
         "rel_groupby_agg": oracles.REL_GROUPBY_AGG,
         "rel_top_orders": oracles.REL_TOP_ORDERS,
         "rel_semi_join": oracles.REL_SEMI_JOIN,

@@ -1,0 +1,200 @@
+"""Declarative pipeline composition — the engine's user-extension surface.
+
+Reference analog (SURVEY.md §2.9): an sklearn ``Pipeline`` of
+DataFrame->DataFrame ``PipelineMixin`` steps with a static factory
+(/root/reference/utils/pandas_utils.py:13-38, used at
+prepare_entity_dataset.py:50-70) plus a JSON hyperparameter config
+(learn_embeddings.py:97-101). Here a pipeline is a list of STEP
+DESCRIPTORS (plain dicts, JSON-serializable) compiled onto one
+``ray.data.Dataset`` chain — every step stays lazy and streaming; nothing
+round-trips through driver memory.
+
+    pipe = compile_pipeline([
+        {"step": "not_null", "column": "text"},
+        {"step": "map_column", "source": "text", "target": "n_chars",
+         "fn": "len"},
+        {"step": "rename_columns", "mapping": {"doc_id": "id"}},
+    ])
+    out = pipe(ds)
+
+Register custom steps with :func:`register_step` (the analog of
+subclassing PipelineMixin).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from bio_re_with_entity_embeddings_ray.stages import aggregate
+
+StepFactory = Callable[..., Callable]  # params -> (ds -> ds)
+
+_REGISTRY: dict[str, StepFactory] = {}
+
+
+def register_step(name: str, factory: StepFactory) -> None:
+    """Add a step type to the registry (extension surface)."""
+    _REGISTRY[name] = factory
+
+
+def step_names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# --------------------------------------------------------------- built-ins
+# Named scalar fns usable from JSON configs (no eval of arbitrary code).
+_SAFE_FNS: dict[str, Callable] = {
+    "len": len,
+    "lower": str.lower,
+    "upper": str.upper,
+    "strip": str.strip,
+    "word_count": lambda s: len(s.split()),
+}
+
+
+def _not_null(column: str):
+    """reference NotNull, utils/pandas_utils.py:41-57"""
+
+    def apply(ds):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch[column].notnull()]
+
+        return ds.map_batches(fn, batch_format="pandas", batch_size=None)
+
+    return apply
+
+
+def _map_column(source: str, target: str, fn: str):
+    """reference MapFunction, utils/pandas_utils.py:60-71; ``fn`` is a
+    registered safe scalar name, not arbitrary code."""
+    scalar = _SAFE_FNS[fn]
+
+    def apply(ds):
+        def run(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy(deep=False)
+            batch[target] = batch[source].map(scalar)
+            return batch
+
+        return ds.map_batches(run, batch_format="pandas", batch_size=None)
+
+    return apply
+
+
+def _rename_columns(mapping: dict[str, str]):
+    """reference RenameColumns, utils/pandas_utils.py:73-83.
+
+    Implemented as an explicit pandas-batch rename rather than Ray's
+    ``Dataset.rename_columns``: the built-in renames with an Arrow-batch
+    UDF, and operator fusion after a pandas-format stage hands it a
+    pandas DataFrame (AttributeError in Ray 2.49)."""
+
+    def apply(ds):
+        def run(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns=mapping)
+
+        return ds.map_batches(run, batch_format="pandas", batch_size=None)
+
+    return apply
+
+
+def _select_columns(columns: list[str]):
+    def apply(ds):
+        return ds.select_columns(columns)
+
+    return apply
+
+
+def _ids_to_string(column: str, sep: str = aggregate.SET_SEP):
+    """reference set_to_string (sorted deterministic serialization),
+    prepare_entity_dataset.py:76-81"""
+
+    def apply(ds):
+        def run(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy(deep=False)
+            batch[column] = batch[column].map(lambda v: sep.join(sorted(set(v))))
+            return batch
+
+        return ds.map_batches(run, batch_format="pandas", batch_size=None)
+
+    return apply
+
+
+def _unique_values(column: str, num_buckets: int = 64):
+    """reference UniqueValueExtractor -> first-class distinct (A3)"""
+
+    def apply(ds):
+        return aggregate.unique_values(ds, column, num_buckets)
+
+    return apply
+
+
+def _drop_duplicates(subset: list[str], order_col: str, num_buckets: int = 64):
+    """reference DropDuplicates (A4)"""
+
+    def apply(ds):
+        return aggregate.drop_duplicates(ds, subset, order_col, num_buckets)
+
+    return apply
+
+
+def _write_parquet(path: str):
+    """terminal sink step; returns the dataset for further chaining/count"""
+
+    def apply(ds):
+        ds.write_parquet(path)
+        return ds
+
+    return apply
+
+
+for _name, _factory in {
+    "not_null": _not_null,
+    "map_column": _map_column,
+    "rename_columns": _rename_columns,
+    "select_columns": _select_columns,
+    "ids_to_string": _ids_to_string,
+    "unique_values": _unique_values,
+    "drop_duplicates": _drop_duplicates,
+    "write_parquet": _write_parquet,
+}.items():
+    register_step(_name, _factory)
+
+
+# --------------------------------------------------------------- compiler
+
+
+def compile_pipeline(steps: list[dict]) -> Callable:
+    """Compile step descriptors into one ``ds -> ds`` callable. Unknown
+    step names raise immediately (config-time, not run-time)."""
+    compiled = []
+    for desc in steps:
+        desc = dict(desc)
+        name = desc.pop("step")
+        if name not in _REGISTRY:
+            raise KeyError(
+                f"unknown pipeline step {name!r}; known: {step_names()}"
+            )
+        compiled.append(_REGISTRY[name](**desc))
+
+    def run(ds):
+        for apply in compiled:
+            ds = apply(ds)
+        return ds
+
+    return run
+
+
+def run_config(config: dict):
+    """Execute a full JSON-style pipeline config (the analog of the
+    reference's doc2vec JSON config + CLI entry points):
+
+        {"input": {"path": ".../documents.parquet", "columns": [...]},
+         "steps": [...], }
+    """
+    import ray.data as rd
+
+    inp = config["input"]
+    ds = rd.read_parquet(inp["path"], columns=inp.get("columns"))
+    return compile_pipeline(config["steps"])(ds)
