@@ -146,6 +146,11 @@ def _q_minhash_lsh(sf_dir: str):
     return dedup.minhash_lsh_pairs(_corpus(sf_dir), k=3, num_buckets=_NB)
 
 
+def _q_minhash_star(sf_dir: str):
+    quiet_ray_data()
+    return dedup.minhash_lsh_pairs(_corpus(sf_dir), k=3, num_buckets=_NB, star=True)
+
+
 def _q_simhash(sf_dir: str):
     quiet_ray_data()
     return dedup.simhash_fingerprints(_docs(sf_dir))
@@ -411,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_minhash_star": _q_minhash_star,
         "simhash": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         # --- similarity search ---
@@ -457,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_ngram_jaccard": oracles.NGRAM_JACCARD,
         "dedup_minhash_lsh": oracles.MINHASH_LSH,
+        "dedup_minhash_star": oracles.MINHASH_LSH_STAR,
         "simhash": oracles.SIMHASH,
         "embedding_near_dup": oracles.EMBEDDING_NEAR_DUP,
         "knn_topk": oracles.KNN_TOPK,

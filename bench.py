@@ -124,8 +124,13 @@ def bench_kg(sf_dir: str, replicas: int, num_buckets: int) -> dict:
 def bench_minhash(sf_dir: str, replicas: int, num_buckets: int) -> float:
     from bio_re_with_entity_embeddings_ray.stages.dedup import minhash_lsh_pairs
 
+    # star mode (spanning edges per LSH bucket): the bench corpus is
+    # replica-heavy, so all-pairs mode measures O(m^2) pair materialization
+    # of exact-dup clusters rather than LSH itself
     t0 = time.perf_counter()
-    minhash_lsh_pairs(_corpus(sf_dir, replicas), num_buckets=num_buckets).count()
+    minhash_lsh_pairs(
+        _corpus(sf_dir, replicas), num_buckets=num_buckets, star=True
+    ).count()
     return time.perf_counter() - t0
 
 

@@ -173,6 +173,19 @@ FROM __band a
 JOIN __band b ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id"""
 
+# star mode: spanning edges per LSH bucket (linear in bucket size)
+MINHASH_LSH_STAR = MINHASH_LSH.replace(
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM __band a
+JOIN __band b ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id""",
+    """SELECT DISTINCT m.mn AS doc_a, b.doc_id AS doc_b
+FROM __band b
+JOIN (SELECT band_id, band_key, min(doc_id) AS mn
+      FROM __band GROUP BY 1, 2) m
+  ON b.band_id = m.band_id AND b.band_key = m.band_key AND b.doc_id > m.mn""",
+)
+
 SIMHASH = """WITH __tok AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h

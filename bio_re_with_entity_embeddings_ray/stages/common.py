@@ -57,16 +57,27 @@ def bucketed_group_apply(
     join_key = keys[0] if len(keys) == 1 else None
 
     def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         batch = batch.copy(deep=False)
         if join_key is not None:
-            kv = batch[join_key].to_numpy()
+            batch[BUCKET_COL] = hash_bucket(batch[join_key].to_numpy(), num_buckets)
+        elif all(pd.api.types.is_numeric_dtype(batch[c]) for c in keys):
+            # numeric composite keys: combine per-column C-level hashes
+            # (pd.util.hash_array is process-stable) - no string building
+            acc = np.zeros(len(batch), dtype=np.uint64)
+            for c in keys:
+                acc = acc * np.uint64(1000003) + pd.util.hash_array(
+                    batch[c].to_numpy()
+                )
+            batch[BUCKET_COL] = (acc % np.uint64(num_buckets)).astype(np.int64)
         else:
             kv = (
                 batch[keys[0]].astype(str) + "\x00" + batch[keys[1]].astype(str)
             ).to_numpy()
             for extra in keys[2:]:
                 kv = kv + ("\x00" + batch[extra].astype(str)).to_numpy()
-        batch[BUCKET_COL] = hash_bucket(kv, num_buckets)
+            batch[BUCKET_COL] = hash_bucket(kv, num_buckets)
         return batch
 
     def _apply(group: pd.DataFrame) -> pd.DataFrame:

@@ -136,43 +136,90 @@ def ngram_jaccard_pairs(
     )
 
 
+# worker-process-resident cache text -> minhash signature (int64[NUM_PERMS]).
+# Dedup corpora repeat content by nature (that is why dedup exists), and Ray
+# reuses worker processes across tasks, so identical documents hash once per
+# worker. Bounded: beyond the cap we compute without inserting.
+_SIG_CACHE: dict[str, np.ndarray] = {}
+_SIG_CACHE_MAX = 200_000
+
+
+def _signature_of(text: str, k: int) -> np.ndarray:
+    sig = _SIG_CACHE.get(text)
+    if sig is None:
+        sh = list(set(shingles(text.split(" "), k)))
+        sig = minhash_signature(
+            md5int8_array(sh) if sh else np.array([], dtype=np.int64)
+        )
+        if len(_SIG_CACHE) < _SIG_CACHE_MAX:
+            _SIG_CACHE[text] = sig
+    return sig
+
+
 def minhash_bands(docs, k: int = 3):
-    """(doc_id, band_id, band_key) — LSH banding of MinHash signatures,
-    computed vectorized per batch (no shuffle)."""
+    """(doc_id, band_id, k0..k3) — LSH banding of MinHash signatures.
+
+    Band keys are NUMERIC columns (the four signature rows of the band),
+    not '-'-joined strings: the key never leaves the pipeline (the output
+    of LSH is candidate pairs), and numeric multi-column keys keep the
+    downstream bucket hash and groupby at C speed. The oracle's string
+    band_key (oracles.MINHASH_LSH) groups identically."""
     n_bands = MINHASH_NUM_PERMS // MINHASH_BAND_ROWS
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
-        ids: list[int] = []
-        bid: list[int] = []
-        key: list[str] = []
-        for did, txt in zip(batch["doc_id"], batch["text"]):
-            sh = list(set(shingles(txt.split(" "), k)))
-            sig = minhash_signature(md5int8_array(sh) if sh else np.array([], dtype=np.int64))
-            for b in range(n_bands):
-                part = sig[b * MINHASH_BAND_ROWS : (b + 1) * MINHASH_BAND_ROWS]
-                ids.append(did)
-                bid.append(b)
-                key.append("-".join(str(int(x)) for x in part))
-        return pd.DataFrame({"doc_id": ids, "band_id": bid, "band_key": key})
+        ids = batch["doc_id"].to_numpy()
+        sigs = np.stack([_signature_of(t, k) for t in batch["text"]])  # (n, P)
+        n = len(ids)
+        out = {
+            "doc_id": np.repeat(ids, n_bands),
+            "band_id": np.tile(np.arange(n_bands, dtype=np.int32), n),
+        }
+        # row-major interleave: rows grouped per doc, band_id varying fastest
+        for r in range(MINHASH_BAND_ROWS):
+            cols = sigs[:, r::MINHASH_BAND_ROWS]  # (n, n_bands): row r of each band
+            out[f"k{r}"] = cols.reshape(-1)
+        return pd.DataFrame(out)
 
-    return docs.map_batches(bands, batch_format="pandas")
+    return docs.map_batches(bands, batch_format="pandas", batch_size=None)
 
 
-def minhash_lsh_pairs(docs, k: int = 3, num_buckets: int = 64):
+_BAND_KEYS = ["band_id", "k0", "k1", "k2", "k3"]
+
+
+def minhash_lsh_pairs(docs, k: int = 3, num_buckets: int = 64, star: bool = False):
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    Returns distinct (doc_a, doc_b)."""
+    Returns distinct (doc_a, doc_b).
+
+    ``star=False``: ALL intra-bucket pairs — the textbook LSH candidate
+    set, but O(m^2) per bucket: a cluster of m exact/near duplicates
+    emits m*(m-1)/2 pairs, which at corpus scale turns heavy duplication
+    into a quadratic blowup of the candidate table.
+
+    ``star=True`` (the scale path): each bucket emits only SPANNING edges
+    (min doc_id, other) — linear in bucket size and preserving cluster
+    connectivity, which is all a downstream connected-components /
+    keep-one-per-cluster dedup needs. Both modes are oracle-checkable."""
     banded = minhash_bands(docs, k)
 
-    def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
-        m = bucket.merge(bucket, on=["band_id", "band_key"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return m[["doc_id_x", "doc_id_y"]].drop_duplicates().rename(
-            columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}
-        )
+    if star:
+        def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
+            mn = bucket.groupby(_BAND_KEYS, sort=False, as_index=False)[
+                "doc_id"
+            ].min().rename(columns={"doc_id": "doc_a"})
+            m = bucket.merge(mn, on=_BAND_KEYS)
+            m = m[m["doc_id"] > m["doc_a"]]
+            return m[["doc_a", "doc_id"]].drop_duplicates().rename(
+                columns={"doc_id": "doc_b"}
+            )
+    else:
+        def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
+            m = bucket.merge(bucket, on=_BAND_KEYS)
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            return m[["doc_id_x", "doc_id_y"]].drop_duplicates().rename(
+                columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}
+            )
 
-    partial = bucketed_group_apply(
-        banded, ["band_id", "band_key"], pairs_of, num_buckets
-    )
+    partial = bucketed_group_apply(banded, _BAND_KEYS, pairs_of, num_buckets)
 
     def distinct(bucket: pd.DataFrame) -> pd.DataFrame:
         return bucket.drop_duplicates()
