@@ -387,6 +387,19 @@ def _q_sessionize(sf_dir: str):
 # ----------------------------------------- model scoring (non-SQL; rows-only)
 
 
+def _q_learned_embeddings(sf_dir: str):
+    """Distributed hashed-PPMI embedding training over the doc2vec_input
+    table (reference learn_embeddings.py analog; non-SQL-expressible)."""
+    from bio_re_with_entity_embeddings_ray.stages import embedding_train
+
+    quiet_ray_data()
+    ts = derive_transcripts(sf_dir)
+    c2e = aggregate.conv2entity(mstage.scan_mentions(ts, include_tool=True), _NB)
+    convs = reassembly.conversations(ts, _NB)
+    d2v = kg.doc2vec_input(c2e, convs, num_partitions=_NB)
+    return embedding_train.train_entity_embeddings(d2v, dim=32, num_buckets=_NB)
+
+
 def _q_scored_triples(sf_dir: str):
     quiet_ray_data()
     trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
@@ -443,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _q_window_tumbling,
         "sessionize": _q_sessionize,
         # --- model scoring (non-SQL-expressible; rows-only checks) ---
+        "learned_embeddings": _q_learned_embeddings,
         "scored_triples": _q_scored_triples,
         "classified_triples": _q_classified_triples,
     }
@@ -489,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_rekey_union": oracles.REL_REKEY_UNION,
         "window_tumbling": oracles.WINDOW_TUMBLING,
         "sessionize": oracles.SESSIONIZE,
-        # scored_triples / classified_triples intentionally omitted:
-        # embedding-model scoring is not SQL-expressible (rows-only check).
+        # learned_embeddings / scored_triples / classified_triples
+        # intentionally omitted: embedding-model training and scoring are
+        # not SQL-expressible (rows-only checks).
     }
