@@ -136,6 +136,11 @@ def _q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_corpus(sf_dir), _NB)
 
 
+def _q_dedup_exact_hashed(sf_dir: str):
+    quiet_ray_data()
+    return dedup.exact_dedup_hashed(_corpus(sf_dir), _NB)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     quiet_ray_data()
     return dedup.ngram_jaccard_pairs(_corpus(sf_dir), k=3, threshold_bp=5000, num_buckets=_NB)
@@ -427,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_ids": _q_conv_ids,
         # --- dedup family ---
         "dedup_exact": _q_dedup_exact,
+        "dedup_exact_hashed": _q_dedup_exact_hashed,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_minhash_star": _q_minhash_star,
@@ -475,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "doc2vec_input": oracles.DOC2VEC_INPUT,
         "conv_ids": oracles.CONV_IDS,
         "dedup_exact": oracles.DEDUP_EXACT,
+        "dedup_exact_hashed": oracles.DEDUP_EXACT_HASHED,
         "dedup_ngram_jaccard": oracles.NGRAM_JACCARD,
         "dedup_minhash_lsh": oracles.MINHASH_LSH,
         "dedup_minhash_star": oracles.MINHASH_LSH_STAR,

@@ -130,6 +130,10 @@ __sh AS (
 DEDUP_EXACT = f"""WITH {_CORPUS}
 SELECT min(doc_id) AS doc_id, text FROM __corpus GROUP BY text"""
 
+DEDUP_EXACT_HASHED = f"""WITH {_CORPUS}
+SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
+FROM __corpus GROUP BY md5(text)"""
+
 NGRAM_JACCARD = f"""WITH {_SHINGLES},
 __sizes AS (SELECT doc_id, count(*) AS size FROM __sh GROUP BY doc_id),
 __pairs AS (

@@ -68,3 +68,57 @@ def flagship(sf_dir: str, num_buckets: int = 16):
 
     ts = derive_transcripts(sf_dir)
     return build_kg(ts, num_buckets=num_buckets)["triples"]
+
+
+def full_pipeline(
+    sf_dir: str,
+    out_dir: str,
+    num_buckets: int = 16,
+    embedding_dim: int = 32,
+) -> dict:
+    """The complete E1+E2+E3 composition (SURVEY.md §3) with Parquet
+    artifacts — what a reference user runs instead of the three CLI entry
+    points:
+
+    transcripts -> mentions -> {conv2entity, entity2conv, conversations}
+      -> doc2vec_input -> train_entity_embeddings (E3 analog)
+      -> score_triples (embedding lookup) -> ranked edges
+
+    Writes partitioned Parquet under ``out_dir``: nodes/, triples/,
+    doc2vec_input/, embeddings/, scored/. Returns the written row counts.
+    """
+    from bio_re_with_entity_embeddings_ray.sources.transcripts import derive_transcripts
+    from bio_re_with_entity_embeddings_ray.stages.embedding_train import (
+        train_entity_embeddings,
+    )
+    from bio_re_with_entity_embeddings_ray.stages.scoring import score_triples_with
+
+    ts = derive_transcripts(sf_dir)
+    tables = build_kg(ts, num_buckets=num_buckets)
+
+    counts: dict[str, int] = {}
+    d2v = doc2vec_input(
+        tables["conv2entity"], tables["conversations"], num_partitions=num_buckets
+    ).materialize()
+    emb = train_entity_embeddings(
+        d2v, dim=embedding_dim, num_buckets=num_buckets
+    ).materialize()
+    trip = tables["triples"].materialize()
+    scored = score_triples_with(trip, emb)
+
+    import shutil
+
+    for name, ds in {
+        "nodes": tables["entity2conv"],
+        "triples": trip,
+        "doc2vec_input": d2v,
+        "embeddings": emb,
+        "scored": scored,
+    }.items():
+        # write_parquet APPENDS into an existing directory; a re-run must
+        # replace the artifact, not double it (resumable partial-run skips
+        # are the checkpoint layer's job, state/checkpoint.py)
+        shutil.rmtree(f"{out_dir}/{name}", ignore_errors=True)
+        ds.write_parquet(f"{out_dir}/{name}")
+        counts[name] = ds.count()
+    return counts

@@ -49,6 +49,32 @@ def exact_dedup(docs, num_buckets: int = 64):
     return bucketed_group_apply(pre, "text", local_min, num_buckets)
 
 
+def exact_dedup_hashed(docs, num_buckets: int = 64):
+    """Scale variant of exact dedup: ship (md5(text), doc_id) through the
+    shuffle instead of full document text. Returns the KEEP SET
+    (doc_id, content_md5) — one row per distinct content, min doc_id —
+    which a second broadcast/semi-join pass turns into deduped documents.
+    At 100 TB this moves ~40 bytes/doc through the exchange instead of
+    whole documents."""
+    import hashlib
+
+    def local_min(batch: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        h = [md5(t.encode("utf-8")).hexdigest() for t in batch["text"]]
+        b = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "content_md5": h})
+        return b.groupby("content_md5", sort=False, as_index=False)["doc_id"].min()[
+            ["doc_id", "content_md5"]
+        ]
+
+    def merge_min(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby("content_md5", sort=False, as_index=False)[
+            "doc_id"
+        ].min()[["doc_id", "content_md5"]]
+
+    pre = docs.map_batches(local_min, batch_format="pandas", batch_size=None)
+    return bucketed_group_apply(pre, "content_md5", merge_min, num_buckets)
+
+
 def _doc_shingles(batch: pd.DataFrame, k: int) -> pd.DataFrame:
     ids: list[int] = []
     shs: list[str] = []

@@ -174,6 +174,49 @@ def score_triples(triples_ds, emb, concurrency=(1, 8), batch_size: int = 4096):
     )
 
 
+class TagTripleScorer:
+    """Actor-pool scorer over LEARNED tag-keyed embeddings
+    (stages/embedding_train.py output): score = cosine(subj_vec, obj_vec)
+    via direct tag lookup; unknown tags score 0. The distributed analog of
+    the reference's KeyedVectors similarity lookups
+    (examples/load_entity_embeddings.py:1-17)."""
+
+    def __init__(self, emb_ref):
+        import ray
+
+        tags, M = ray.get(emb_ref)
+        self.row_of = {t: i for i, t in enumerate(tags)}
+        self.M = M  # rows are L2-normalized by the trainer
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        if len(batch) == 0:
+            batch["score"] = pd.Series([], dtype="float32")
+            return batch
+        rs = [self.row_of.get(t, -1) for t in batch["subj_id"]]
+        ro = [self.row_of.get(t, -1) for t in batch["obj_id"]]
+        s = np.where(np.array(rs)[:, None] >= 0, self.M[rs], 0.0)
+        o = np.where(np.array(ro)[:, None] >= 0, self.M[ro], 0.0)
+        batch["score"] = np.einsum("ij,ij->i", s, o).astype(np.float32)
+        return batch
+
+
+def score_triples_with(triples_ds, emb_ds, concurrency=(1, 8), batch_size: int = 4096):
+    """score_triples over a LEARNED (tag, vector) embeddings Dataset."""
+    import ray
+
+    df = emb_ds.to_pandas()
+    M = np.stack([np.asarray(v, dtype=np.float32) for v in df["vector"]])
+    ref = ray.put((list(df["tag"]), M))
+    return triples_ds.map_batches(
+        TagTripleScorer,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class LogisticRelationClassifier:
     """Embedding-based relation classifier (the paper's downstream scorer):
     sigmoid(w . [subj_vec ++ obj_vec] + b) per predicate, weights held in the

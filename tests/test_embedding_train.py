@@ -59,3 +59,22 @@ def test_export_roundtrip(tmp_path):
     back = rd.read_parquet(path).to_pandas()
     assert set(back["tag"]) == {"A", "B", "C"}
     assert all(len(v) == 8 for v in back["vector"])
+
+
+def test_full_pipeline_artifacts(tmp_path):
+    """E1+E2+E3 composition writes all five Parquet artifact tables and the
+    learned-embedding scorer attaches scores to every triple."""
+    from bio_re_with_entity_embeddings_ray.pipelines import kg
+
+    counts = kg.full_pipeline(
+        "/root/testdata/sf0.001", str(tmp_path / "kg"), num_buckets=4, embedding_dim=16
+    )
+    assert set(counts) == {"nodes", "triples", "doc2vec_input", "embeddings", "scored"}
+    assert counts["scored"] == counts["triples"] > 0
+    assert counts["embeddings"] > 0
+    scored = rd.read_parquet(str(tmp_path / "kg" / "scored")).to_pandas()
+    assert "score" in scored.columns
+    # cosine over nonnegative PPMI vectors: never negative, and entity
+    # pairs sharing document vocabulary score positive for most pairs
+    assert (scored["score"] >= 0).all()
+    assert (scored["score"] > 0).mean() > 0.5
