@@ -81,6 +81,13 @@ def _q_triples(sf_dir: str):
     return pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
 
 
+def _q_triples_tool(sf_dir: str):
+    """Second type pair through the PREDICATES registry (tool -> res,
+    'touches'): tool mentions come from the pre-linked tool column."""
+    quiet_ray_data()
+    return pstage.triples(_all_mentions(sf_dir), "tool", "res", "touches", _NB)
+
+
 def _q_adjacency_edges(sf_dir: str):
     quiet_ray_data()
     trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
@@ -427,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv2entity": _q_conv2entity,
         "entity2conv": _q_entity2conv,
         "triples": _q_triples,
+        "triples_tool": _q_triples_tool,
         "adjacency_edges": _q_adjacency_edges,
         "doc2vec_input": _q_doc2vec_input,
         "conv_ids": _q_conv_ids,
@@ -477,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "conv2entity": oracles.CONV2ENTITY,
         "entity2conv": oracles.ENTITY2CONV,
         "triples": oracles.TRIPLES,
+        "triples_tool": oracles.TRIPLES_TOOL,
         "adjacency_edges": oracles.ADJACENCY_EDGES,
         "doc2vec_input": oracles.DOC2VEC_INPUT,
         "conv_ids": oracles.CONV_IDS,

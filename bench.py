@@ -161,7 +161,7 @@ def run_once() -> dict:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "64"))
+    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "128"))
     ray.init(
         address="local",
         num_cpus=num_cpus,

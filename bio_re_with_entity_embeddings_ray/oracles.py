@@ -88,6 +88,16 @@ __triples AS (
 
 TRIPLES = f"WITH {_PAIR_CTE} SELECT subj_id, pred, obj_id, conv_ids, support FROM __triples"
 
+# second type pair: pre-linked tool mentions x resources, predicate 'touches'
+TRIPLES_TOOL = f"""WITH {kg_cte()},
+__src AS (SELECT DISTINCT conv_id, entity_id AS subj_id FROM __mentions WHERE entity_type = 'tool'),
+__tgt AS (SELECT DISTINCT conv_id, entity_id AS obj_id FROM __mentions WHERE entity_type = 'res'),
+__cp AS (SELECT s.conv_id, s.subj_id, t.obj_id FROM __src s JOIN __tgt t ON s.conv_id = t.conv_id)
+SELECT subj_id, 'touches' AS pred, obj_id,
+       string_agg(conv_id, ';;;' ORDER BY conv_id) AS conv_ids,
+       count(*) AS support
+FROM __cp GROUP BY subj_id, obj_id"""
+
 ADJACENCY_EDGES = f"""WITH {_PAIR_CTE}
 SELECT subj_id AS entity_id, obj_id AS neighbor_id, pred, support AS weight FROM __triples
 UNION ALL
