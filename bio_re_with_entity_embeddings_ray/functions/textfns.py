@@ -44,13 +44,14 @@ def tokenize(text: str) -> list[str]:
 
 
 def shingles(tokens: list[str], k: int = 3) -> list[str]:
-    """k-token shingles, ' '-joined.
+    """k-token shingles, ' '-joined. Documents with fewer than k tokens
+    yield NO shingles — exactly the SQL equivalent's behavior
+    (oracles._SHINGLES: range(1, len(parts) - 1) is empty for len < 3),
+    so engine and oracle agree on short documents.
 
     SQL: parts[i] || ' ' || parts[i+1] || ' ' || parts[i+2] for
     i in range(1, len(parts)-k+2) (1-based list indexing).
     """
-    if len(tokens) < k:
-        return [" ".join(tokens)] if tokens else []
     return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
 
 

@@ -120,5 +120,11 @@ def full_pipeline(
         # are the checkpoint layer's job, state/checkpoint.py)
         shutil.rmtree(f"{out_dir}/{name}", ignore_errors=True)
         ds.write_parquet(f"{out_dir}/{name}")
-        counts[name] = ds.count()
+        # count from the written files (metadata-only scan) — ds.count()
+        # would re-execute the whole lazy DAG a second time
+        import pyarrow.dataset as pads
+
+        counts[name] = pads.dataset(
+            f"{out_dir}/{name}", format="parquet"
+        ).count_rows()
     return counts

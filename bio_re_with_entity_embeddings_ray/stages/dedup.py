@@ -166,19 +166,22 @@ def ngram_jaccard_pairs(
 # Dedup corpora repeat content by nature (that is why dedup exists), and Ray
 # reuses worker processes across tasks, so identical documents hash once per
 # worker. Bounded: beyond the cap we compute without inserting.
-_SIG_CACHE: dict[str, np.ndarray] = {}
+_SIG_CACHE: dict[tuple[int, str], np.ndarray] = {}
 _SIG_CACHE_MAX = 200_000
 
 
-def _signature_of(text: str, k: int) -> np.ndarray:
-    sig = _SIG_CACHE.get(text)
+def _signature_of(text: str, k: int) -> np.ndarray | None:
+    """Signature, or None when the doc yields no shingles (< k tokens) —
+    matching the oracle, which emits no rows for such docs."""
+    ck = (k, text)
+    sig = _SIG_CACHE.get(ck)
     if sig is None:
         sh = list(set(shingles(text.split(" "), k)))
-        sig = minhash_signature(
-            md5int8_array(sh) if sh else np.array([], dtype=np.int64)
-        )
+        if not sh:
+            return None
+        sig = minhash_signature(md5int8_array(sh))
         if len(_SIG_CACHE) < _SIG_CACHE_MAX:
-            _SIG_CACHE[text] = sig
+            _SIG_CACHE[ck] = sig
     return sig
 
 
@@ -193,8 +196,23 @@ def minhash_bands(docs, k: int = 3):
     n_bands = MINHASH_NUM_PERMS // MINHASH_BAND_ROWS
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["doc_id"].to_numpy()
-        sigs = np.stack([_signature_of(t, k) for t in batch["text"]])  # (n, P)
+        pairs = [
+            (i, s)
+            for i, s in (
+                (i, _signature_of(t, k)) for i, t in enumerate(batch["text"])
+            )
+            if s is not None  # sub-k-token docs emit no bands (oracle semantics)
+        ]
+        ids = batch["doc_id"].to_numpy()[[i for i, _ in pairs]]
+        if not pairs:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "band_id": pd.Series([], dtype="int32"),
+                    **{f"k{r}": pd.Series([], dtype="int64") for r in range(MINHASH_BAND_ROWS)},
+                }
+            )
+        sigs = np.stack([s for _, s in pairs])  # (n, P)
         n = len(ids)
         out = {
             "doc_id": np.repeat(ids, n_bands),

@@ -48,6 +48,33 @@ _EMPTY = pa.table(
 )
 
 
+def promote_tool_table(batch: pa.Table) -> pa.Table | None:
+    """Vectorized promotion of the pre-linked ``tool`` column to mention
+    rows (entity_type='tool', id 'TOOL:'+upper, sentinel -1 offsets).
+    Returns None when the batch has no tool values. Single definition
+    shared by the token scan path and :func:`tool_mentions`."""
+    import pyarrow.compute as pc
+
+    mask = pc.and_(pc.is_valid(batch["tool"]), pc.not_equal(batch["tool"], ""))
+    sel = batch.filter(mask)
+    if sel.num_rows == 0:
+        return None
+    tool_up = pc.utf8_upper(sel["tool"])
+    return pa.table(
+        {
+            "conv_id": sel["conv_id"],
+            "turn_idx": sel["turn_idx"],
+            "entity_type": pa.array(["tool"] * sel.num_rows, pa.string()),
+            "entity_id": pc.binary_join_element_wise(
+                pa.array(["TOOL:"] * sel.num_rows), tool_up, ""
+            ),
+            "mention_text": sel["tool"],
+            "start": pa.array([-1] * sel.num_rows, pa.int32()),
+            "end": pa.array([-1] * sel.num_rows, pa.int32()),
+        }
+    )
+
+
 class MentionScanner:
     """Actor-pool gazetteer scanner.
 
@@ -112,7 +139,10 @@ class MentionScanner:
     def _normalize(self, entity_type: str, raw_id: str) -> list[str]:
         fn = self.normalizers.get(entity_type)
         if fn is None:
-            return normalize.normalize_default(raw_id)
+            # same fallback chain as AnnotationVerifier: the per-type
+            # registry first (chemical/gene/mutation/... rules), default
+            # only for unregistered types
+            fn = normalize.get(entity_type)
         return fn(raw_id)
 
     def _scan_token(self, batch: pa.Table) -> pa.Table:
@@ -168,29 +198,8 @@ class MentionScanner:
             }
         )
         if self.include_tool:
-            import pyarrow.compute as pc2
-
-            mask = pc2.and_(
-                pc2.is_valid(batch["tool"]), pc2.not_equal(batch["tool"], "")
-            )
-            sel = batch.filter(mask)
-            if sel.num_rows:
-                tool_up = pc2.utf8_upper(sel["tool"])
-                tool_tbl = pa.table(
-                    {
-                        "conv_id": sel["conv_id"],
-                        "turn_idx": sel["turn_idx"],
-                        "entity_type": pa.array(
-                            ["tool"] * sel.num_rows, pa.string()
-                        ),
-                        "entity_id": pc2.binary_join_element_wise(
-                            pa.array(["TOOL:"] * sel.num_rows), tool_up, ""
-                        ),
-                        "mention_text": sel["tool"],
-                        "start": pa.array([-1] * sel.num_rows, pa.int32()),
-                        "end": pa.array([-1] * sel.num_rows, pa.int32()),
-                    }
-                )
+            tool_tbl = promote_tool_table(batch)
+            if tool_tbl is not None:
                 out = pa.concat_tables([out, tool_tbl]).combine_chunks()
         return out
 
@@ -299,26 +308,8 @@ def tool_mentions(transcripts):
     """Promote the pre-linked ``tool`` column to mentions (vectorized)."""
 
     def _promote(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.and_(pc.is_valid(batch["tool"]), pc.not_equal(batch["tool"], ""))
-        sel = batch.filter(mask)
-        if sel.num_rows == 0:
-            return _EMPTY
-        tool_up = pc.utf8_upper(sel["tool"])
-        return pa.table(
-            {
-                "conv_id": sel["conv_id"],
-                "turn_idx": sel["turn_idx"],
-                "entity_type": pa.array(["tool"] * sel.num_rows, pa.string()),
-                "entity_id": pc.binary_join_element_wise(
-                    pa.array(["TOOL:"] * sel.num_rows), tool_up, ""
-                ),
-                "mention_text": sel["tool"],
-                "start": pa.array([-1] * sel.num_rows, pa.int32()),
-                "end": pa.array([-1] * sel.num_rows, pa.int32()),
-            }
-        )
+        out = promote_tool_table(batch)
+        return out if out is not None else _EMPTY
 
     return transcripts.map_batches(_promote, batch_format="pyarrow")
 

@@ -29,6 +29,35 @@ from bio_re_with_entity_embeddings_ray.stages.common import (
 )
 
 
+def _cross_and_pack(
+    batch: pd.DataFrame,
+    subj_type: str,
+    obj_type: str,
+    out_col: str,
+    with_counts: bool = False,
+) -> pd.DataFrame:
+    """Per-conversation cross product of distinct subj x obj entities in
+    one frame, packed to one ';;;'-sorted conv set per (subj, obj) — the
+    single definition behind the general, conv-partitioned and bucketed
+    paths (reference cross product, prepare_pair_dataset.py:37)."""
+    b = batch[batch["entity_type"].isin([subj_type, obj_type])][
+        ["conv_id", "entity_type", "entity_id"]
+    ].drop_duplicates()
+    src = b[b["entity_type"] == subj_type][["conv_id", "entity_id"]].rename(
+        columns={"entity_id": "subj_id"}
+    )
+    tgt = b[b["entity_type"] == obj_type][["conv_id", "entity_id"]].rename(
+        columns={"entity_id": "obj_id"}
+    )
+    m = src.merge(tgt, on="conv_id")
+    g = m.groupby(["subj_id", "obj_id"], sort=False)["conv_id"]
+    out = g.agg(lambda s: SET_SEP.join(sorted(set(s)))).reset_index()
+    out = out.rename(columns={"conv_id": out_col})
+    if with_counts:
+        out["n_convs"] = (out[out_col].str.count(SET_SEP) + 1).astype("int64")
+    return out
+
+
 def candidate_pairs(
     mentions,
     subj_type: str,
@@ -149,19 +178,7 @@ def triples(
         return aggregate_pairs(cand, pred, num_buckets, as_string)
 
     def cross_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[batch["entity_type"].isin([subj_type, obj_type])][
-            ["conv_id", "entity_type", "entity_id"]
-        ].drop_duplicates()
-        src = b[b["entity_type"] == subj_type][["conv_id", "entity_id"]].rename(
-            columns={"entity_id": "subj_id"}
-        )
-        tgt = b[b["entity_type"] == obj_type][["conv_id", "entity_id"]].rename(
-            columns={"entity_id": "obj_id"}
-        )
-        m = src.merge(tgt, on="conv_id")
-        g = m.groupby(["subj_id", "obj_id"], sort=False)["conv_id"]
-        out = g.agg(lambda s: SET_SEP.join(sorted(set(s)))).reset_index()
-        return out.rename(columns={"conv_id": "convs_partial"})
+        return _cross_and_pack(batch, subj_type, obj_type, "convs_partial")
 
     # batch = whole block so a conversation is never split across batches
     partials = mentions.map_batches(
@@ -192,27 +209,14 @@ def triples_bucketed(
 
     Returns ``(edges, provenance)``:
       edges      — (subj_id, pred, obj_id, support) one row per pair
-      provenance — (subj_id, obj_id, bucket, conv_ids, n_convs) one row
-                   per (pair, input block), union of buckets == the full
-                   conv set of the pair
+      provenance — (subj_id, obj_id, conv_ids, n_convs), one row per
+                   (pair, input block); the rows for a pair are its
+                   disjoint provenance buckets, and their union is the
+                   pair's full conv set
     """
 
     def cross_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[batch["entity_type"].isin([subj_type, obj_type])][
-            ["conv_id", "entity_type", "entity_id"]
-        ].drop_duplicates()
-        src = b[b["entity_type"] == subj_type][["conv_id", "entity_id"]].rename(
-            columns={"entity_id": "subj_id"}
-        )
-        tgt = b[b["entity_type"] == obj_type][["conv_id", "entity_id"]].rename(
-            columns={"entity_id": "obj_id"}
-        )
-        m = src.merge(tgt, on="conv_id").drop_duplicates()
-        g = m.groupby(["subj_id", "obj_id"], sort=False)["conv_id"]
-        out = g.agg(lambda s: SET_SEP.join(sorted(set(s)))).reset_index()
-        out = out.rename(columns={"conv_id": "conv_ids"})
-        out["n_convs"] = (out["conv_ids"].str.count(SET_SEP) + 1).astype("int64")
-        return out
+        return _cross_and_pack(batch, subj_type, obj_type, "conv_ids", with_counts=True)
 
     provenance = mentions.map_batches(
         cross_and_partial, batch_format="pandas", batch_size=None

@@ -51,13 +51,12 @@ def knn_topk(emb, n_queries: int = 5, k: int = 10, num_buckets: int = 16):
             rows = []
             for qi in range(len(self.qids)):
                 s = sims[qi]
-                mask = ids != self.qids[qi]
-                cand_idx = np.where(mask)[0]
-                if len(cand_idx) > k:
-                    part = cand_idx[np.argpartition(-s[cand_idx], k)[: k + 1]]
-                else:
-                    part = cand_idx
-                for c in part:
+                cand_idx = np.where(ids != self.qids[qi])[0]
+                # exact per-batch cut with the oracle's tie order
+                # (sim DESC, nid ASC) — an argpartition cut can drop a
+                # sim-tied candidate with a smaller nid
+                order = np.lexsort((ids[cand_idx], -s[cand_idx]))
+                for c in cand_idx[order[:k]]:
                     rows.append((int(self.qids[qi]), int(ids[c]), float(s[c])))
             return pd.DataFrame(rows, columns=["qid", "nid", "sim"])
 
@@ -101,7 +100,11 @@ def ivf_assign(emb, n_centroids: int = 8):
     scale path for ANN: search only within the query's centroid bucket."""
     import ray
 
-    cpdf = emb.filter(lambda r: r["vec_id"] < n_centroids).to_pandas()
+    cpdf = (
+        emb.filter(lambda r: r["vec_id"] < n_centroids)
+        .to_pandas()
+        .sort_values("vec_id")  # argmax keeps the FIRST max: ties -> lowest id
+    )
     cids, C = _load_matrix(cpdf)
     cref = ray.put((cids, C))
 
@@ -142,11 +145,11 @@ class TripleScorer:
 
         self.ids, self.M = ray.get(emb_ref)
         self.n = len(self.ids)
-        self.row_of = {int(v): i for i, v in enumerate(self.ids)}
 
     def _rows(self, entity_ids: pd.Series) -> np.ndarray:
-        vec_ids = md5int8_array(entity_ids.tolist()) % self.n
-        return np.array([self.row_of[int(v)] for v in vec_ids])
+        # deterministic assignment: md5 % n is a row POSITION into the
+        # matrix (valid for any vec_id space, dense or not)
+        return md5int8_array(entity_ids.tolist()) % self.n
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -227,7 +230,6 @@ class LogisticRelationClassifier:
 
         self.ids, self.M = ray.get(emb_ref)
         self.n = len(self.ids)
-        self.row_of = {int(v): i for i, v in enumerate(self.ids)}
         rng = np.random.RandomState(seed)
         self.w = rng.normal(0, 0.3, size=2 * dim)
         self.b = 0.0
@@ -238,8 +240,8 @@ class LogisticRelationClassifier:
             return batch
         rows_s = md5int8_array(batch["subj_id"].tolist()) % self.n
         rows_o = md5int8_array(batch["obj_id"].tolist()) % self.n
-        s = self.M[[self.row_of[int(v)] for v in rows_s]]
-        o = self.M[[self.row_of[int(v)] for v in rows_o]]
+        s = self.M[rows_s]
+        o = self.M[rows_o]
         z = np.concatenate([s, o], axis=1) @ self.w + self.b
         batch = batch.copy(deep=False)
         batch["prob"] = 1.0 / (1.0 + np.exp(-z))

@@ -71,9 +71,15 @@ def run_checkpointed(
         if not force and os.path.exists(lp):
             with open(lp) as f:
                 rec = json.load(f)
-            if rec.get("input_fingerprint") == input_fingerprint and os.path.isdir(
-                final_dir
+            if (
+                rec.get("input_fingerprint") == input_fingerprint
+                and rec.get("num_partitions") == num_partitions
+                and rec.get("key") == key
+                and os.path.isdir(final_dir)
             ):
+                # partition layout must match too: a part file written
+                # under a different num_partitions/key holds a different
+                # slice of the keyspace; reusing it silently loses rows
                 rec["reused"] = True
                 records.append(rec)
                 continue

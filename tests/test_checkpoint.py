@@ -101,3 +101,29 @@ def test_lineage_records_have_metrics(fixture_dir, tmp_path):
         assert os.path.isdir(f"{out}/part={r['partition']:05d}")
         with open(f"{out}/_lineage/part-{r['partition']:05d}.json") as f:
             assert json.load(f)["rows"] == r["rows"]
+
+def test_changed_partition_layout_invalidates_reuse(fixture_dir, tmp_path):
+    """A re-run with a different num_partitions (or key) must NOT reuse
+    part files written under the old layout — each old part holds a
+    different keyspace slice, and reusing them silently drops rows."""
+    out = str(tmp_path / "ckpt_layout")
+    factory = _make_input(fixture_dir)
+
+    first = checkpoint.run_checkpointed(
+        factory, _stage, out, num_partitions=4, input_fingerprint="fp1"
+    )
+    assert all(not r["reused"] for r in first)
+    total4 = sum(r["rows"] for r in first)
+
+    again = checkpoint.run_checkpointed(
+        factory, _stage, out, num_partitions=2, input_fingerprint="fp1"
+    )
+    # same fingerprint, different layout: everything recomputed, nothing reused
+    assert all(not r["reused"] for r in again)
+    assert sum(r["rows"] for r in again) == total4
+
+    # and the matching layout IS reused on the next run
+    third = checkpoint.run_checkpointed(
+        factory, _stage, out, num_partitions=2, input_fingerprint="fp1"
+    )
+    assert all(r["reused"] for r in third)
