@@ -33,9 +33,76 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
+PATHO_QUERIES = {
+    # doc/embedding-based queries runnable over the pathological corpus
+    # (TPC-H- and transcript-derived queries need their own tables)
+    "dedup_exact", "dedup_exact_hashed", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_minhash_star", "simhash",
+    "embedding_near_dup", "knn_topk", "ivf_assign",
+    "token_counts", "quality_scores", "lang_id", "fingerprints",
+    "media_stats", "media_features", "media_frames", "media_resize",
+    "pubtator_roundtrip",
+}
+
+
+def write_pathological(dirpath: str) -> None:
+    """Adversarial documents + embeddings parquet: the cases the standard
+    corpus lacks — sub-shingle-size docs, exact duplicate texts, repeated
+    tokens, unicode, similarity TIES (duplicate vectors), 1-doc-long
+    shingles — so oracle comparisons exercise edge semantics, not just the
+    happy path."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirpath, exist_ok=True)
+    texts = [
+        "one",                               # 1 token (< k shingles)
+        "one two",                           # 2 tokens
+        "one two",                           # exact duplicate of the above
+        "a a a a a a",                       # single repeated token
+        "alpha beta gamma delta epsilon",    # normal
+        "alpha beta gamma delta epsilon",    # exact dup of normal
+        "alpha beta gamma delta zeta",       # near dup (1 token off)
+        "uno dos tres cuatro cinco seis",
+        "ümläut töken ümläut stream",  # unicode
+        "x y z w v u t s r q p o n m",       # long-ish
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        f"{dirpath}/documents.parquet",
+    )
+    rng = np.random.RandomState(42)
+    vecs = [rng.randn(8) for _ in range(10)]
+    vecs[3] = vecs[1].copy()   # exact tie with vec 1
+    vecs[7] = vecs[2].copy()   # exact tie with vec 2
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(10)), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            }
+        ),
+        f"{dirpath}/embeddings.parquet",
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--patho"]
+    patho = "--patho" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if patho:
+        sf_dir = "/tmp/patho_sf"
+        write_pathological(sf_dir)
+        only = (only or PATHO_QUERIES) & PATHO_QUERIES
     import ray
 
     if not ray.is_initialized():
@@ -48,11 +115,14 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
 
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
 
     qs, os_ = e.queries(), e.oracle_sql()
     failures = 0
