@@ -41,6 +41,11 @@ def _sharded(sf_dir: str, replicas: int, emit):
     tbl = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).replace_schema_metadata(None)
+    max_id = pc.max(tbl["doc_id"]).as_py()
+    if max_id >= 10_000_000:
+        raise ValueError(
+            f"replica doc_id stride (10M) would collide: corpus max doc_id {max_id}"
+        )
     ref = ray.put(tbl)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     chunks = max(1, (4 * ncpu + replicas - 1) // replicas)
@@ -98,14 +103,21 @@ def bench_kg(sf_dir: str, replicas: int, num_buckets: int) -> dict:
     # The two wide consumers run CONCURRENTLY so fixed barriers overlap.
     with ThreadPoolExecutor(2) as pool:
 
+        # assume_unsplit_blocks: each (replica, chunk) work item emits one
+        # ~15 MB mention block, far below target_max_block_size (128 MB),
+        # so Ray never splits a conversation across blocks here; the safe
+        # boundary-exact default costs two extra sub-pipelines per consumer
         def run_triples():
             edges, prov = triples_bucketed(
-                mentions, "op", "res", "applies_to", num_buckets
+                mentions, "op", "res", "applies_to", num_buckets,
+                assume_unsplit_blocks=True,
             )
             return edges.count(), prov.count()
 
         def run_nodes():
-            nodes, prov = entity2conv_bucketed(mentions, num_buckets)
+            nodes, prov = entity2conv_bucketed(
+                mentions, num_buckets, assume_unsplit_blocks=True
+            )
             return nodes.count(), prov.count()
 
         f_triples = pool.submit(run_triples)

@@ -269,7 +269,8 @@ __tok AS (
   SELECT doc_id, unnest(parts) AS w, unnest(range(1, 1 + len(parts))) AS i FROM __p
 )
 SELECT doc_id,
-       CAST(SUM(CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) * i) AS BIGINT) AS fingerprint
+       CAST(SUM(CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) * i)
+            % 2305843009213693951 AS BIGINT) AS fingerprint
 FROM __tok GROUP BY doc_id"""
 
 # ------------------------------------------------------------- relational

@@ -136,38 +136,86 @@ def entity2conv(
     )
 
 
-def entity2conv_bucketed(mentions, num_buckets: int = 64):
+def entity2conv_bucketed(
+    mentions, num_buckets: int = 64, assume_unsplit_blocks: bool = False
+):
     """Scale path for hot entities: bucketed provenance + payload-free
-    exact support (same design as pairs.triples_bucketed — SURVEY.md §7.3).
-    Requires the conv-partitioned layout (disjoint buckets).
+    exact support (same design and block-split robustness as
+    pairs.triples_bucketed — boundary convs run through the exact path,
+    interior convs pack per block; the sources are disjoint).
 
     Returns ``(nodes, provenance)``: nodes = (entity_id, entity_type,
-    support); provenance = one (entity, input-block) row with its conv
-    bucket."""
+    support); provenance = (entity_id, entity_type, conv_ids, n_convs)
+    disjoint buckets whose union is each entity's full conv set."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[["entity_id", "entity_type", "conv_id"]].drop_duplicates()
-        g = b.groupby(["entity_id", "entity_type"], sort=False)["conv_id"]
+    def interior_pack(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "entity_id": pd.Series([], dtype="object"),
+                    "entity_type": pd.Series([], dtype="object"),
+                    "conv_ids": pd.Series([], dtype="object"),
+                    "n_convs": pd.Series([], dtype="int64"),
+                }
+            )
+        if assume_unsplit_blocks:
+            inner = batch[["entity_id", "entity_type", "conv_id"]].drop_duplicates()
+        else:
+            boundary = {batch["conv_id"].iloc[0], batch["conv_id"].iloc[-1]}
+            inner = batch[~batch["conv_id"].isin(boundary)][
+                ["entity_id", "entity_type", "conv_id"]
+            ].drop_duplicates()
+        g = inner.groupby(["entity_id", "entity_type"], sort=False)["conv_id"]
         out = g.agg(_pack).reset_index().rename(columns={"conv_id": "conv_ids"})
         out["n_convs"] = (out["conv_ids"].str.count(SET_SEP) + 1).astype("int64")
         return out
 
-    provenance = mentions.map_batches(
-        partial, batch_format="pandas", batch_size=None
-    ).materialize()
-    counts = provenance.select_columns(["entity_id", "entity_type", "n_convs"])
+    def boundary_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch[["entity_id", "entity_type", "conv_id"]]
+        boundary = {batch["conv_id"].iloc[0], batch["conv_id"].iloc[-1]}
+        return batch[batch["conv_id"].isin(boundary)][
+            ["entity_id", "entity_type", "conv_id"]
+        ]
 
+    interior = mentions.map_batches(
+        interior_pack, batch_format="pandas", batch_size=None
+    )
+    if assume_unsplit_blocks:
+        provenance = interior.materialize()
+        counts = provenance.select_columns(["entity_id", "entity_type", "n_convs"])
+        return _merge_entity_counts(counts, num_buckets), provenance
+    bnd = mentions.map_batches(boundary_rows, batch_format="pandas", batch_size=None)
+    bnd_prov = entity2conv(bnd, num_buckets).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "entity_id": b["entity_id"],
+                "entity_type": b["entity_type"],
+                "conv_ids": b["conv_ids"],
+                "n_convs": b["support"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    provenance = interior.union(bnd_prov).materialize()
+    counts = provenance.select_columns(["entity_id", "entity_type", "n_convs"])
+    return _merge_entity_counts(counts, num_buckets), provenance
+
+
+def _merge_entity_counts(counts, num_buckets: int):
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(["entity_id", "entity_type"], sort=False)["n_convs"].sum()
         return g.reset_index()
 
     def finalize(combined: pd.DataFrame) -> pd.DataFrame:
-        return combined.rename(columns={"n_convs": "support"})
+        out = combined[["entity_id", "entity_type"]].copy()
+        out["support"] = combined["n_convs"].astype("int64")
+        return out
 
-    nodes = merge_partials(
+    return merge_partials(
         counts, ["entity_id", "entity_type"], combine, finalize, num_buckets
     )
-    return nodes, provenance
 
 
 def unique_values(ds, column: str, num_buckets: int = 64):
@@ -188,7 +236,10 @@ def drop_duplicates(ds, subset: list[str], order_col: str, num_buckets: int = 64
     keep='first'; made deterministic here via an explicit order column)."""
 
     def local_first(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(order_col, kind="mergesort").drop_duplicates(
+        # full-row sort order: ties on order_col would otherwise resolve
+        # by block arrival order, which varies with parallelism
+        by = [order_col] + [c for c in batch.columns if c != order_col]
+        return batch.sort_values(by, kind="mergesort").drop_duplicates(
             subset=subset, keep="first"
         )
 

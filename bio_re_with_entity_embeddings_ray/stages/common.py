@@ -19,22 +19,10 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 import pandas as pd
-import pyarrow as pa
 
 from bio_re_with_entity_embeddings_ray.functions.textfns import hash_bucket
 
 BUCKET_COL = "__bucket"
-
-
-def add_bucket(ds, key: str, num_buckets: int):
-    """Add the deterministic hash-bucket column for ``key``."""
-
-    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy(deep=False)
-        batch[BUCKET_COL] = hash_bucket(batch[key].to_numpy(), num_buckets)
-        return batch
-
-    return ds.map_batches(_assign, batch_format="pandas", batch_size=None)
 
 
 def bucketed_group_apply(
@@ -156,7 +144,3 @@ def merge_partials(
     )
 
 
-def to_arrow_sorted(df: pd.DataFrame, by: list[str], schema: pa.Schema | None = None) -> pa.Table:
-    """Deterministic ordering helper for small driver-side results."""
-    df = df.sort_values(by, kind="mergesort").reset_index(drop=True)
-    return pa.Table.from_pandas(df, schema=schema, preserve_index=False)

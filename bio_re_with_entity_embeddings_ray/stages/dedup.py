@@ -104,7 +104,9 @@ def ngram_jaccard_pairs(
     """
     import ray
 
-    sh = shingle_table(docs, k)
+    # two consumers (sizes + candidate pairs): persist the shingle table
+    # once instead of re-running the per-doc shingling and the corpus scan
+    sh = shingle_table(docs, k).materialize()
 
     # small side: per-doc distinct shingle counts (|docs| rows) — broadcast
     def count_local(batch: pd.DataFrame) -> pd.DataFrame:
@@ -145,7 +147,12 @@ def ngram_jaccard_pairs(
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             if len(batch) == 0:
-                return batch.assign(size_a=[], size_b=[])
+                # keep int64 dtypes: a bare [] assign makes float64 columns
+                # and the empty block's schema then fails Arrow unification
+                return batch.assign(
+                    size_a=pd.Series([], dtype="int64"),
+                    size_b=pd.Series([], dtype="int64"),
+                )
             sa = batch["doc_a"].map(self.sizes).astype("int64")
             sb = batch["doc_b"].map(self.sizes).astype("int64")
             inter = batch["inter"].astype("int64")

@@ -83,10 +83,18 @@ class MentionScanner:
     - **token** (vectorized, the default when every surface is one bare
       word): ``pc.split_pattern`` -> ``pc.index_in`` against the surface
       set — C-speed hash matching, numpy offset math, no Python loop.
-      This is exactly the oracle's semantics (oracles.kg_cte: token
-      equality on lowered words).
+      This is the engine's CANONICAL semantics and exactly the oracle's
+      (oracles.kg_cte: token equality on lowered words).
     - **regex** (general fallback): compiled word-boundary alternation,
       required for multi-word or punctuated surfaces.
+
+    The engines are NOT equivalent on punctuated text: token mode needs
+    whole-token equality ("join," does not match surface "join"), regex
+    mode matches at word boundaries inside tokens. They agree exactly on
+    space-separated word text (pinned by tests/test_properties.py). For a
+    corpus with punctuation attached to entity mentions, pass
+    ``mode="regex"`` explicitly — and note the SQL oracle then diverges
+    by design.
 
     Normalization (1->N per raw id, data/pubtator.py:96-278 analogs) is
     PRECOMPUTED per surface in ``__init__`` into flat expansion arrays, so
@@ -339,7 +347,15 @@ class AnnotationVerifier:
             s, e = int(start[i]), int(end[i])
             # reference drops when the span falls outside the reconstructed
             # text or the substring mismatches case-insensitively
-            if s > len(t) or t[s:e].lower() != str(mention[i]).lower():
+            # (data/pubtator.py:74-84); additionally reject negative or
+            # inverted offsets — Python's negative slicing would otherwise
+            # let corrupt spans "verify" against the text tail
+            if (
+                s < 0
+                or e < s
+                or s > len(t)
+                or t[s:e].lower() != str(mention[i]).lower()
+            ):
                 keep[i] = False
         kept = batch.loc[keep]
 

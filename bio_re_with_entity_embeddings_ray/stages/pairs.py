@@ -94,6 +94,7 @@ def aggregate_pairs(
     pred: str,
     num_buckets: int = 64,
     as_string: bool = True,
+    merge_plan: str = "auto",
 ):
     """(conv_id, subj_id, obj_id) -> (subj_id, pred, obj_id, conv_ids,
     support). Two-phase: per-batch combiner then hash-partitioned merge."""
@@ -105,7 +106,7 @@ def aggregate_pairs(
         return out.rename(columns={"conv_id": "convs_partial"})
 
     partials = cand.map_batches(partial, batch_format="pandas", batch_size=None)
-    return _merge_pair_partials(partials, pred, num_buckets, as_string)
+    return _merge_pair_partials(partials, pred, num_buckets, as_string, plan=merge_plan)
 
 
 def _merge_pair_partials(
@@ -175,7 +176,7 @@ def triples(
     """
     if not conv_partitioned:
         cand = candidate_pairs(mentions, subj_type, obj_type, num_buckets)
-        return aggregate_pairs(cand, pred, num_buckets, as_string)
+        return aggregate_pairs(cand, pred, num_buckets, as_string, merge_plan)
 
     def cross_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
         return _cross_and_pack(batch, subj_type, obj_type, "convs_partial")
@@ -195,6 +196,7 @@ def triples_bucketed(
     obj_type: str,
     pred: str,
     num_buckets: int = 64,
+    assume_unsplit_blocks: bool = False,
 ):
     """Scale path for HOT pairs (SURVEY.md §7.3: cap/stream giant groups,
     support counts + bucketed provenance).
@@ -202,25 +204,81 @@ def triples_bucketed(
     When pair keys are pathologically hot (every pair co-occurring with a
     large fraction of all conversations), materializing one row per pair
     with its full conv list funnels the whole provenance payload through
-    single tasks. Here provenance stays BUCKETED — one bucket per input
-    block, buckets disjoint under the conv-partitioned layout — and is
-    written/consumed in parallel; the edge table carries EXACT global
-    support from a payload-free integer sum.
+    single tasks. Here provenance stays BUCKETED and is written/consumed
+    in parallel; the edge table carries EXACT global support from a
+    payload-free integer sum.
+
+    Robust BY DEFAULT to Ray's dynamic block splitting (a conversation's
+    rows straddling two blocks): only a block's FIRST and LAST conv can
+    straddle, so those convs' raw mention rows (tiny, <= 2 convs/block)
+    run through the EXACT general path — catching pairs whose subj and
+    obj landed in different fragments — while interior convs are packed
+    per block payload-free. A conv is boundary in every block it touches
+    or interior in exactly one, so the two provenance sources are
+    disjoint and their counts summable.
 
     Returns ``(edges, provenance)``:
-      edges      — (subj_id, pred, obj_id, support) one row per pair
-      provenance — (subj_id, obj_id, conv_ids, n_convs), one row per
-                   (pair, input block); the rows for a pair are its
-                   disjoint provenance buckets, and their union is the
-                   pair's full conv set
+      edges      — (subj_id, pred, obj_id, support), one row per pair
+      provenance — (subj_id, obj_id, conv_ids, n_convs): disjoint buckets
+                   whose union is each pair's full conv set
+
+    ``assume_unsplit_blocks=True`` skips the boundary sub-pipelines when
+    the caller guarantees blocks were never split mid-conversation
+    (emitted block size << DataContext.target_max_block_size).
     """
 
-    def cross_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return _cross_and_pack(batch, subj_type, obj_type, "conv_ids", with_counts=True)
+    def interior_pack(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "subj_id": pd.Series([], dtype="object"),
+                    "obj_id": pd.Series([], dtype="object"),
+                    "conv_ids": pd.Series([], dtype="object"),
+                    "n_convs": pd.Series([], dtype="int64"),
+                }
+            )
+        if assume_unsplit_blocks:
+            inner = batch
+        else:
+            boundary = {batch["conv_id"].iloc[0], batch["conv_id"].iloc[-1]}
+            inner = batch[~batch["conv_id"].isin(boundary)]
+        return _cross_and_pack(
+            inner, subj_type, obj_type, "conv_ids", with_counts=True
+        )
 
-    provenance = mentions.map_batches(
-        cross_and_partial, batch_format="pandas", batch_size=None
-    ).materialize()
+    def boundary_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch[["conv_id", "entity_type", "entity_id"]]
+        boundary = {batch["conv_id"].iloc[0], batch["conv_id"].iloc[-1]}
+        return batch[batch["conv_id"].isin(boundary)][
+            ["conv_id", "entity_type", "entity_id"]
+        ]
+
+    interior = mentions.map_batches(
+        interior_pack, batch_format="pandas", batch_size=None
+    )
+    if assume_unsplit_blocks:
+        # caller guarantees block size stays under
+        # DataContext.target_max_block_size so Ray never splits a
+        # conversation across blocks — skip the boundary sub-pipelines
+        provenance = interior.materialize()
+    else:
+        bnd = mentions.map_batches(
+            boundary_rows, batch_format="pandas", batch_size=None
+        )
+        bnd_prov = triples(bnd, subj_type, obj_type, pred, num_buckets).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "subj_id": b["subj_id"],
+                    "obj_id": b["obj_id"],
+                    "conv_ids": b["conv_ids"],
+                    "n_convs": b["support"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        provenance = interior.union(bnd_prov).materialize()
 
     counts = provenance.select_columns(["subj_id", "obj_id", "n_convs"])
 

@@ -36,6 +36,12 @@ def knn_topk(emb, n_queries: int = 5, k: int = 10, num_buckets: int = 16):
     import ray
 
     qpdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas()
+    if len(qpdf) == 0:
+        raise ValueError(
+            f"knn_topk: no embedding rows with vec_id < {n_queries}; queries "
+            "are the vec_id < n_queries rows by convention — pass n_queries "
+            "matching your id space"
+        )
     qids, Q = _load_matrix(qpdf)
     qref = ray.put((qids, Q))
 
@@ -105,6 +111,11 @@ def ivf_assign(emb, n_centroids: int = 8):
         .to_pandas()
         .sort_values("vec_id")  # argmax keeps the FIRST max: ties -> lowest id
     )
+    if len(cpdf) == 0:
+        raise ValueError(
+            f"ivf_assign: no embedding rows with vec_id < {n_centroids}; "
+            "centroids are the vec_id < n_centroids rows by convention"
+        )
     cids, C = _load_matrix(cpdf)
     cref = ray.put((cids, C))
 

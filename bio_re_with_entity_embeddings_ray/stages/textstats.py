@@ -78,17 +78,36 @@ def lang_id(docs):
     return docs.map_batches(fn, batch_format="pandas")
 
 
+FP_MOD = 2305843009213693951  # 2^61 - 1
+
+
+def _modsum(terms: np.ndarray, mod: int = FP_MOD) -> int:
+    """Exact sum(terms) % mod without int64 overflow: pairwise tree fold
+    with a mod at every level (each addition stays < 2*mod < 2^62)."""
+    a = terms % mod
+    while len(a) > 1:
+        k = (len(a) + 1) // 2
+        pad = np.zeros(k * 2, dtype=np.int64)
+        pad[: len(a)] = a
+        a = (pad[0::2] + pad[1::2]) % mod
+    return int(a[0]) if len(a) else 0
+
+
 def fingerprints(docs):
     """(doc_id, fingerprint) — position-weighted token-hash fingerprint
-    ``sum(md5int8(w_i) * i)`` (1-based), an order-sensitive rolling-hash
-    analog with an exact SQL equivalent."""
+    ``sum(md5int8(w_i) * i) mod 2^61-1`` (1-based), an order-sensitive
+    rolling-hash analog. The modulus makes engine and SQL agree exactly at
+    any document length: per-term products stay < 2^49 (md5int8 < 2^32,
+    position < 2^17 at sane doc sizes), the engine folds with a modular
+    tree, and DuckDB's HUGEINT SUM then ``% mod`` lands on the same value
+    instead of a signed-int64 wrap."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         out = np.empty(len(batch), dtype=np.int64)
         for j, txt in enumerate(batch["text"]):
             toks = txt.split(" ")
             h = md5int8_array(toks)
-            out[j] = int((h * np.arange(1, len(toks) + 1, dtype=np.int64)).sum())
+            out[j] = _modsum(h * np.arange(1, len(toks) + 1, dtype=np.int64))
         return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out})
 
     return docs.map_batches(fn, batch_format="pandas")

@@ -124,3 +124,32 @@ def test_bucketed_provenance_paths_match_exact_support():
     pd.testing.assert_frame_equal(
         n[["entity_id", "entity_type", "support"]], nr
     )
+
+
+def test_bucketed_exact_under_block_straddle():
+    """A conversation whose rows straddle two blocks — including its subj
+    and obj falling into DIFFERENT fragments — must still produce exact
+    support in the bucketed paths (boundary convs go through the exact
+    general path)."""
+    b1 = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "cX"]),
+            "entity_type": pa.array(["op", "res", "op"]),
+            "entity_id": pa.array(["OP:A", "RES:X", "OP:A"]),
+        }
+    )
+    b2 = pa.table(
+        {
+            "conv_id": pa.array(["cX", "c2", "c2"]),
+            "entity_type": pa.array(["res", "op", "res"]),
+            "entity_id": pa.array(["RES:X", "OP:A", "RES:X"]),
+        }
+    )
+    m = rd.from_arrow([b1, b2])
+    edges, prov = pairs.triples_bucketed(m, "op", "res", "applies_to", 4)
+    e = edges.to_pandas()
+    assert e["support"].tolist() == [3]  # c1, c2, AND the straddled cX
+    convs = sorted(set(";;;".join(prov.to_pandas()["conv_ids"]).split(";;;")))
+    assert convs == ["c1", "c2", "cX"]
+    nodes, _ = aggregate.entity2conv_bucketed(m, 4)
+    assert sorted(nodes.to_pandas()["support"]) == [3, 3]
