@@ -183,6 +183,11 @@ def _q_ivf_assign(sf_dir: str):
     return scoring.ivf_assign(_emb(sf_dir), n_centroids=8)
 
 
+def _q_ivf_search(sf_dir: str):
+    quiet_ray_data()
+    return scoring.ivf_search(_emb(sf_dir), n_centroids=8, n_queries=5, k=5)
+
+
 # -------------------------------------------------------------- textstats
 
 
@@ -388,6 +393,14 @@ def _q_window_tumbling(sf_dir: str):
     return relational.tumbling_window(ev)
 
 
+def _q_window_hopping(sf_dir: str):
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return relational.hopping_window(ev)
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data as rd
 
@@ -449,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_topk": _q_knn,
         "ivf_assign": _q_ivf_assign,
+        "ivf_search": _q_ivf_search,
         # --- text analysis ---
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -468,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_semi_join": _q_rel_semi_join,
         "rel_rekey_union": _q_rel_rekey_union,
         "window_tumbling": _q_window_tumbling,
+        "window_hopping": _q_window_hopping,
         "sessionize": _q_sessionize,
         # --- model scoring (non-SQL-expressible; rows-only checks) ---
         "learned_embeddings": _q_learned_embeddings,
@@ -498,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": oracles.EMBEDDING_NEAR_DUP,
         "knn_topk": oracles.KNN_TOPK,
         "ivf_assign": oracles.IVF_ASSIGN,
+        "ivf_search": oracles.IVF_SEARCH,
         "token_counts": oracles.TOKEN_COUNTS,
         "quality_scores": oracles.QUALITY_SCORES,
         "lang_id": oracles.LANG_ID,
@@ -518,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_semi_join": oracles.REL_SEMI_JOIN,
         "rel_rekey_union": oracles.REL_REKEY_UNION,
         "window_tumbling": oracles.WINDOW_TUMBLING,
+        "window_hopping": oracles.WINDOW_HOPPING,
         "sessionize": oracles.SESSIONIZE,
         # learned_embeddings / scored_triples / classified_triples
         # intentionally omitted: embedding-model training and scoring are

@@ -228,6 +228,29 @@ s AS (
 r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s)
 SELECT qid, nid, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 10"""
 
+IVF_SEARCH = """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+qc AS (
+  SELECT qid, qe, cid FROM (
+    SELECT q.qid, q.qe, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid) AS rn
+    FROM q, c) WHERE rn = 1
+),
+vc AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+    FROM embeddings e, c) WHERE rn = 1
+),
+scored AS (
+  SELECT qc.qid, vc.vec_id AS nid,
+         list_cosine_similarity(qc.qe, vc.embedding) AS sim
+  FROM qc JOIN vc ON vc.cid = qc.cid AND vc.vec_id != qc.qid
+)
+SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+  FROM scored) WHERE rnk <= 5"""
+
 IVF_ASSIGN = """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
 s AS (
   SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.ce) AS sim
@@ -304,6 +327,18 @@ WINDOW_TUMBLING = """WITH e AS (
 SELECT event_type, (s // 3600) * 3600 AS window_start,
        count(*) AS n, CAST(SUM(cents) AS BIGINT) AS value_cents
 FROM e GROUP BY 1, 2"""
+
+WINDOW_HOPPING = """WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_type, (s // 1800) * 1800 - j * 1800 AS window_start, cents
+  FROM e, unnest(range(0, 2)) AS t(j)
+)
+SELECT event_type, window_start, count(*) AS n, CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM w GROUP BY 1, 2"""
 
 SESSIONIZE = """WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events

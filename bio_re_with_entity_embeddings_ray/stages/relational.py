@@ -162,6 +162,40 @@ def tumbling_window(events, width_s: int = 3600):
     return bucketed_group_apply(partials, ["event_type", "window_start"], merge, 16)
 
 
+def hopping_window(events, width_s: int = 3600, hop_s: int = 1800):
+    """Hopping (sliding) event-time window aggregate per event_type: each
+    event lands in width_s/hop_s overlapping windows (flat-map 1->N window
+    assignment inside the batch, then the same partial+merge as tumbling).
+    Returns (event_type, window_start, n, value_cents)."""
+    n_win = width_s // hop_s
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = (batch["ts"].astype("int64") // 1_000_000).to_numpy()
+        cents = (batch["value"] * 100).round().astype("int64").to_numpy()
+        et = batch["event_type"].to_numpy()
+        # window starts: the hop-aligned starts w with w <= t < w + width
+        base = (epoch // hop_s) * hop_s
+        frames = []
+        for j in range(n_win):
+            w = base - j * hop_s
+            frames.append(
+                pd.DataFrame({"event_type": et, "window_start": w, "cents": cents})
+            )
+        b = pd.concat(frames, ignore_index=True)
+        return b.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("cents", "size"), value_cents=("cents", "sum")
+        )
+
+    partials = events.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("n", "sum"), value_cents=("value_cents", "sum")
+        )
+
+    return bucketed_group_apply(partials, ["event_type", "window_start"], merge, 16)
+
+
 def sessionize(events, gap_s: int = 1800):
     """Session windows per user (gap > gap_s starts a new session):
     (user_id, n_sessions, n_events). Ordering assumption: sessions are

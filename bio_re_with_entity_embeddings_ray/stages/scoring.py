@@ -144,6 +144,74 @@ def ivf_assign(emb, n_centroids: int = 8):
     )
 
 
+def ivf_search(emb, n_centroids: int = 8, n_queries: int = 5, k: int = 5):
+    """IVF-bucketed ANN top-k: each query searches ONLY its own centroid
+    bucket (the coarse-quantization scale path; brute-force knn_topk is
+    the exact baseline). Returns (qid, nid, rank) with ties broken by
+    neighbor id; the query itself is excluded. Deterministic given the
+    centroid convention (vec_id < n_centroids, ties to lowest id)."""
+    import ray
+
+    cpdf = (
+        emb.filter(lambda r: r["vec_id"] < n_centroids)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    if len(cpdf) == 0:
+        raise ValueError(
+            f"ivf_search: no embedding rows with vec_id < {n_centroids}"
+        )
+    cids, C = _load_matrix(cpdf)
+    qpdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas().sort_values("vec_id")
+    if len(qpdf) == 0:
+        raise ValueError(f"ivf_search: no embedding rows with vec_id < {n_queries}")
+    qids, Q = _load_matrix(qpdf)
+    q_cent = cids[(Q @ C.T).argmax(axis=1)]
+    ref = ray.put((qids, Q, q_cent, cids, C))
+
+    class BucketTopK:
+        """Per batch: assign rows to centroids, score only the rows landing
+        in some query's bucket."""
+
+        def __init__(self, ref):
+            self.qids, self.Q, self.q_cent, self.cids, self.C = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            cent = self.cids[(M @ self.C.T).argmax(axis=1)]
+            rows = []
+            for qi, (qid, qc) in enumerate(zip(self.qids, self.q_cent)):
+                in_bucket = np.where((cent == qc) & (ids != qid))[0]
+                if len(in_bucket) == 0:
+                    continue
+                s = M[in_bucket] @ self.Q[qi]
+                order = np.lexsort((ids[in_bucket], -s))
+                for c in in_bucket[order[:k]]:
+                    rows.append((int(qid), int(ids[c]), float(M[c] @ self.Q[qi])))
+            return pd.DataFrame(rows, columns=["qid", "nid", "sim"])
+
+    partial = emb.map_batches(
+        BucketTopK,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+
+    def final_topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in bucket.groupby("qid", sort=False):
+            g = g.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort")
+            g = g.head(k).reset_index(drop=True)
+            for r, (_, row) in enumerate(g.iterrows(), start=1):
+                out.append((int(qid), int(row["nid"]), r))
+        return pd.DataFrame(out, columns=["qid", "nid", "rank"])
+
+    return bucketed_group_apply(partial, "qid", final_topk, 16)
+
+
 class TripleScorer:
     """Actor-pool triple scorer: holds the (tag->row, matrix) embedding
     state once per actor (reference ST5: KeyedVectors lookup +
