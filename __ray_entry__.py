@@ -173,6 +173,11 @@ def _q_embedding_near_dup(sf_dir: str):
     return dedup.embedding_near_dup_pairs(_emb(sf_dir), threshold=0.4)
 
 
+def _q_embedding_near_dup_ivf(sf_dir: str):
+    quiet_ray_data()
+    return dedup.embedding_near_dup_ivf(_emb(sf_dir), n_centroids=8, threshold=0.4)
+
+
 def _q_knn(sf_dir: str):
     quiet_ray_data()
     return scoring.knn_topk(_emb(sf_dir), n_queries=5, k=10)
@@ -459,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_star": _q_minhash_star,
         "simhash": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_ivf": _q_embedding_near_dup_ivf,
         # --- similarity search ---
         "knn_topk": _q_knn,
         "ivf_assign": _q_ivf_assign,
@@ -511,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_star": oracles.MINHASH_LSH_STAR,
         "simhash": oracles.SIMHASH,
         "embedding_near_dup": oracles.EMBEDDING_NEAR_DUP,
+        "embedding_near_dup_ivf": oracles.EMBEDDING_NEAR_DUP_IVF,
         "knn_topk": oracles.KNN_TOPK,
         "ivf_assign": oracles.IVF_ASSIGN,
         "ivf_search": oracles.IVF_SEARCH,

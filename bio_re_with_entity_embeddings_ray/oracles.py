@@ -220,6 +220,17 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"""
 
 # ------------------------------------------------------------- similarity
 
+EMBEDDING_NEAR_DUP_IVF = """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+vc AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+    FROM embeddings e, c) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM vc a JOIN vc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"""
+
 KNN_TOPK = """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
 s AS (
   SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS sim

@@ -278,6 +278,75 @@ def minhash_lsh_pairs(docs, k: int = 3, num_buckets: int = 64, star: bool = Fals
     return bucketed_group_apply(partial, ["doc_a", "doc_b"], distinct, num_buckets)
 
 
+def embedding_near_dup_ivf(emb, n_centroids: int = 8, threshold: float = 0.4):
+    """Scale path for embedding near-dup: candidate pairs only WITHIN each
+    IVF centroid bucket (coarse quantization — near-identical vectors land
+    in the same bucket), instead of the all-pairs broadcast matmul of
+    :func:`embedding_near_dup_pairs` which ships the full matrix to every
+    task. Returns (vec_a, vec_b) with cosine >= threshold, vec_a < vec_b.
+    Approximate: cross-bucket near-dups are missed by design (recall is
+    the standard IVF trade; raise n_probe by lowering n_centroids)."""
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.scoring import _load_matrix
+
+    cpdf = (
+        emb.filter(lambda r: r["vec_id"] < n_centroids)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    if len(cpdf) == 0:
+        raise ValueError(
+            f"embedding_near_dup_ivf: no rows with vec_id < {n_centroids}"
+        )
+    cids, C = _load_matrix(cpdf)
+    cref = ray.put((cids, C))
+
+    class AssignRows:
+        def __init__(self, cref):
+            self.cids, self.C = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            cent = self.cids[(M @ self.C.T).argmax(axis=1)]
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(),
+                    "centroid_id": cent.astype("int64"),
+                    "embedding": [list(v) for v in M],
+                }
+            )
+
+    assigned = emb.map_batches(
+        AssignRows,
+        fn_constructor_args=(cref,),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+
+    def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in bucket.groupby("centroid_id", sort=False):
+            ids = g["vec_id"].to_numpy()
+            M = np.array(g["embedding"].tolist(), dtype=np.float64)
+            S = M @ M.T
+            ia, ib = np.where(np.triu(S >= threshold, k=1))
+            a, b = ids[ia], ids[ib]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.extend(lo.tolist())
+            out_b.extend(hi.tolist())
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(out_a, dtype="int64"),
+                "vec_b": pd.Series(out_b, dtype="int64"),
+            }
+        ).drop_duplicates()
+
+    return bucketed_group_apply(assigned, "centroid_id", pairs_of, 16)
+
+
 def simhash_fingerprints(docs):
     """(doc_id, simhash) — 32-bit SimHash per document, multiset token
     semantics; pure per-batch map (no shuffle)."""

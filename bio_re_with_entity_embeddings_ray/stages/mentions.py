@@ -336,54 +336,44 @@ class AnnotationVerifier:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return _EMPTY.to_pandas()
-        text = batch["text"].to_numpy()
-        start = batch["start"].to_numpy()
-        end = batch["end"].to_numpy()
-        mention = batch["mention_text"].to_numpy()
-
-        keep = np.ones(len(batch), dtype=bool)
-        for i in range(len(batch)):
-            t = text[i]
-            s, e = int(start[i]), int(end[i])
-            # reference drops when the span falls outside the reconstructed
-            # text or the substring mismatches case-insensitively
-            # (data/pubtator.py:74-84); additionally reject negative or
-            # inverted offsets — Python's negative slicing would otherwise
-            # let corrupt spans "verify" against the text tail
-            if (
-                s < 0
-                or e < s
-                or s > len(t)
-                or t[s:e].lower() != str(mention[i]).lower()
-            ):
-                keep[i] = False
+        # span filter: one pass of zip (no per-row indexing); negative or
+        # inverted offsets rejected — see class docstring
+        keep = np.fromiter(
+            (
+                0 <= s <= len(t)
+                and s <= e
+                and t[s:e].lower() == str(m).lower()
+                for t, s, e, m in zip(
+                    batch["text"], batch["start"], batch["end"], batch["mention_text"]
+                )
+            ),
+            dtype=bool,
+            count=len(batch),
+        )
         kept = batch.loc[keep]
 
-        rows: list[tuple] = []
-        for cid, tix, etype, raw, mtext, s, e in zip(
-            kept["conv_id"],
-            kept["turn_idx"],
-            kept["entity_type"],
-            kept["raw_id"],
-            kept["mention_text"],
-            kept["start"],
-            kept["end"],
-        ):
+        # normalization vectorized: each distinct (type, raw id) pair is
+        # normalized ONCE, then the 1->N expansion is a C-level merge
+        uniq = kept[["entity_type", "raw_id"]].drop_duplicates()
+        rows = []
+        for etype, raw in uniq.itertuples(index=False):
             fn = self.normalizers.get(etype, normalize.get(etype))
             for canon in fn(raw):
-                rows.append((cid, int(tix), etype, canon, mtext, int(s), int(e)))
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "conv_id",
-                "turn_idx",
-                "entity_type",
-                "entity_id",
-                "mention_text",
-                "start",
-                "end",
-            ],
+                rows.append((etype, raw, canon))
+        mapping = pd.DataFrame(rows, columns=["entity_type", "raw_id", "entity_id"])
+        out = kept.merge(mapping, on=["entity_type", "raw_id"])
+        out = pd.DataFrame(
+            {
+                "conv_id": out["conv_id"],
+                "turn_idx": out["turn_idx"].astype("int32"),
+                "entity_type": out["entity_type"],
+                "entity_id": out["entity_id"],
+                "mention_text": out["mention_text"],
+                "start": out["start"].astype("int32"),
+                "end": out["end"].astype("int32"),
+            }
         )
+        return out
 
 
 def verify_annotations(
