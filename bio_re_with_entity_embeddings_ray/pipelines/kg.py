@@ -94,22 +94,25 @@ def full_pipeline(
     from bio_re_with_entity_embeddings_ray.stages.scoring import score_triples_with
 
     ts = derive_transcripts(sf_dir)
-    tables = build_kg(ts, num_buckets=num_buckets)
+    # scan ONCE: three consumers (conv2entity, entity2conv, triples) would
+    # otherwise each re-run derivation + the gazetteer scan from scratch
+    mentions = scan_mentions(ts, include_tool=True).materialize()
 
     counts: dict[str, int] = {}
-    d2v = doc2vec_input(
-        tables["conv2entity"], tables["conversations"], num_partitions=num_buckets
-    ).materialize()
+    c2e = conv2entity(mentions, num_buckets)
+    convs = conversations(ts, num_buckets)
+    nodes = entity2conv(mentions, num_buckets)
+    d2v = doc2vec_input(c2e, convs, num_partitions=num_buckets).materialize()
     emb = train_entity_embeddings(
         d2v, dim=embedding_dim, num_buckets=num_buckets
     ).materialize()
-    trip = tables["triples"].materialize()
+    trip = triples(mentions, "op", "res", "applies_to", num_buckets).materialize()
     scored = score_triples_with(trip, emb)
 
     import shutil
 
     for name, ds in {
-        "nodes": tables["entity2conv"],
+        "nodes": nodes,
         "triples": trip,
         "doc2vec_input": d2v,
         "embeddings": emb,

@@ -80,9 +80,14 @@ def parse_blocks(blob: str):
                 continue
             cols = line.split("\t")
             if len(cols) >= 6:  # malformed-line guard, data/pubtator.py:101-103
-                anns.append(
-                    (cols[0], int(cols[1]), int(cols[2]), cols[3], cols[4], cols[5])
-                )
+                try:
+                    anns.append(
+                        (cols[0], int(cols[1]), int(cols[2]), cols[3], cols[4], cols[5])
+                    )
+                except ValueError:
+                    # 6+-column non-annotation line (e.g. a relation row):
+                    # skip like other malformed lines, don't kill the task
+                    continue
         if doc_id is None:
             continue
         yield (doc_id, title or "", abstract or ""), anns
@@ -143,12 +148,25 @@ def shard_offsets(path: str, shard_bytes: int) -> list[tuple[int, int]]:
     with open(path, "rb") as f:
         pos = shard_bytes
         while pos < size:
+            # scan forward window by window until a boundary appears — a
+            # single document larger than one probe window must not
+            # collapse the rest of the file into one giant shard
             f.seek(pos)
-            chunk = f.read(1 << 20)
-            hit = re.search(rb"\n\s*\n", chunk)
-            if hit is None:
-                break  # no boundary in the rest: final shard runs to EOF
-            cut = pos + hit.end()
+            cut = None
+            while pos < size:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                hit = re.search(rb"\n\s*\n", chunk)
+                if hit is not None:
+                    cut = pos + hit.end()
+                    break
+                # overlap by 2 bytes so a separator straddling the window
+                # edge is still found
+                pos += len(chunk) - 2
+                f.seek(pos)
+            if cut is None:
+                break  # genuinely no boundary until EOF
             cuts.append(cut)
             pos = cut + shard_bytes
     cuts.append(size)

@@ -44,6 +44,17 @@ def derive_batch(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     batch = batch.replace_schema_metadata(None)
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "role": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "tool": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        )
     doc_ids = batch["doc_id"].to_numpy()
     texts = batch["text"].to_pylist()
     tok = pc.split_pattern(batch["text"], " ")

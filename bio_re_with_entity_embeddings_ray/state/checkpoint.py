@@ -7,10 +7,13 @@ per PARTITION, which is what a 10^12-turn job needs:
 
 - the input keyspace is split into N hash partitions on a chosen key;
 - each partition runs its own (fully parallel) Ray Data subpipeline and is
-  committed ATOMICALLY: results land in ``part=<i>.tmp/``, are fsync-renamed
-  to ``part=<i>/``, then a lineage record
-  ``_lineage/part-<i>.json`` (rows, wall seconds, input fingerprint,
-  engine fingerprint) is written;
+  committed ATOMICALLY against concurrent readers: results land in
+  ``part=<i>.tmp/``, are renamed to ``part=<i>/``, then a lineage record
+  is fsynced and renamed into place (rename atomicity; full power-loss
+  durability additionally depends on the filesystem syncing the Parquet
+  payloads, which Ray's writers own); the record
+  ``_lineage/part-<i>.json`` carries rows, wall seconds, the input
+  fingerprint, the engine fingerprint and the partition layout;
 - a rerun skips every partition whose lineage record matches the current
   input/engine fingerprints — the job "resumes from the last committed
   partition checkpoint" (north rule).
@@ -57,6 +60,7 @@ def run_checkpointed(
     key: str = "conv_id",
     num_partitions: int = 8,
     input_fingerprint: str = "",
+    engine_fingerprint: str = "",
     force: bool = False,
 ) -> list[dict]:
     """Run ``stage_fn`` over each hash partition of ``make_input()``,
@@ -64,6 +68,25 @@ def run_checkpointed(
     partitions whose fingerprint matches. Returns all lineage records
     (committed + reused)."""
     os.makedirs(os.path.join(out_dir, LINEAGE_DIR), exist_ok=True)
+    # layout marker: a rerun under a DIFFERENT layout must not leave the
+    # old layout's part dirs behind — a reader of out_dir would see every
+    # row twice (old slices overlap new ones). Wipe stale parts first.
+    layout_path = os.path.join(out_dir, "_layout.json")
+    layout = {"key": key, "num_partitions": num_partitions}
+    prev = None
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            prev = json.load(f)
+    if prev != layout:
+        for name in os.listdir(out_dir):
+            if name.startswith("part="):
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+        lin_dir = os.path.join(out_dir, LINEAGE_DIR)
+        for name in os.listdir(lin_dir):
+            os.remove(os.path.join(lin_dir, name))
+        with open(layout_path + ".tmp", "w") as f:
+            json.dump(layout, f)
+        os.replace(layout_path + ".tmp", layout_path)
     records: list[dict] = []
     for part in range(num_partitions):
         lp = _lineage_path(out_dir, part)
@@ -73,6 +96,7 @@ def run_checkpointed(
                 rec = json.load(f)
             if (
                 rec.get("input_fingerprint") == input_fingerprint
+                and rec.get("engine_fingerprint", "") == engine_fingerprint
                 and rec.get("num_partitions") == num_partitions
                 and rec.get("key") == key
                 and os.path.isdir(final_dir)
@@ -104,10 +128,13 @@ def run_checkpointed(
             "rows": rows,
             "wall_s": round(time.perf_counter() - t0, 3),
             "input_fingerprint": input_fingerprint,
+            "engine_fingerprint": engine_fingerprint,
             "reused": False,
         }
         with open(lp + ".tmp", "w") as f:
             json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(lp + ".tmp", lp)
         records.append(rec)
     return records

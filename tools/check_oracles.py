@@ -27,6 +27,10 @@ def to_pandas(res) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)]
+    if len(df) == 0:
+        # apply(axis=1) over zero rows returns a DataFrame (no .tolist());
+        # hash the column list so empty==empty compares by schema
+        return hashlib.md5(("\x01".join(df.columns)).encode()).hexdigest()
     rows = sorted(
         df.astype(str).apply(lambda r: "\x01".join(r.values), axis=1).tolist()
     )
@@ -102,7 +106,16 @@ def main() -> int:
     if patho:
         sf_dir = "/tmp/patho_sf"
         write_pathological(sf_dir)
-        only = (only or PATHO_QUERIES) & PATHO_QUERIES
+        if only:
+            dropped = only - PATHO_QUERIES
+            if dropped:
+                print(f"[skip] not runnable on the patho corpus: {sorted(dropped)}")
+            only = only & PATHO_QUERIES
+            if not only:
+                print("[FAIL] no requested query is patho-runnable")
+                return 2
+        else:
+            only = set(PATHO_QUERIES)
     import ray
 
     if not ray.is_initialized():
@@ -125,6 +138,10 @@ def main() -> int:
             )
 
     qs, os_ = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"[FAIL] unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
