@@ -193,6 +193,11 @@ def _q_ivf_search(sf_dir: str):
     return scoring.ivf_search(_emb(sf_dir), n_centroids=8, n_queries=5, k=5)
 
 
+def _q_ivf_search_probe2(sf_dir: str):
+    quiet_ray_data()
+    return scoring.ivf_search(_emb(sf_dir), n_centroids=8, n_queries=5, k=5, n_probe=2)
+
+
 # -------------------------------------------------------------- textstats
 
 
@@ -377,6 +382,28 @@ def _q_rel_semi_join(sf_dir: str):
     return relational.semi_join_customers(cust, orders, "F")
 
 
+def _q_rel_top_n_per_group(sf_dir: str):
+    import ray.data as rd
+
+    quiet_ray_data()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return relational.top_n_per_group(orders, n=3, num_buckets=_NB)
+
+
+def _q_rel_anti_join(sf_dir: str):
+    import ray.data as rd
+
+    quiet_ray_data()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    )
+    return relational.anti_join_customers(cust, orders, "F")
+
+
 def _q_rel_rekey_union(sf_dir: str):
     import ray.data as rd
 
@@ -469,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": _q_knn,
         "ivf_assign": _q_ivf_assign,
         "ivf_search": _q_ivf_search,
+        "ivf_search_probe2": _q_ivf_search_probe2,
         # --- text analysis ---
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -486,6 +514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_groupby_agg": _q_rel_groupby,
         "rel_top_orders": _q_rel_top_orders,
         "rel_semi_join": _q_rel_semi_join,
+        "rel_anti_join": _q_rel_anti_join,
+        "rel_top_n_per_group": _q_rel_top_n_per_group,
         "rel_rekey_union": _q_rel_rekey_union,
         "window_tumbling": _q_window_tumbling,
         "window_hopping": _q_window_hopping,
@@ -521,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk": oracles.KNN_TOPK,
         "ivf_assign": oracles.IVF_ASSIGN,
         "ivf_search": oracles.IVF_SEARCH,
+        "ivf_search_probe2": oracles.IVF_SEARCH_PROBE2,
         "token_counts": oracles.TOKEN_COUNTS,
         "quality_scores": oracles.QUALITY_SCORES,
         "lang_id": oracles.LANG_ID,
@@ -539,6 +570,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_groupby_agg": oracles.REL_GROUPBY_AGG,
         "rel_top_orders": oracles.REL_TOP_ORDERS,
         "rel_semi_join": oracles.REL_SEMI_JOIN,
+        "rel_anti_join": oracles.REL_ANTI_JOIN,
+        "rel_top_n_per_group": oracles.REL_TOP_N_PER_GROUP,
         "rel_rekey_union": oracles.REL_REKEY_UNION,
         "window_tumbling": oracles.WINDOW_TUMBLING,
         "window_hopping": oracles.WINDOW_HOPPING,

@@ -330,6 +330,42 @@ SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
        count(*) AS n_cust
 FROM d GROUP BY 1"""
 
+REL_TOP_N_PER_GROUP = """SELECT o_custkey, o_orderkey, price_cents, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+         ) AS rnk
+  FROM orders) WHERE rnk <= 3"""
+
+REL_ANTI_JOIN = """SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')"""
+
+# multi-probe variant: each query searches its 2 nearest centroid buckets
+IVF_SEARCH_PROBE2 = """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+qc AS (
+  SELECT qid, qe, cid FROM (
+    SELECT q.qid, q.qe, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid) AS rn
+    FROM q, c) WHERE rn <= 2
+),
+vc AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+    FROM embeddings e, c) WHERE rn = 1
+),
+scored AS (
+  SELECT DISTINCT qc.qid, vc.vec_id AS nid,
+         list_cosine_similarity((SELECT qe FROM qc q2 WHERE q2.qid = qc.qid LIMIT 1), vc.embedding) AS sim
+  FROM qc JOIN vc ON vc.cid = qc.cid AND vc.vec_id != qc.qid
+)
+SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+  FROM scored) WHERE rnk <= 5"""
+
 WINDOW_TUMBLING = """WITH e AS (
   SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
          CAST(round(value * 100) AS BIGINT) AS cents

@@ -162,6 +162,75 @@ def tumbling_window(events, width_s: int = 3600):
     return bucketed_group_apply(partials, ["event_type", "window_start"], merge, 16)
 
 
+def top_n_per_group(orders, n: int = 3, num_buckets: int = 16):
+    """Top-N rows per group by value (classic rank window): the N
+    highest-priced orders per customer, rank 1..N, ties broken by
+    o_orderkey. Per-block partial top-N (combiner) then per-group final —
+    a hot customer ships N rows per block, not its whole history."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "price_cents": (batch["o_totalprice"] * 100)
+                .round()
+                .astype("int64"),
+            }
+        )
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(
+            ["o_custkey", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return b.groupby("o_custkey", sort=False).head(n)
+
+    pre = orders.map_batches(prep, batch_format="pandas", batch_size=None).map_batches(
+        local_top, batch_format="pandas", batch_size=None
+    )
+
+    def final_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["o_custkey", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = b.groupby("o_custkey", sort=False).head(n).copy()
+        out["rank"] = out.groupby("o_custkey", sort=False).cumcount() + 1
+        return out
+
+    return bucketed_group_apply(pre, "o_custkey", final_top, num_buckets)
+
+
+def anti_join_customers(customer, orders, status: str = "F"):
+    """Customers with NO order of the given status — the complement of
+    semi_join_customers (reference set-difference A5 analog as a
+    first-class relational op); same broadcast-small-side shape."""
+    import ray
+
+    keys = orders.filter(lambda r: r["o_orderstatus"] == status).select_columns(
+        ["o_custkey"]
+    )
+    key_set = set(keys.to_pandas()["o_custkey"])
+    ref = ray.put(key_set)
+
+    class AntiFilter:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch["c_custkey"].isin(self.keys)]
+
+    return customer.map_batches(
+        AntiFilter,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
 def hopping_window(events, width_s: int = 3600, hop_s: int = 1800):
     """Hopping (sliding) event-time window aggregate per event_type: each
     event lands in width_s/hop_s overlapping windows (flat-map 1->N window

@@ -144,12 +144,15 @@ def ivf_assign(emb, n_centroids: int = 8):
     )
 
 
-def ivf_search(emb, n_centroids: int = 8, n_queries: int = 5, k: int = 5):
-    """IVF-bucketed ANN top-k: each query searches ONLY its own centroid
-    bucket (the coarse-quantization scale path; brute-force knn_topk is
-    the exact baseline). Returns (qid, nid, rank) with ties broken by
-    neighbor id; the query itself is excluded. Deterministic given the
-    centroid convention (vec_id < n_centroids, ties to lowest id)."""
+def ivf_search(
+    emb, n_centroids: int = 8, n_queries: int = 5, k: int = 5, n_probe: int = 1
+):
+    """IVF-bucketed ANN top-k: each query searches its ``n_probe`` nearest
+    centroid buckets (the coarse-quantization scale path; brute-force
+    knn_topk is the exact baseline; higher n_probe trades compute for
+    recall). Returns (qid, nid, rank) with ties broken by neighbor id;
+    the query itself is excluded. Deterministic given the centroid
+    convention (vec_id < n_centroids, ties to lowest id)."""
     import ray
 
     cpdf = (
@@ -166,7 +169,10 @@ def ivf_search(emb, n_centroids: int = 8, n_queries: int = 5, k: int = 5):
     if len(qpdf) == 0:
         raise ValueError(f"ivf_search: no embedding rows with vec_id < {n_queries}")
     qids, Q = _load_matrix(qpdf)
-    q_cent = cids[(Q @ C.T).argmax(axis=1)]
+    # n_probe nearest centroids per query, ties to lowest centroid id
+    qsim = Q @ C.T
+    order = np.lexsort((np.broadcast_to(cids, qsim.shape), -qsim), axis=1)
+    q_cent = cids[order[:, :n_probe]]  # (n_queries, n_probe)
     ref = ray.put((qids, Q, q_cent, cids, C))
 
     class BucketTopK:
@@ -182,8 +188,8 @@ def ivf_search(emb, n_centroids: int = 8, n_queries: int = 5, k: int = 5):
             M /= np.linalg.norm(M, axis=1, keepdims=True)
             cent = self.cids[(M @ self.C.T).argmax(axis=1)]
             rows = []
-            for qi, (qid, qc) in enumerate(zip(self.qids, self.q_cent)):
-                in_bucket = np.where((cent == qc) & (ids != qid))[0]
+            for qi, (qid, probes) in enumerate(zip(self.qids, self.q_cent)):
+                in_bucket = np.where(np.isin(cent, probes) & (ids != qid))[0]
                 if len(in_bucket) == 0:
                     continue
                 s = M[in_bucket] @ self.Q[qi]
