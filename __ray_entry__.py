@@ -221,6 +221,22 @@ def _q_fingerprints(sf_dir: str):
     return textstats.fingerprints(_docs(sf_dir))
 
 
+def _q_curate(sf_dir: str):
+    """Training-data curation composition: quality filter -> exact dedup
+    -> curated (doc_id, text, n_tokens)."""
+    from bio_re_with_entity_embeddings_ray.pipelines import curate
+
+    quiet_ray_data()
+    return curate.curate(_corpus(sf_dir), num_buckets=_NB)
+
+
+def _q_curate_budget(sf_dir: str):
+    from bio_re_with_entity_embeddings_ray.pipelines import curate
+
+    quiet_ray_data()
+    return curate.token_budget(curate.curate(_corpus(sf_dir), num_buckets=_NB))
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -492,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_ivf": _q_embedding_near_dup_ivf,
+        "curate": _q_curate,
+        "curate_budget": _q_curate_budget,
         # --- similarity search ---
         "knn_topk": _q_knn,
         "ivf_assign": _q_ivf_assign,
@@ -548,6 +566,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracles.SIMHASH,
         "embedding_near_dup": oracles.EMBEDDING_NEAR_DUP,
         "embedding_near_dup_ivf": oracles.EMBEDDING_NEAR_DUP_IVF,
+        "curate": oracles.CURATE,
+        "curate_budget": oracles.CURATE_BUDGET,
         "knn_topk": oracles.KNN_TOPK,
         "ivf_assign": oracles.IVF_ASSIGN,
         "ivf_search": oracles.IVF_SEARCH,

@@ -307,6 +307,39 @@ SELECT doc_id,
             % 2305843009213693951 AS BIGINT) AS fingerprint
 FROM __tok GROUP BY doc_id"""
 
+CURATE = f"""WITH {_CORPUS},
+__q AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM __corpus
+),
+__f AS (
+  SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens FROM __q
+  WHERE n_tokens >= 5 AND 10000 * n_distinct // n_tokens >= 3000
+)
+SELECT doc_id, text, n_tokens FROM (
+  SELECT doc_id, text, n_tokens,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM __f) WHERE rn = 1"""
+
+CURATE_BUDGET = f"""WITH {_CORPUS},
+__q AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM __corpus
+),
+__f AS (
+  SELECT doc_id, text, n_tokens FROM __q
+  WHERE n_tokens >= 5 AND 10000 * n_distinct // n_tokens >= 3000
+),
+__d AS (
+  SELECT text, n_tokens FROM (
+    SELECT text, n_tokens, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM __f) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM __d"""
+
 # ------------------------------------------------------------- relational
 
 REL_GROUPBY_AGG = """SELECT l_returnflag, l_linestatus,
