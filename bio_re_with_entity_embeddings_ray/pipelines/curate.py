@@ -72,6 +72,14 @@ def token_budget(curated):
         )
 
     parts = curated.map_batches(partial, batch_format="pandas", batch_size=None)
+    # seed zero row: an empty corpus yields ZERO partial blocks, and a
+    # map over zero blocks never runs — the union guarantees one merge
+    # call that emits the (0, 0) accounting row
+    import ray.data as rd
+
+    # pandas block to match the partials' block type (union of mixed
+    # Arrow/pandas block types asserts inside Ray)
+    seed = rd.from_pandas(pd.DataFrame({"n_docs": [0], "total_tokens": [0]}))
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -81,6 +89,6 @@ def token_budget(curated):
             }
         )
 
-    return parts.repartition(1).map_batches(
+    return parts.union(seed).repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )

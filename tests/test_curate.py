@@ -1,0 +1,51 @@
+"""Curation pipeline: each drop reason (short, low-distinct spam, exact
+dup), keep-min-id dedup, and budget consistency."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from bio_re_with_entity_embeddings_ray.pipelines import curate
+
+
+def _docs():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        "one clean document with enough distinct words",  # dup, HIGHER id
+                        "too short",
+                        "one clean document with enough distinct words",  # kept (min id)
+                        "a a a a a a a a",
+                        "another clean document with different words here",
+                    ]
+                ),
+            }
+        )
+    )
+
+
+def test_curate_drops_and_dedups():
+    cur = curate.curate(_docs(), num_buckets=4).to_pandas()
+    assert sorted(cur["doc_id"]) == [3, 5]  # min-id kept for the dup pair
+    assert sorted(cur["n_tokens"]) == [7, 7]
+
+
+def test_budget_matches_curated():
+    cur = curate.curate(_docs(), num_buckets=4)
+    b = curate.token_budget(cur).to_pandas()
+    assert len(b) == 1
+    assert int(b["n_docs"][0]) == 2
+    assert int(b["total_tokens"][0]) == 14
+
+
+def test_empty_corpus():
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert curate.curate(empty, num_buckets=2).count() == 0
+    b = curate.token_budget(curate.curate(empty, num_buckets=2)).to_pandas()
+    assert int(b["total_tokens"][0]) == 0
