@@ -168,6 +168,11 @@ def _q_simhash(sf_dir: str):
     return dedup.simhash_fingerprints(_docs(sf_dir))
 
 
+def _q_simhash_near_dup(sf_dir: str):
+    quiet_ray_data()
+    return dedup.simhash_near_dup_pairs(_docs(sf_dir))
+
+
 def _q_embedding_near_dup(sf_dir: str):
     quiet_ray_data()
     return dedup.embedding_near_dup_pairs(_emb(sf_dir), threshold=0.4)
@@ -506,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_minhash_star": _q_minhash_star,
         "simhash": _q_simhash,
+        "simhash_near_dup": _q_simhash_near_dup,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_ivf": _q_embedding_near_dup_ivf,
         "curate": _q_curate,
@@ -564,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracles.MINHASH_LSH,
         "dedup_minhash_star": oracles.MINHASH_LSH_STAR,
         "simhash": oracles.SIMHASH,
+        "simhash_near_dup": oracles.SIMHASH_NEAR_DUP,
         "embedding_near_dup": oracles.EMBEDDING_NEAR_DUP,
         "embedding_near_dup_ivf": oracles.EMBEDDING_NEAR_DUP_IVF,
         "curate": oracles.CURATE,

@@ -214,6 +214,18 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
 FROM __bits GROUP BY doc_id"""
 
+def _simhash_near_dup_sql() -> str:
+    inner = SIMHASH.strip()
+    return (
+        "WITH __sh AS (" + inner + ")\n"
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "FROM __sh a JOIN __sh b ON a.doc_id < b.doc_id\n"
+        "WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3"
+    )
+
+
+SIMHASH_NEAR_DUP = None  # filled after SIMHASH is defined (see below)
+
 EMBEDDING_NEAR_DUP = """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"""
@@ -485,3 +497,5 @@ DROP_DUPLICATES = """SELECT o_custkey, o_orderkey, price_cents FROM (
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
   FROM orders
 ) WHERE rn = 1"""
+
+SIMHASH_NEAR_DUP = _simhash_near_dup_sql()

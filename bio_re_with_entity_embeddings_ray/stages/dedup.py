@@ -361,6 +361,63 @@ def simhash_fingerprints(docs):
     return docs.map_batches(fp, batch_format="pandas")
 
 
+SIMHASH_BANDS = 4  # 32-bit simhash -> 4 bands of 8 bits
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: <=3 differing bits -> >=1 equal band
+
+
+def simhash_near_dup_pairs(docs, max_hamming: int = SIMHASH_MAX_HAMMING):
+    """(doc_a, doc_b) with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Scale path: band the 32-bit simhash into SIMHASH_BANDS 8-bit slices
+    and pair only within equal (band, slice) buckets — by pigeonhole any
+    pair within max_hamming <= SIMHASH_BANDS - 1 bit flips shares at
+    least one band, so banding finds EVERY qualifying pair (it is a
+    candidate filter, not an approximation); candidates are then verified
+    by exact popcount. Avoids the O(n^2) all-pairs join."""
+    fps = simhash_fingerprints(docs)
+
+    def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["simhash"].to_numpy().astype(np.int64)
+        ids = batch["doc_id"].to_numpy()
+        n = len(h)
+        return pd.DataFrame(
+            {
+                "doc_id": np.tile(ids, SIMHASH_BANDS),
+                "simhash": np.tile(h, SIMHASH_BANDS),
+                "band": np.repeat(np.arange(SIMHASH_BANDS, dtype=np.int64), n),
+                "key": np.concatenate(
+                    [(h >> (8 * b)) & 0xFF for b in range(SIMHASH_BANDS)]
+                ),
+            }
+        )
+
+    banded = fps.map_batches(bands, batch_format="pandas", batch_size=None)
+
+    def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on=["band", "key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
+        x = (m["simhash_x"].to_numpy() ^ m["simhash_y"].to_numpy()).astype(np.uint32)
+        # vectorized popcount over uint32
+        pc = np.unpackbits(x.view(np.uint8)).reshape(len(x), 4 * 8).sum(axis=1)
+        keep = pc <= max_hamming
+        out = m.loc[keep, ["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+
+    partial = bucketed_group_apply(banded, ["band", "key"], pairs_of, 16)
+
+    def distinct(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates()
+
+    return bucketed_group_apply(partial, ["doc_a", "doc_b"], distinct, 16)
+
+
 def embedding_near_dup_pairs(emb, threshold: float = 0.4, block: int = 1024):
     """Near-dup (vec_a, vec_b) pairs by cosine >= threshold.
 
