@@ -50,7 +50,11 @@ _SAFE_FNS: dict[str, Callable] = {
     "lower": str.lower,
     "upper": str.upper,
     "strip": str.strip,
-    "word_count": lambda s: len(s.split()),
+    # single-space split to match the engine's canonical tokenization
+    # (functions/textfns.tokenize) and the SQL string_split(text, ' ');
+    # str.split() without a sep disagrees on empty strings (0 vs 1 tokens)
+    # and consecutive/leading whitespace
+    "word_count": lambda s: len(s.split(" ")),
 }
 
 

@@ -169,18 +169,23 @@ def ngram_jaccard_pairs(
     )
 
 
-# worker-process-resident cache text -> minhash signature (int64[NUM_PERMS]).
-# Dedup corpora repeat content by nature (that is why dedup exists), and Ray
-# reuses worker processes across tasks, so identical documents hash once per
-# worker. Bounded: beyond the cap we compute without inserting.
-_SIG_CACHE: dict[tuple[int, str], np.ndarray] = {}
+# worker-process-resident cache md5(text) -> minhash signature
+# (int64[NUM_PERMS]). Dedup corpora repeat content by nature (that is why
+# dedup exists), and Ray reuses worker processes across tasks, so identical
+# documents hash once per worker. Keyed by the 16-byte md5 DIGEST, never the
+# text itself, so per-entry memory is fixed (~200 B) regardless of document
+# size: the entry cap bounds the cache to ~40 MB per worker even for
+# multi-MB documents. Beyond the cap we compute without inserting.
+_SIG_CACHE: dict[tuple[int, bytes], np.ndarray] = {}
 _SIG_CACHE_MAX = 200_000
 
 
 def _signature_of(text: str, k: int) -> np.ndarray | None:
     """Signature, or None when the doc yields no shingles (< k tokens) —
     matching the oracle, which emits no rows for such docs."""
-    ck = (k, text)
+    import hashlib
+
+    ck = (k, hashlib.md5(text.encode("utf-8")).digest())
     sig = _SIG_CACHE.get(ck)
     if sig is None:
         sh = list(set(shingles(text.split(" "), k)))
@@ -374,6 +379,13 @@ def simhash_near_dup_pairs(docs, max_hamming: int = SIMHASH_MAX_HAMMING):
     least one band, so banding finds EVERY qualifying pair (it is a
     candidate filter, not an approximation); candidates are then verified
     by exact popcount. Avoids the O(n^2) all-pairs join."""
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"simhash_near_dup_pairs: max_hamming={max_hamming} exceeds the "
+            f"pigeonhole completeness bound of the {SIMHASH_BANDS}-band "
+            f"filter (max {SIMHASH_BANDS - 1}); qualifying pairs would be "
+            "silently dropped. Use more/smaller bands for larger radii."
+        )
     fps = simhash_fingerprints(docs)
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
@@ -443,15 +455,15 @@ def embedding_near_dup_pairs(emb, threshold: float = 0.4, block: int = 1024):
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             sims = q @ self.M.T
             qa = batch["vec_id"].to_numpy()
-            rows_a: list[int] = []
-            rows_b: list[int] = []
-            for r in range(len(qa)):
-                hits = np.where(sims[r] >= threshold)[0]
-                for h in hits:
-                    if qa[r] < self.ids[h]:
-                        rows_a.append(int(qa[r]))
-                        rows_b.append(int(self.ids[h]))
-            return pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b})
+            r, c = np.where(sims >= threshold)
+            a, b = qa[r], self.ids[c]
+            keep = a < b
+            return pd.DataFrame(
+                {
+                    "vec_a": a[keep].astype("int64"),
+                    "vec_b": b[keep].astype("int64"),
+                }
+            )
 
     return emb.map_batches(
         Block,

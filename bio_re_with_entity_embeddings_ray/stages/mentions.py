@@ -340,8 +340,7 @@ class AnnotationVerifier:
         # inverted offsets rejected — see class docstring
         keep = np.fromiter(
             (
-                0 <= s <= len(t)
-                and s <= e
+                0 <= s <= e <= len(t)
                 and t[s:e].lower() == str(m).lower()
                 for t, s, e, m in zip(
                     batch["text"], batch["start"], batch["end"], batch["mention_text"]

@@ -84,8 +84,7 @@ def semi_join_customers(customer, orders, status: str = "F"):
             self.keys = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            mask = batch["c_custkey"].map(lambda x: int(x) in self.keys)
-            return batch[mask.to_numpy()][["c_custkey", "c_name"]]
+            return batch[batch["c_custkey"].isin(self.keys)][["c_custkey", "c_name"]]
 
     return customer.map_batches(
         SemiFilter, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)

@@ -54,17 +54,25 @@ def knn_topk(emb, n_queries: int = 5, k: int = 10, num_buckets: int = 16):
             M = np.array(batch["embedding"].tolist(), dtype=np.float64)
             M /= np.linalg.norm(M, axis=1, keepdims=True)
             sims = self.Q @ M.T  # (q, b)
-            rows = []
+            qcol, ncol, scol = [], [], []
             for qi in range(len(self.qids)):
                 s = sims[qi]
-                cand_idx = np.where(ids != self.qids[qi])[0]
+                cand_idx = np.flatnonzero(ids != self.qids[qi])
                 # exact per-batch cut with the oracle's tie order
                 # (sim DESC, nid ASC) — an argpartition cut can drop a
                 # sim-tied candidate with a smaller nid
                 order = np.lexsort((ids[cand_idx], -s[cand_idx]))
-                for c in cand_idx[order[:k]]:
-                    rows.append((int(self.qids[qi]), int(ids[c]), float(s[c])))
-            return pd.DataFrame(rows, columns=["qid", "nid", "sim"])
+                top = cand_idx[order[:k]]
+                qcol.append(np.full(len(top), self.qids[qi], dtype=np.int64))
+                ncol.append(ids[top].astype(np.int64))
+                scol.append(s[top])
+            return pd.DataFrame(
+                {
+                    "qid": np.concatenate(qcol) if qcol else np.array([], dtype=np.int64),
+                    "nid": np.concatenate(ncol) if ncol else np.array([], dtype=np.int64),
+                    "sim": np.concatenate(scol) if scol else np.array([], dtype=np.float64),
+                }
+            )
 
     partial = emb.map_batches(
         PartialTopK,
@@ -187,16 +195,32 @@ def ivf_search(
             M = np.array(batch["embedding"].tolist(), dtype=np.float64)
             M /= np.linalg.norm(M, axis=1, keepdims=True)
             cent = self.cids[(M @ self.C.T).argmax(axis=1)]
-            rows = []
+            qcol, ncol, scol = [], [], []
             for qi, (qid, probes) in enumerate(zip(self.qids, self.q_cent)):
-                in_bucket = np.where(np.isin(cent, probes) & (ids != qid))[0]
+                in_bucket = np.flatnonzero(np.isin(cent, probes) & (ids != qid))
                 if len(in_bucket) == 0:
                     continue
                 s = M[in_bucket] @ self.Q[qi]
                 order = np.lexsort((ids[in_bucket], -s))
-                for c in in_bucket[order[:k]]:
-                    rows.append((int(qid), int(ids[c]), float(M[c] @ self.Q[qi])))
-            return pd.DataFrame(rows, columns=["qid", "nid", "sim"])
+                top = in_bucket[order[:k]]
+                qcol.append(np.full(len(top), qid, dtype=np.int64))
+                ncol.append(ids[top].astype(np.int64))
+                scol.append(s[order[:k]])
+            if not qcol:
+                return pd.DataFrame(
+                    {
+                        "qid": np.array([], dtype=np.int64),
+                        "nid": np.array([], dtype=np.int64),
+                        "sim": np.array([], dtype=np.float64),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "qid": np.concatenate(qcol),
+                    "nid": np.concatenate(ncol),
+                    "sim": np.concatenate(scol),
+                }
+            )
 
     partial = emb.map_batches(
         BucketTopK,
@@ -207,13 +231,12 @@ def ivf_search(
     )
 
     def final_topk(bucket: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for qid, g in bucket.groupby("qid", sort=False):
-            g = g.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort")
-            g = g.head(k).reset_index(drop=True)
-            for r, (_, row) in enumerate(g.iterrows(), start=1):
-                out.append((int(qid), int(row["nid"]), r))
-        return pd.DataFrame(out, columns=["qid", "nid", "rank"])
+        b = bucket.sort_values(["qid", "sim", "nid"], ascending=[True, False, True], kind="mergesort")
+        g = b.groupby("qid", sort=False)
+        out = g.head(k).copy()
+        out["rank"] = out.groupby("qid", sort=False).cumcount().to_numpy() + 1
+        out["rank"] = out["rank"].astype("int64")
+        return out[["qid", "nid", "rank"]]
 
     return bucketed_group_apply(partial, "qid", final_topk, 16)
 

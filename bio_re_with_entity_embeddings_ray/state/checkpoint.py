@@ -113,14 +113,23 @@ def run_checkpointed(
         tmp_dir = final_dir + ".tmp"
         if os.path.isdir(tmp_dir):
             shutil.rmtree(tmp_dir)
-        if os.path.isdir(final_dir):
-            shutil.rmtree(final_dir)
         result.write_parquet(tmp_dir)
         # count committed rows from the written files (cheap metadata scan)
         import pyarrow.dataset as pads
 
         rows = pads.dataset(tmp_dir, format="parquet").count_rows()
+        # recompute of an existing partition: rename the committed dir
+        # ASIDE (atomic) instead of rmtree-ing it before the replace, so a
+        # concurrent reader never observes a missing partition — the dir
+        # flips old -> new in two renames with no gap, then the old copy is
+        # deleted
+        old_dir = final_dir + ".old"
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)
+        if os.path.isdir(final_dir):
+            os.replace(final_dir, old_dir)
         os.replace(tmp_dir, final_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
         rec = {
             "partition": part,
             "key": key,

@@ -78,8 +78,10 @@ def run(transcript_rows, annotation_rows):
         if text is None:
             continue
         s, e = a["start"], a["end"]
-        # reference span verification, data/pubtator.py:74-84
-        if s > len(text) or text[s:e].lower() != a["mention_text"].lower():
+        # reference span verification, data/pubtator.py:74-84; bounds are
+        # strict (0 <= s <= e <= len) so Python slice truncation / negative
+        # indexing can't admit out-of-range spans
+        if not (0 <= s <= e <= len(text)) or text[s:e].lower() != a["mention_text"].lower():
             continue
         for canon in normalize(a["entity_type"], a["raw_id"]):
             mentions.append((a["conv_id"], a["turn_idx"], a["entity_type"], canon))
