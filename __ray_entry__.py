@@ -462,12 +462,17 @@ def _q_sessionize(sf_dir: str):
     return relational.sessionize(ev)
 
 
-# ----------------------------------------- model scoring (non-SQL; rows-only)
+# ------------------------- model scoring (oracle-checked via bp projection)
 
 
 def _q_learned_embeddings(sf_dir: str):
     """Distributed hashed-PPMI embedding training over the doc2vec_input
-    table (reference learn_embeddings.py analog; non-SQL-expressible)."""
+    table (reference learn_embeddings.py analog), exploded to
+    (tag, dim_idx, value_bp) so the DuckDB oracle checks the trained
+    values bit-for-bit. Trained at float64 here (float32 representation
+    error exceeds the 1e-6 bp grid)."""
+    import numpy as np
+
     from bio_re_with_entity_embeddings_ray.stages import embedding_train
 
     quiet_ray_data()
@@ -475,19 +480,26 @@ def _q_learned_embeddings(sf_dir: str):
     c2e = aggregate.conv2entity(mstage.scan_mentions(ts, include_tool=True), _NB)
     convs = reassembly.conversations(ts, _NB)
     d2v = kg.doc2vec_input(c2e, convs, num_partitions=_NB)
-    return embedding_train.train_entity_embeddings(d2v, dim=32, num_buckets=_NB)
+    emb = embedding_train.train_entity_embeddings(
+        d2v, dim=32, num_buckets=_NB, dtype=np.float64
+    )
+    return embedding_train.explode_vectors_bp(emb)
 
 
 def _q_scored_triples(sf_dir: str):
     quiet_ray_data()
     trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
-    return scoring.score_triples(trip, _emb(sf_dir))
+    return scoring.project_bp(
+        scoring.score_triples(trip, _emb(sf_dir)), "score", "score_bp"
+    )
 
 
 def _q_classified_triples(sf_dir: str):
     quiet_ray_data()
     trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
-    return scoring.classify_triples(trip, _emb(sf_dir))
+    return scoring.project_bp(
+        scoring.classify_triples(trip, _emb(sf_dir)), "prob", "prob_bp"
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -544,7 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _q_window_tumbling,
         "window_hopping": _q_window_hopping,
         "sessionize": _q_sessionize,
-        # --- model scoring (non-SQL-expressible; rows-only checks) ---
+        # --- model training / scoring (oracle-checked via bp projection) ---
         "learned_embeddings": _q_learned_embeddings,
         "scored_triples": _q_scored_triples,
         "classified_triples": _q_classified_triples,
@@ -603,7 +615,9 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": oracles.WINDOW_TUMBLING,
         "window_hopping": oracles.WINDOW_HOPPING,
         "sessionize": oracles.SESSIONIZE,
-        # learned_embeddings / scored_triples / classified_triples
-        # intentionally omitted: embedding-model training and scoring are
-        # not SQL-expressible (rows-only checks).
+        # model training/scoring: checked through integer micro-unit
+        # (bp) projections — see oracles.py "model scoring oracles"
+        "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
+        "scored_triples": oracles.SCORED_TRIPLES,
+        "classified_triples": oracles.CLASSIFIED_TRIPLES,
     }

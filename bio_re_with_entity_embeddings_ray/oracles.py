@@ -489,6 +489,118 @@ SELECT doc_id, kind, CAST(nw AS INT) AS width, CAST(nh AS INT) AS height,
        CAST(LEAST(len, nw * nh) AS BIGINT) AS n_bytes
 FROM __r"""
 
+# ------------------------------------------------- model scoring oracles
+# Float outputs are projected to integer micro-units (round(1e6 * x) —
+# "bp" columns) on BOTH sides: the driver hashes stringified values, and
+# engine (numpy float64) vs DuckDB double agree to ~1e-15 relative, far
+# inside the 1e-6 grid. Embeddings are CAST to DOUBLE[] in SQL because the
+# stored lists are float32 and DuckDB would otherwise accumulate in
+# float32 while the engine computes in float64.
+
+# deterministic entity -> matrix row: md5int8(entity_id) % n over the
+# vec_id-ORDERED matrix (stages/scoring.py TripleScorer._rows)
+_EMB_POS = """__n AS (SELECT count(*) AS n FROM embeddings),
+__pos AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e,
+         row_number() OVER (ORDER BY vec_id) - 1 AS p
+  FROM embeddings
+)"""
+
+SCORED_TRIPLES = f"""WITH {_PAIR_CTE},
+{_EMB_POS},
+__k AS (
+  SELECT subj_id, pred, obj_id, conv_ids, support,
+         CAST(('0x' || substr(md5(subj_id), 1, 8)) AS BIGINT) % (SELECT n FROM __n) AS ps,
+         CAST(('0x' || substr(md5(obj_id), 1, 8)) AS BIGINT) % (SELECT n FROM __n) AS po
+  FROM __triples
+)
+SELECT k.subj_id, k.pred, k.obj_id, k.conv_ids, k.support,
+       CAST(round(1000000 * list_cosine_similarity(a.e, b.e)) AS BIGINT) AS score_bp
+FROM __k k JOIN __pos a ON a.p = k.ps JOIN __pos b ON b.p = k.po"""
+
+# sigmoid(w . [subj_vec ++ obj_vec]) with the md5-derived placeholder
+# weights of scoring.default_classifier_weights (dim = 64 -> 128 weights)
+CLASSIFIED_TRIPLES = f"""WITH {_PAIR_CTE},
+{_EMB_POS},
+__w AS (
+  SELECT j,
+         0.3 * ((CAST(('0x' || substr(md5('w' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0 AS w
+  FROM range(0, 128) t(j)
+),
+__k AS (
+  SELECT subj_id, pred, obj_id, conv_ids, support,
+         CAST(('0x' || substr(md5(subj_id), 1, 8)) AS BIGINT) % (SELECT n FROM __n) AS ps,
+         CAST(('0x' || substr(md5(obj_id), 1, 8)) AS BIGINT) % (SELECT n FROM __n) AS po
+  FROM __triples
+),
+__v AS (
+  SELECT k.subj_id, k.pred, k.obj_id, k.conv_ids, k.support,
+         a.e AS se, sqrt(list_dot_product(a.e, a.e)) AS sn,
+         b.e AS oe, sqrt(list_dot_product(b.e, b.e)) AS onn
+  FROM __k k JOIN __pos a ON a.p = k.ps JOIN __pos b ON b.p = k.po
+),
+__z AS (
+  SELECT subj_id, pred, obj_id, conv_ids, support,
+         SUM(ws.w * se[t.j + 1] / sn + wo.w * oe[t.j + 1] / onn) AS z
+  FROM __v
+  CROSS JOIN range(0, 64) t(j)
+  JOIN __w ws ON ws.j = t.j
+  JOIN __w wo ON wo.j = t.j + 64
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT subj_id, pred, obj_id, conv_ids, support,
+       CAST(round(1000000 / (1 + exp(-z))) AS BIGINT) AS prob_bp
+FROM __z"""
+
+# hashed-PPMI trainer (stages/embedding_train.py) at dim=32 over the
+# doc2vec_input table, exploded to (tag, dim_idx, value_bp):
+# count(tag, f) = token occurrences hashing to feature f across the tag's
+# documents; PPMI = max(0, ln((c/g) / ((tag_total/g) * max(tot_f,1)/g)));
+# then L2-normalize per tag.
+LEARNED_EMBEDDINGS = f"""WITH {kg_cte()},
+__dm AS (SELECT DISTINCT conv_id, entity_id FROM __mentions),
+__convs AS (
+  SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+  FROM transcripts_v GROUP BY conv_id
+),
+__toks AS (
+  SELECT conv_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 32 AS f
+  FROM (SELECT conv_id, unnest(string_split(text, ' ')) AS w FROM __convs)
+),
+__cnt AS (
+  SELECT d.entity_id AS tag, t.f, count(*) AS c
+  FROM __dm d JOIN __toks t ON d.conv_id = t.conv_id
+  GROUP BY 1, 2
+),
+__dims AS (SELECT unnest(range(0, 32)) AS f),
+__tot AS (
+  SELECT d.f, COALESCE(SUM(c.c), 0) AS tc
+  FROM __dims d LEFT JOIN __cnt c ON c.f = d.f GROUP BY d.f
+),
+__grand AS (SELECT GREATEST(SUM(c), 1) AS g FROM __cnt),
+__tagtot AS (SELECT tag, GREATEST(SUM(c), 1.0) AS tt FROM __cnt GROUP BY tag),
+__full AS (
+  SELECT tg.tag, d.f, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT tag FROM __cnt) tg
+  CROSS JOIN __dims d
+  LEFT JOIN __cnt c ON c.tag = tg.tag AND c.f = d.f
+),
+__v AS (
+  SELECT f.tag, f.f,
+         CASE WHEN f.c > 0 THEN GREATEST(
+           ln((CAST(f.c AS DOUBLE) / g.g) /
+              ((tt.tt / g.g) * (GREATEST(t.tc, 1) / CAST(g.g AS DOUBLE)))), 0)
+         ELSE 0 END AS v
+  FROM __full f
+  JOIN __tagtot tt ON tt.tag = f.tag
+  JOIN __tot t ON t.f = f.f
+  CROSS JOIN __grand g
+),
+__norm AS (SELECT tag, sqrt(SUM(v * v)) AS nn FROM __v GROUP BY tag)
+SELECT v.tag, CAST(v.f AS BIGINT) AS dim_idx,
+       CAST(round(1000000 * CASE WHEN n.nn > 0 THEN v.v / n.nn ELSE v.v END) AS BIGINT) AS value_bp
+FROM __v v JOIN __norm n ON n.tag = v.tag"""
+
 # ------------------------------------------------------- drop_duplicates
 
 DROP_DUPLICATES = """SELECT o_custkey, o_orderkey, price_cents FROM (

@@ -63,6 +63,7 @@ def train_entity_embeddings(
     doc2vec_input,
     dim: int = 64,
     num_buckets: int = 64,
+    dtype=np.float32,
 ):
     """doc2vec_input(conv_id, tags, text) -> embeddings(tag, vector).
 
@@ -122,10 +123,39 @@ def train_entity_embeddings(
                 pmi = np.log((c / grand) / ((tag_total / grand) * feat_p))
             v = np.maximum(pmi, 0.0)
             n = np.linalg.norm(v)
-            vecs.append((v / n if n > 0 else v).astype(np.float32))
+            vecs.append((v / n if n > 0 else v).astype(dtype))
         return pd.DataFrame({"tag": batch["tag"], "vector": vecs})
 
     return summed.map_batches(finalize, batch_format="pandas", batch_size=None)
+
+
+def explode_vectors_bp(embeddings_ds):
+    """(tag, vector) -> exploded (tag, dim_idx, value_bp) with value_bp =
+    round(1e6 * value) as int64 — the integer projection the DuckDB oracle
+    (oracles.LEARNED_EMBEDDINGS) reproduces bit-for-bit. Train with
+    dtype=float64 when feeding this: float32 representation error (~1e-7)
+    is bigger than the 1e-6 rounding grid and would flip boundary cells."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "tag": pd.Series([], dtype="object"),
+                    "dim_idx": pd.Series([], dtype="int64"),
+                    "value_bp": pd.Series([], dtype="int64"),
+                }
+            )
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in batch["vector"]])
+        n, d = V.shape
+        return pd.DataFrame(
+            {
+                "tag": np.repeat(batch["tag"].to_numpy(), d),
+                "dim_idx": np.tile(np.arange(d, dtype=np.int64), n),
+                "value_bp": np.rint(1e6 * V).astype(np.int64).reshape(-1),
+            }
+        )
+
+    return embeddings_ds.map_batches(explode, batch_format="pandas", batch_size=None)
 
 
 def export_embeddings(embeddings_ds, path: str):

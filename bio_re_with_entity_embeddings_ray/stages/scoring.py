@@ -271,10 +271,15 @@ class TripleScorer:
 
 
 def score_triples(triples_ds, emb, concurrency=(1, 8), batch_size: int = 4096):
-    """Attach an embedding-similarity score to each triple."""
+    """Attach an embedding-similarity score to each triple.
+
+    The matrix is built in vec_id order (not file order) so the
+    position -> vector mapping is deterministic and the DuckDB oracle
+    (oracles.SCORED_TRIPLES: row_number() OVER (ORDER BY vec_id)) can
+    reproduce it."""
     import ray
 
-    ids, M = _load_matrix(emb.to_pandas())
+    ids, M = _load_matrix(emb.to_pandas().sort_values("vec_id"))
     ref = ray.put((ids, M))
     return triples_ds.map_batches(
         TripleScorer,
@@ -328,18 +333,27 @@ def score_triples_with(triples_ds, emb_ds, concurrency=(1, 8), batch_size: int =
     )
 
 
+def default_classifier_weights(dim: int) -> np.ndarray:
+    """Deterministic placeholder weights for the relation classifier when no
+    trained weights are supplied: w_j = 0.3 * ((md5int8('w<j>') % 2001) -
+    1000) / 1000 for j in 0..2*dim-1 — uniform in [-0.3, 0.3], reproducible
+    in pure SQL (oracles.CLASSIFIED_TRIPLES) so the scoring path is
+    oracle-checkable end to end. Real deployments pass trained weights."""
+    h = md5int8_array([f"w{j}" for j in range(2 * dim)])
+    return 0.3 * ((h % 2001) - 1000) / 1000.0
+
+
 class LogisticRelationClassifier:
     """Embedding-based relation classifier (the paper's downstream scorer):
     sigmoid(w . [subj_vec ++ obj_vec] + b) per predicate, weights held in the
-    actor (deterministic seeded weights when none are supplied)."""
+    actor (deterministic md5-derived weights when none are supplied)."""
 
-    def __init__(self, emb_ref, dim: int, seed: int = 7):
+    def __init__(self, emb_ref, dim: int, weights: np.ndarray | None = None):
         import ray
 
         self.ids, self.M = ray.get(emb_ref)
         self.n = len(self.ids)
-        rng = np.random.RandomState(seed)
-        self.w = rng.normal(0, 0.3, size=2 * dim)
+        self.w = default_classifier_weights(dim) if weights is None else weights
         self.b = 0.0
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -356,10 +370,24 @@ class LogisticRelationClassifier:
         return batch
 
 
+def project_bp(ds, col: str, out_col: str):
+    """Replace float column ``col`` with integer micro-units
+    ``out_col = round(1e6 * col)`` (int64) — the projection under which
+    numpy-float64 and DuckDB-double results compare bit-for-bit (both sides
+    agree to ~1e-15 relative; the grid is 1e-6)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch[out_col] = np.rint(1e6 * batch[col]).astype("int64")
+        return batch.drop(columns=[col])
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=None)
+
+
 def classify_triples(triples_ds, emb, concurrency=(1, 8)):
     import ray
 
-    pdf = emb.to_pandas()
+    pdf = emb.to_pandas().sort_values("vec_id")
     ids, M = _load_matrix(pdf)
     dim = M.shape[1]
     ref = ray.put((ids, M))

@@ -1,0 +1,51 @@
+"""Unit coverage for the oracle-checkable model-scoring projections:
+deterministic classifier weights, vector explode to bp, float->bp column
+projection. The end-to-end value parity vs DuckDB is covered by
+tools/check_oracles.py (scored_triples / classified_triples /
+learned_embeddings)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from bio_re_with_entity_embeddings_ray.stages import embedding_train, scoring
+
+
+def test_classifier_weights_deterministic_and_bounded():
+    w1 = scoring.default_classifier_weights(64)
+    w2 = scoring.default_classifier_weights(64)
+    assert w1.shape == (128,)
+    assert np.array_equal(w1, w2)
+    assert np.all(np.abs(w1) <= 0.3)
+    # not degenerate: weights vary
+    assert len(np.unique(np.round(w1, 6))) > 100
+
+
+def test_explode_vectors_bp(ray_session):
+    df = pd.DataFrame(
+        {
+            "tag": ["a", "b"],
+            "vector": [np.array([0.5, -0.25]), np.array([0.0, 1.0])],
+        }
+    )
+    out = (
+        embedding_train.explode_vectors_bp(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values(["tag", "dim_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(out["tag"]) == ["a", "a", "b", "b"]
+    assert list(out["dim_idx"]) == [0, 1, 0, 1]
+    assert list(out["value_bp"]) == [500000, -250000, 0, 1000000]
+    assert out["value_bp"].dtype == np.int64
+
+
+def test_project_bp(ray_session):
+    df = pd.DataFrame({"k": [1, 2], "score": [0.1234567, -0.5]})
+    out = (
+        scoring.project_bp(rd.from_pandas(df), "score", "score_bp")
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert "score" not in out.columns
+    assert list(out["score_bp"]) == [123457, -500000]
