@@ -55,6 +55,14 @@ def shingles(tokens: list[str], k: int = 3) -> list[str]:
     return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
 
 
+# n-gram Jaccard candidate generation: shingles appearing in more than
+# NGRAM_MAX_DF documents are pruned BEFORE pairing (standard LSH hygiene —
+# a stopword trigram shared by millions of docs would otherwise make the
+# per-shingle self-join quadratic). Shared constant so the engine
+# (stages/dedup.ngram_jaccard_pairs) and the SQL oracle (oracles.NGRAM_JACCARD)
+# cap identically.
+NGRAM_MAX_DF = 256
+
 # MinHash: h_i(x) = (a_i * x + b_i) % MINHASH_PRIME over x = md5int8(shingle).
 # Fixed coefficients so Python and SQL agree; 16 permutations, 4 bands x 4 rows.
 MINHASH_PRIME = 2147483647  # 2^31 - 1

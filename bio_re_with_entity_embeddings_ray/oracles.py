@@ -9,6 +9,7 @@ gazetteer cannot drift between engine and oracle.
 
 from __future__ import annotations
 
+from bio_re_with_entity_embeddings_ray.functions.textfns import NGRAM_MAX_DF
 from bio_re_with_entity_embeddings_ray.sources.dictionaries import gazetteer_sql_values
 from bio_re_with_entity_embeddings_ray.sources.transcripts import (
     TURN_WORDS,
@@ -146,9 +147,16 @@ FROM __corpus GROUP BY md5(text)"""
 
 NGRAM_JACCARD = f"""WITH {_SHINGLES},
 __sizes AS (SELECT doc_id, count(*) AS size FROM __sh GROUP BY doc_id),
+__cool AS (
+  -- hot-shingle cap (mirror of stages/dedup.ngram_jaccard_pairs max_df):
+  -- shingles in more than NGRAM_MAX_DF docs are pruned before pairing
+  SELECT shingle FROM __sh GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}
+),
 __pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM __sh a JOIN __sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM __sh a
+  JOIN __cool c ON a.shingle = c.shingle
+  JOIN __sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT p.doc_a, p.doc_b, p.inter, sa.size AS size_a, sb.size AS size_b

@@ -24,6 +24,7 @@ import pandas as pd
 from bio_re_with_entity_embeddings_ray.functions.textfns import (
     MINHASH_BAND_ROWS,
     MINHASH_NUM_PERMS,
+    NGRAM_MAX_DF,
     md5int8_array,
     minhash_signature,
     simhash32,
@@ -95,12 +96,21 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold_bp: int = 5000,
     num_buckets: int = 64,
+    max_df: int = NGRAM_MAX_DF,
 ):
     """Near-dup pairs by k-token-shingle Jaccard.
 
     Returns (doc_a, doc_b, inter, size_a, size_b) for pairs with
     ``10000 * inter >= threshold_bp * (size_a + size_b - inter)`` —
     integer arithmetic only, so engine and oracle agree bit-for-bit.
+
+    Hot-shingle cap: a shingle appearing in more than ``max_df`` documents
+    is EXCLUDED from candidate generation (its per-shingle self-join is
+    O(df^2) — one stopword trigram shared by millions of docs would blow
+    up the candidate table). Intersection counts therefore only cover
+    sub-cap shingles; per-doc set sizes still count every shingle. The
+    SQL oracle applies the identical cap, and each bucket worker logs the
+    number of pruned (shingle, doc) postings (no silent truncation).
     """
     import ray
 
@@ -123,8 +133,21 @@ def ngram_jaccard_pairs(
     ).to_pandas()
     sizes_ref = ray.put(dict(zip(sizes["doc_id"], sizes["size"])))
 
-    # candidate pairs: co-occurrence in the shingle inverted index
+    # candidate pairs: co-occurrence in the shingle inverted index.
+    # Bucketing is BY shingle, so each bucket sees the complete posting
+    # list of every shingle it holds — the df cap needs no extra pass.
     def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
+        df_of = bucket.groupby("shingle", sort=False)["doc_id"].transform("size")
+        hot = df_of > max_df
+        n_hot = int(hot.sum())
+        if n_hot:
+            import logging
+
+            logging.getLogger("bio_re_with_entity_embeddings_ray.dedup").warning(
+                "ngram_jaccard: pruned %d hot-shingle postings (df > %d) "
+                "before pairing", n_hot, max_df
+            )
+            bucket = bucket[~hot]
         m = bucket.merge(bucket, on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
