@@ -5,20 +5,18 @@ operator families exist for:
            -> exact dedup (keep min doc_id per content)
            -> curated corpus + token-budget accounting
 
-Everything stays one lazy streaming DAG: the quality scores are computed
-per batch, the dedup is the hashed-combiner exact dedup (ships digests,
-not text, through the exchange), and the final table carries the fields a
-pretraining data loader needs (doc_id, text, n_tokens). At 100 TB this is
-the pipeline that turns a raw crawl into a training mix; each stage's
-scale path is documented in its own module (stages/textstats.py,
+Everything stays streaming: the quality scores are computed per batch,
+the dedup EXCHANGE ships 16-byte content digests (never document text),
+and the deduped corpus is produced by a broadcast keep-set filter over a
+second streaming pass of the filtered input. At 100 TB this is the
+pipeline that turns a raw crawl into a training mix; each stage's scale
+path is documented in its own module (stages/textstats.py,
 stages/dedup.py) and SCALE.md.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-
-from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
 
 
 def curate(
@@ -32,6 +30,19 @@ def curate(
     Keep documents with >= ``min_tokens`` tokens and a distinct-token
     ratio >= ``min_distinct_bp`` basis points (drops degenerate repeated-
     token spam), then exact-dedup on content keeping the smallest doc_id.
+
+    Scale shape: the dedup shuffle moves only (md5(text), doc_id) pairs
+    (~40 B/doc — dedup.exact_dedup_hashed), never the text; the winning
+    doc_ids come back as a broadcast keep-set (8 B/doc, ``ray.put`` once)
+    and the curated output is a second streaming pass over the filtered
+    input with a vectorized ``isin``. Shuffle volume is therefore
+    independent of document size. The quality filter is recomputed on the
+    second pass rather than materialized — re-reading beats pinning the
+    whole corpus in the object store. Content identity is md5 (collision
+    odds ~n^2/2^128 — negligible below ~10^18 docs). Beyond ~10^9
+    surviving docs the keep-set outgrows broadcast; switch to a
+    co-partitioned semi-join on hash(doc_id) (stages/relational.py J3
+    hash plan) — same contract, one extra exchange of 8-byte keys.
     """
 
     def score_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
@@ -49,14 +60,31 @@ def curate(
         score_and_filter, batch_format="pandas", batch_size=None
     )
 
-    # exact dedup keeping min doc_id per content; full rows ride along so
-    # no second join is needed (text is needed in the output anyway)
-    def local_min(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch.sort_values("doc_id", kind="mergesort")
-        return b.drop_duplicates(subset=["text"], keep="first")
+    import ray
 
-    pre = filtered.map_batches(local_min, batch_format="pandas", batch_size=None)
-    return bucketed_group_apply(pre, "text", local_min, num_buckets)
+    from bio_re_with_entity_embeddings_ray.stages import dedup
+
+    keep = dedup.exact_dedup_hashed(filtered, num_buckets)
+    # an all-filtered-out corpus yields a zero-block dataset with no
+    # schema — treat it as an empty keep-set instead of selecting columns
+    kdf = keep.to_pandas()
+    ref = ray.put(
+        set(int(i) for i in kdf["doc_id"]) if "doc_id" in kdf.columns else set()
+    )
+
+    class KeepFilter:
+        def __init__(self, ref):
+            self.keep = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["doc_id"].isin(self.keep)]
+
+    return filtered.map_batches(
+        KeepFilter,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
 
 
 def token_budget(curated):
