@@ -242,6 +242,23 @@ def _q_curate_budget(sf_dir: str):
     return curate.token_budget(curate.curate(_corpus(sf_dir), num_buckets=_NB))
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster resolution: MinHash-LSH star pairs -> distributed
+    connected components (min-label propagation)."""
+    quiet_ray_data()
+    pairs = dedup.minhash_lsh_pairs(_corpus(sf_dir), k=3, num_buckets=_NB, star=True)
+    return dedup.connected_components(pairs, _NB)
+
+
+def _q_curate_neardup(sf_dir: str):
+    """End-to-end near-dup curation: quality filter -> LSH clusters ->
+    keep one representative per cluster."""
+    from bio_re_with_entity_embeddings_ray.pipelines import curate
+
+    quiet_ray_data()
+    return curate.curate_neardup(_corpus(sf_dir), num_buckets=_NB)
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -528,6 +545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_ivf": _q_embedding_near_dup_ivf,
         "curate": _q_curate,
         "curate_budget": _q_curate_budget,
+        "dedup_clusters": _q_dedup_clusters,
+        "curate_neardup": _q_curate_neardup,
         # --- similarity search ---
         "knn_topk": _q_knn,
         "ivf_assign": _q_ivf_assign,
@@ -587,6 +606,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_ivf": oracles.EMBEDDING_NEAR_DUP_IVF,
         "curate": oracles.CURATE,
         "curate_budget": oracles.CURATE_BUDGET,
+        "dedup_clusters": oracles.DEDUP_CLUSTERS,
+        "curate_neardup": oracles.CURATE_NEARDUP,
         "knn_topk": oracles.KNN_TOPK,
         "ivf_assign": oracles.IVF_ASSIGN,
         "ivf_search": oracles.IVF_SEARCH,

@@ -195,6 +195,56 @@ FROM __band a
 JOIN __band b ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id"""
 
+def _minhash_star_pairs_cte(src: str) -> str:
+    """CTE chain (no WITH keyword) computing ``__mh_pairs(doc_a, doc_b)``
+    — MinHash-LSH star candidate pairs over relation ``src(doc_id, text)``.
+    Mirrors MINHASH_LSH_STAR but parameterized by source so composed
+    oracles (CURATE_NEARDUP) can band a FILTERED corpus."""
+    return f"""__mh_cp AS (SELECT doc_id, string_split(text, ' ') AS parts FROM {src}),
+__mh_ci AS (SELECT doc_id, parts, unnest(range(1, len(parts) - 1)) AS i FROM __mh_cp),
+__mh_sh AS (
+  SELECT DISTINCT doc_id,
+         parts[i] || ' ' || parts[i+1] || ' ' || parts[i+2] AS shingle
+  FROM __mh_ci
+),
+__mh_shh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS x
+  FROM __mh_sh
+),
+__mh_sig AS (
+  SELECT doc_id, perm.p, min((perm.a * x + perm.b) % 2147483647) AS mh
+  FROM __mh_shh, {_perm_values()} GROUP BY 1, 2
+),
+__mh_band AS (
+  SELECT doc_id, CAST((p - 1) // 4 AS INT) AS band_id,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY p) AS band_key
+  FROM __mh_sig GROUP BY 1, 2
+),
+__mh_pairs AS (
+  SELECT DISTINCT m.mn AS doc_a, b.doc_id AS doc_b
+  FROM __mh_band b
+  JOIN (SELECT band_id, band_key, min(doc_id) AS mn
+        FROM __mh_band GROUP BY 1, 2) m
+    ON b.band_id = m.band_id AND b.band_key = m.band_key AND b.doc_id > m.mn
+)"""
+
+
+# transitive closure of the (symmetrized) pair graph; min reachable id =
+# component representative — the SQL mirror of dedup.connected_components
+def _cc_closure_cte(pairs_rel: str) -> str:
+    return f"""__edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM {pairs_rel}
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM {pairs_rel}
+),
+__reach(node, r) AS (
+  SELECT a, a FROM __edges
+  UNION
+  SELECT e.a, rc.r FROM __edges e JOIN __reach rc ON rc.node = e.b
+),
+__cc AS (SELECT node, min(r) AS r FROM __reach GROUP BY node)"""
+
+
 # star mode: spanning edges per LSH bucket (linear in bucket size)
 MINHASH_LSH_STAR = MINHASH_LSH.replace(
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -341,6 +391,26 @@ SELECT doc_id, text, n_tokens FROM (
   SELECT doc_id, text, n_tokens,
          row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
   FROM __f) WHERE rn = 1"""
+
+DEDUP_CLUSTERS = f"""WITH RECURSIVE __pairs AS ({MINHASH_LSH_STAR}),
+{_cc_closure_cte("__pairs")}
+SELECT node AS doc_id, r AS cluster_id FROM __cc"""
+
+CURATE_NEARDUP = f"""WITH RECURSIVE {_CORPUS},
+__q AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM __corpus
+),
+__f AS (
+  SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens FROM __q
+  WHERE n_tokens >= 5 AND 10000 * n_distinct // n_tokens >= 3000
+),
+{_minhash_star_pairs_cte("__f")},
+{_cc_closure_cte("__mh_pairs")}
+SELECT f.doc_id, f.text, f.n_tokens
+FROM __f f LEFT JOIN __cc c ON c.node = f.doc_id
+WHERE c.node IS NULL OR c.r = f.doc_id"""
 
 CURATE_BUDGET = f"""WITH {_CORPUS},
 __q AS (

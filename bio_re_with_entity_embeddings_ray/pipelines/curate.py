@@ -19,6 +19,25 @@ from __future__ import annotations
 import pandas as pd
 
 
+def quality_filter(docs, min_tokens: int = 5, min_distinct_bp: int = 3000):
+    """documents(doc_id, text) -> (doc_id, text, n_tokens) rows passing the
+    length + distinct-token-ratio heuristics (narrow per-batch map; the
+    shared front stage of curate / curate_neardup)."""
+
+    def score_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        n_tok = toks.str.len().astype("int64")
+        n_distinct = toks.map(lambda t: len(set(t))).astype("int64")
+        keep = (n_tok >= min_tokens) & (
+            10000 * n_distinct // n_tok >= min_distinct_bp
+        )
+        out = batch.loc[keep, ["doc_id", "text"]].copy()
+        out["n_tokens"] = n_tok[keep]
+        return out
+
+    return docs.map_batches(score_and_filter, batch_format="pandas", batch_size=None)
+
+
 def curate(
     docs,
     min_tokens: int = 5,
@@ -45,20 +64,7 @@ def curate(
     hash plan) — same contract, one extra exchange of 8-byte keys.
     """
 
-    def score_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        n_tok = toks.str.len().astype("int64")
-        n_distinct = toks.map(lambda t: len(set(t))).astype("int64")
-        keep = (n_tok >= min_tokens) & (
-            10000 * n_distinct // n_tok >= min_distinct_bp
-        )
-        out = batch.loc[keep, ["doc_id", "text"]].copy()
-        out["n_tokens"] = n_tok[keep]
-        return out
-
-    filtered = docs.map_batches(
-        score_and_filter, batch_format="pandas", batch_size=None
-    )
+    filtered = quality_filter(docs, min_tokens, min_distinct_bp)
 
     import ray
 
@@ -81,6 +87,55 @@ def curate(
 
     return filtered.map_batches(
         KeepFilter,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+def curate_neardup(
+    docs,
+    min_tokens: int = 5,
+    min_distinct_bp: int = 3000,
+    num_buckets: int = 64,
+    k: int = 3,
+):
+    """Near-dup curation: quality filter -> MinHash-LSH star pairs ->
+    connected components -> keep only each cluster's representative
+    (min doc_id). Returns (doc_id, text, n_tokens).
+
+    This is the 100 TB crawl-dedup composition: candidate clusters come
+    from LSH banding (docs sharing ANY band bucket are treated as
+    equivalent — deliberately aggressive, the standard crawl-dedup
+    trade), cluster resolution is the distributed label propagation of
+    dedup.connected_components, and the final pass drops the non-
+    representative doc_ids via a broadcast drop-set (only near-dup ids,
+    typically a small fraction of the corpus). Text moves zero times
+    through any exchange. Oracle: oracles.CURATE_NEARDUP (recursive-CTE
+    closure over the same banding)."""
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import dedup
+
+    filtered = quality_filter(docs, min_tokens, min_distinct_bp)
+    pairs = dedup.minhash_lsh_pairs(filtered, k=k, num_buckets=num_buckets, star=True)
+    cc = dedup.connected_components(pairs, num_buckets)
+
+    def non_reps(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["doc_id"] != batch["cluster_id"], ["doc_id"]]
+
+    drop_df = cc.map_batches(non_reps, batch_format="pandas", batch_size=None).to_pandas()
+    ref = ray.put(set(int(i) for i in drop_df["doc_id"]) if len(drop_df) else set())
+
+    class DropFilter:
+        def __init__(self, ref):
+            self.drop = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch["doc_id"].isin(self.drop)]
+
+    return filtered.map_batches(
+        DropFilter,
         fn_constructor_args=(ref,),
         batch_format="pandas",
         concurrency=(1, 8),

@@ -306,6 +306,111 @@ def minhash_lsh_pairs(docs, k: int = 3, num_buckets: int = 64, star: bool = Fals
     return bucketed_group_apply(partial, ["doc_a", "doc_b"], distinct, num_buckets)
 
 
+def connected_components(pairs, num_buckets: int = 64, max_iters: int = 64):
+    """Near-dup cluster resolution: (doc_a, doc_b) pair table ->
+    (doc_id, cluster_id) with cluster_id = the MINIMUM doc_id reachable
+    (the component representative). Only docs appearing in >= 1 pair are
+    emitted; isolated docs are implicitly their own cluster.
+
+    Distributed min-label propagation: each round every node's current
+    label flows to its neighbors through a hash-partitioned exchange and
+    each node adopts the minimum of held + received labels; convergence is
+    detected with an exact changed-count (no fixed round budget). Rounds
+    needed = component diameter: LSH ``star=True`` pairs (min-id hub per
+    bucket) give near-star components that settle in ~2 rounds + 1
+    verification round. Per round the exchange moves the 16-byte label
+    table and the edge list — never document text. Doc ids must be
+    non-negative (−1 is the internal union marker).
+
+    This is the operator that turns the pair-emitting dedup family
+    (MinHash-LSH / SimHash / Jaccard) into an end-to-end "keep one per
+    near-dup cluster" corpus dedup — the reference's DropDuplicates
+    (utils/pandas_utils.py:109-120) lifted to near-dup equivalence. Oracle:
+    recursive-CTE transitive closure (oracles.DEDUP_CLUSTERS).
+    """
+
+    def sym(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        return pd.DataFrame(
+            {"node": np.concatenate([a, b]), "nbr": np.concatenate([b, a])}
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pandas", batch_size=None).materialize()
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "cluster_id": pd.Series([], dtype="int64"),
+        }
+    )
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(empty)
+
+    # init: label(v) = min(v, min neighbor) — one propagation step for free
+    def init_label(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("node", as_index=False)["nbr"].min()
+        return pd.DataFrame(
+            {"node": g["node"], "label": np.minimum(g["node"], g["nbr"])}
+        )
+
+    labels = bucketed_group_apply(edges, "node", init_label, num_buckets).materialize()
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": b["node"], "nbr": b["nbr"], "label": np.int64(-1)}
+        )
+
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": b["node"], "nbr": np.int64(-1), "label": b["label"]}
+        )
+
+    def send(bucket: pd.DataFrame) -> pd.DataFrame:
+        lab = bucket.loc[bucket["label"] >= 0, ["node", "label"]]
+        ed = bucket.loc[bucket["label"] < 0, ["node", "nbr"]]
+        m = ed.merge(lab, on="node")
+        own = lab.assign(own=True)
+        msg = pd.DataFrame({"node": m["nbr"], "label": m["label"], "own": False})
+        return pd.concat([own, msg], ignore_index=True)
+
+    def reduce_min(bucket: pd.DataFrame) -> pd.DataFrame:
+        new = bucket.groupby("node", as_index=False)["label"].min()
+        old = bucket.loc[bucket["own"], ["node", "label"]].rename(
+            columns={"label": "old"}
+        )
+        out = new.merge(old, on="node")
+        out["changed"] = (out["label"] < out["old"]).astype("int64")
+        return out[["node", "label", "changed"]]
+
+    for _ in range(max_iters):
+        u = edges.map_batches(
+            tag_edges, batch_format="pandas", batch_size=None
+        ).union(labels.map_batches(tag_labels, batch_format="pandas", batch_size=None))
+        cand = bucketed_group_apply(u, "node", send, num_buckets)
+        stepped = bucketed_group_apply(cand, "node", reduce_min, num_buckets).materialize()
+        n_changed = stepped.sum("changed")
+        labels = stepped.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iters} rounds "
+            "(component diameter exceeds max_iters)"
+        )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["node"].astype("int64"),
+                "cluster_id": b["label"].astype("int64"),
+            }
+        )
+
+    return labels.map_batches(final, batch_format="pandas", batch_size=None)
+
+
 def embedding_near_dup_ivf(emb, n_centroids: int = 8, threshold: float = 0.4):
     """Scale path for embedding near-dup: candidate pairs only WITHIN each
     IVF centroid bucket (coarse quantization — near-identical vectors land
