@@ -94,6 +94,37 @@ def _q_adjacency_edges(sf_dir: str):
     return pstage.adjacency_edges(trip)
 
 
+def _np_obj(v):
+    """Normalize a nested cell to a numpy object array so the engine's
+    stringified value matches DuckDB's .df() LIST rendering (numpy array
+    repr), independent of whether the Ray block round-tripped through
+    Arrow (numpy) or stayed pandas (Python list)."""
+    import numpy as np
+
+    return np.asarray(list(v), dtype=object)
+
+
+def _q_adjacency_index(sf_dir: str):
+    """Nested list<struct<neighbor_id, pred, weight>> adjacency index
+    (schemas.ADJACENCY — the SURVEY §1.3 production schema)."""
+    quiet_ray_data()
+    trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
+    df = pstage.adjacency_index(pstage.adjacency_edges(trip), _NB).to_pandas()
+    df["neighbors"] = df["neighbors"].map(_np_obj)
+    return df
+
+
+def _q_conv2entity_list(sf_dir: str):
+    """conv2entity with the Arrow list<string> production schema
+    (as_string=False) — verifies SURVEY §1.3's real-collection contract."""
+    quiet_ray_data()
+    df = aggregate.conv2entity(
+        _all_mentions(sf_dir), _NB, as_string=False
+    ).to_pandas()
+    df["entity_ids"] = df["entity_ids"].map(_np_obj)
+    return df
+
+
 def _q_doc2vec_input(sf_dir: str):
     quiet_ray_data()
     ts = derive_transcripts(sf_dir)
@@ -531,6 +562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triples": _q_triples,
         "triples_tool": _q_triples_tool,
         "adjacency_edges": _q_adjacency_edges,
+        "adjacency_index": _q_adjacency_index,
+        "conv2entity_list": _q_conv2entity_list,
         "doc2vec_input": _q_doc2vec_input,
         "conv_ids": _q_conv_ids,
         # --- dedup family ---
@@ -593,6 +626,8 @@ def oracle_sql() -> dict[str, str]:
         "triples": oracles.TRIPLES,
         "triples_tool": oracles.TRIPLES_TOOL,
         "adjacency_edges": oracles.ADJACENCY_EDGES,
+        "adjacency_index": oracles.ADJACENCY_INDEX,
+        "conv2entity_list": oracles.CONV2ENTITY_LIST,
         "doc2vec_input": oracles.DOC2VEC_INPUT,
         "conv_ids": oracles.CONV_IDS,
         "dedup_exact": oracles.DEDUP_EXACT,

@@ -69,6 +69,15 @@ SELECT conv_id,
        CAST(count(*) AS INT) AS n_entities
 FROM __dm GROUP BY conv_id"""
 
+# Arrow list<string> production schema (SURVEY §1.3): the as_string=False
+# engine path, verified against a real DuckDB LIST aggregate
+CONV2ENTITY_LIST = f"""WITH {kg_cte()},
+__dm AS (SELECT DISTINCT conv_id, entity_id FROM __mentions)
+SELECT conv_id,
+       list(entity_id ORDER BY entity_id) AS entity_ids,
+       CAST(count(*) AS INT) AS n_entities
+FROM __dm GROUP BY conv_id"""
+
 ENTITY2CONV = f"""WITH {kg_cte()},
 __dm AS (SELECT DISTINCT entity_id, entity_type, conv_id FROM __mentions)
 SELECT entity_id, entity_type,
@@ -103,6 +112,18 @@ ADJACENCY_EDGES = f"""WITH {_PAIR_CTE}
 SELECT subj_id AS entity_id, obj_id AS neighbor_id, pred, support AS weight FROM __triples
 UNION ALL
 SELECT obj_id AS entity_id, subj_id AS neighbor_id, pred, support AS weight FROM __triples"""
+
+# nested list<struct> adjacency index (stages/pairs.adjacency_index)
+ADJACENCY_INDEX = f"""WITH {_PAIR_CTE},
+__edges AS (
+  SELECT subj_id AS entity_id, obj_id AS neighbor_id, pred, support AS weight FROM __triples
+  UNION ALL
+  SELECT obj_id AS entity_id, subj_id AS neighbor_id, pred, support AS weight FROM __triples
+)
+SELECT entity_id,
+       list(struct_pack(neighbor_id := neighbor_id, pred := pred, weight := weight)
+            ORDER BY neighbor_id, pred) AS neighbors
+FROM __edges GROUP BY entity_id"""
 
 DOC2VEC_INPUT = f"""WITH {kg_cte()},
 __dm AS (SELECT DISTINCT conv_id, entity_id FROM __mentions),

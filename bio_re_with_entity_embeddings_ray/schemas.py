@@ -93,7 +93,9 @@ EMBEDDINGS = pa.schema(
     ]
 )
 
-# Adjacency index (graph materialization).
+# Adjacency index (graph materialization) — built by
+# stages/pairs.adjacency_index, oracle-verified (oracles.ADJACENCY_INDEX);
+# weight is the integer co-occurrence support.
 ADJACENCY = pa.schema(
     [
         ("entity_id", pa.string()),
@@ -102,14 +104,13 @@ ADJACENCY = pa.schema(
             pa.list_(
                 pa.struct(
                     [
-                        ("entity_id", pa.string()),
+                        ("neighbor_id", pa.string()),
                         ("pred", pa.string()),
-                        ("weight", pa.float32()),
+                        ("weight", pa.int64()),
                     ]
                 )
             ),
         ),
-        ("degree", pa.int32()),
     ]
 )
 

@@ -20,6 +20,7 @@ Scale design (the skew-prone shuffle, SURVEY.md §7.3):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from bio_re_with_entity_embeddings_ray.stages.aggregate import SET_SEP, _union_packed
@@ -305,7 +306,7 @@ def triples_bucketed(
 def adjacency_edges(triples_ds):
     """Flatten triples into symmetric flat edges
     (entity_id, neighbor_id, pred, weight=support) — the flat form of the
-    adjacency index (nested list<struct> variant built in pipelines.kg)."""
+    adjacency index (nested list<struct> variant: :func:`adjacency_index`)."""
 
     def flip(batch: pd.DataFrame) -> pd.DataFrame:
         fwd = pd.DataFrame(
@@ -327,3 +328,35 @@ def adjacency_edges(triples_ds):
         return pd.concat([fwd, rev], ignore_index=True)
 
     return triples_ds.map_batches(flip, batch_format="pandas")
+
+
+def adjacency_index(edges_ds, num_buckets: int = 16):
+    """Nested adjacency index (schemas.ADJACENCY): group the flat symmetric
+    edges into one row per entity with its neighbor list as a real Arrow
+    ``list<struct<neighbor_id, pred, weight>>`` column, sorted by
+    (neighbor_id, pred) for determinism.
+
+    This is the graph-serving materialization of the KG (reference's
+    entity-pair dataset consumed as an adjacency map,
+    prepare_entity_dataset.py:55-101): one shuffle of the edge table keyed
+    by entity_id, nested assembly inside the bucket — entity text /
+    provenance never rides along. Oracle: DuckDB
+    ``list(struct_pack(...) ORDER BY ...)`` (oracles.ADJACENCY_INDEX).
+    """
+
+    def build(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["entity_id", "neighbor_id", "pred"], kind="mergesort"
+        )
+        ents: list[str] = []
+        nbrs: list[np.ndarray] = []
+        for eid, g in b.groupby("entity_id", sort=False):
+            ents.append(eid)
+            recs = [
+                {"neighbor_id": n, "pred": p, "weight": int(w)}
+                for n, p, w in zip(g["neighbor_id"], g["pred"], g["weight"])
+            ]
+            nbrs.append(np.array(recs, dtype=object))
+        return pd.DataFrame({"entity_id": ents, "neighbors": nbrs})
+
+    return bucketed_group_apply(edges_ds, "entity_id", build, num_buckets)
