@@ -65,30 +65,95 @@ def top_orders(orders, k: int = 10):
     return top
 
 
-def semi_join_customers(customer, orders, status: str = "F"):
-    """J3 broadcast semi-join: customers having >=1 order in ``status``.
-    The key set is collected small-side and broadcast via ``ray.put``; each
-    batch filters with a vectorized isin (no shuffle of the big side)."""
+def _key_semi_anti(
+    customer,
+    keys,
+    anti: bool,
+    plan: str,
+    num_buckets: int,
+    broadcast_max_keys: int,
+):
+    """Shared engine of semi_join_customers / anti_join_customers.
+
+    Physical plans (J3 scale note, SURVEY.md):
+    - ``broadcast``: collect the distinct key set once, ``ray.put`` it,
+      filter the big side per batch with a vectorized ``isin`` — zero
+      shuffle of the big side. Right whenever the key set fits the object
+      store comfortably (~10^8-10^9 int keys).
+    - ``hash``: co-partition BOTH sides by hash(key) and semi/anti-filter
+      inside each bucket — no driver-side collection at all; the plan that
+      scales when the key set itself outgrows broadcast
+      (reference extract_articles.py:63-67 at 10^12-turn scale).
+    - ``auto``: count the (already filtered, small-side) keys and pick:
+      <= ``broadcast_max_keys`` -> broadcast, else hash. Measured, not
+      guessed — same discipline as common.merge_partials.
+    """
     import ray
 
-    keys = (
-        orders.filter(expr=f"o_orderstatus == '{status}'")
-        .select_columns(["o_custkey"])
-        .to_pandas()["o_custkey"]
-        .unique()
+    if plan == "auto":
+        keys = keys.materialize()
+        plan = "broadcast" if keys.count() <= broadcast_max_keys else "hash"
+    if plan == "broadcast":
+        key_set = set(
+            int(k) for k in keys.to_pandas()["o_custkey"].unique()
+        )
+        ref = ray.put(key_set)
+
+        class Filter:
+            def __init__(self, ref):
+                self.keys = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                m = batch["c_custkey"].isin(self.keys)
+                return batch[~m if anti else m][["c_custkey", "c_name"]]
+
+        return customer.map_batches(
+            Filter, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
+        )
+    if plan != "hash":
+        raise ValueError(f"unknown join plan {plan!r}")
+
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_name": b["c_name"],
+                "side": np.int64(0),
+            }
+        )
+
+    def tag_keys(b: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(b["o_custkey"])
+        return pd.DataFrame({"c_custkey": u, "c_name": "", "side": np.int64(1)})
+
+    u = customer.map_batches(tag_cust, batch_format="pandas", batch_size=None).union(
+        keys.map_batches(tag_keys, batch_format="pandas", batch_size=None)
     )
-    ref = ray.put(set(int(k) for k in keys))
 
-    class SemiFilter:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        k = bucket.loc[bucket["side"] == 1, "c_custkey"].unique()
+        c = bucket[bucket["side"] == 0]
+        m = c["c_custkey"].isin(k)
+        return c.loc[~m if anti else m, ["c_custkey", "c_name"]]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["c_custkey"].isin(self.keys)][["c_custkey", "c_name"]]
+    return bucketed_group_apply(u, "c_custkey", per_bucket, num_buckets)
 
-    return customer.map_batches(
-        SemiFilter, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
+
+def semi_join_customers(
+    customer,
+    orders,
+    status: str = "F",
+    plan: str = "auto",
+    num_buckets: int = 32,
+    broadcast_max_keys: int = 5_000_000,
+):
+    """J3 semi-join: customers having >=1 order in ``status``; broadcast or
+    hash co-partition plan, picked by measured key count (see
+    :func:`_key_semi_anti`)."""
+    keys = orders.filter(expr=f"o_orderstatus == '{status}'").select_columns(
+        ["o_custkey"]
     )
+    return _key_semi_anti(customer, keys, False, plan, num_buckets, broadcast_max_keys)
 
 
 def rekey_grouped_union(customer, nation):
@@ -203,31 +268,21 @@ def top_n_per_group(orders, n: int = 3, num_buckets: int = 16):
     return bucketed_group_apply(pre, "o_custkey", final_top, num_buckets)
 
 
-def anti_join_customers(customer, orders, status: str = "F"):
+def anti_join_customers(
+    customer,
+    orders,
+    status: str = "F",
+    plan: str = "auto",
+    num_buckets: int = 32,
+    broadcast_max_keys: int = 5_000_000,
+):
     """Customers with NO order of the given status — the complement of
     semi_join_customers (reference set-difference A5 analog as a
-    first-class relational op); same broadcast-small-side shape."""
-    import ray
-
-    keys = orders.filter(lambda r: r["o_orderstatus"] == status).select_columns(
+    first-class relational op); same broadcast/hash plan choice."""
+    keys = orders.filter(expr=f"o_orderstatus == '{status}'").select_columns(
         ["o_custkey"]
     )
-    key_set = set(keys.to_pandas()["o_custkey"])
-    ref = ray.put(key_set)
-
-    class AntiFilter:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[~batch["c_custkey"].isin(self.keys)]
-
-    return customer.map_batches(
-        AntiFilter,
-        fn_constructor_args=(ref,),
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    return _key_semi_anti(customer, keys, True, plan, num_buckets, broadcast_max_keys)
 
 
 def hopping_window(events, width_s: int = 3600, hop_s: int = 1800):
