@@ -18,10 +18,16 @@ per PARTITION, which is what a 10^12-turn job needs:
   input/engine fingerprints — the job "resumes from the last committed
   partition checkpoint" (north rule).
 
-At real scale the partition pruning happens at the READ (one input
-directory per hash bucket, selected by path) instead of the post-read
-filter used here on single-file test inputs; the commit/lineage protocol
-is identical.
+Read-side pruning: ``make_input`` may either take no arguments (the
+whole input is scanned and hash-filtered per partition — N full scans,
+only acceptable for small single-file test inputs) or accept the
+partition index (``make_input(part)``), in which case ONLY that
+partition's input is read — one corpus pass total across all partitions.
+:func:`write_partitioned_input` produces the matching ``part=<i>/``
+hive layout in one pass (``write_parquet(partition_cols=...)``) and
+:func:`partitioned_input_reader` returns a part-aware factory over it.
+The commit/lineage protocol is identical either way; lineage records
+carry ``pruned_read`` so a resume audit can see which path ran.
 """
 
 from __future__ import annotations
@@ -53,6 +59,50 @@ def partition_filter(ds, key: str, part: int, num_partitions: int):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def write_partitioned_input(ds, out_dir: str, key: str, num_partitions: int):
+    """ONE streaming pass that lays the input out as ``part=<i>/`` hive
+    directories by hash(key) — the layout ``run_checkpointed`` prunes at
+    the read (no per-partition full scans). At production scale this is
+    the upstream writer's job; the helper exists so any dataset can be
+    re-laid-out once and resumed cheaply forever after."""
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["part"] = hash_bucket(batch[key].to_numpy(), num_partitions)
+        return batch
+
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["part"]
+    )
+    return out_dir
+
+
+def partitioned_input_reader(in_dir: str, columns=None):
+    """Part-aware input factory over a :func:`write_partitioned_input`
+    layout: ``make(part)`` reads ONLY ``in_dir/part=<part>/`` (pruned,
+    column-projected read)."""
+
+    def make(part: int):
+        import ray.data as rd
+
+        return rd.read_parquet(os.path.join(in_dir, f"part={part}"), columns=columns)
+
+    return make
+
+
+def _accepts_partition(fn: Callable) -> bool:
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters.values()
+    except (TypeError, ValueError):
+        return False
+    return any(
+        p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD) and p.default is p.empty
+        for p in params
+    )
+
+
 def run_checkpointed(
     make_input: Callable[[], "object"],
     stage_fn: Callable[["object"], "object"],
@@ -63,11 +113,15 @@ def run_checkpointed(
     engine_fingerprint: str = "",
     force: bool = False,
 ) -> list[dict]:
-    """Run ``stage_fn`` over each hash partition of ``make_input()``,
-    committing Parquet + lineage per partition; skip already-committed
-    partitions whose fingerprint matches. Returns all lineage records
-    (committed + reused)."""
+    """Run ``stage_fn`` over each hash partition of the input, committing
+    Parquet + lineage per partition; skip already-committed partitions
+    whose fingerprint matches. Returns all lineage records (committed +
+    reused). ``make_input`` taking a required positional arg is called as
+    ``make_input(part)`` and must return ONLY that partition's rows
+    (read-side pruning — see :func:`partitioned_input_reader`); a zero-arg
+    factory falls back to scan + hash filter."""
     os.makedirs(os.path.join(out_dir, LINEAGE_DIR), exist_ok=True)
+    pruned_read = _accepts_partition(make_input)
     # layout marker: a rerun under a DIFFERENT layout must not leave the
     # old layout's part dirs behind — a reader of out_dir would see every
     # row twice (old slices overlap new ones). Wipe stale parts first.
@@ -108,7 +162,10 @@ def run_checkpointed(
                 records.append(rec)
                 continue
         t0 = time.perf_counter()
-        part_ds = partition_filter(make_input(), key, part, num_partitions)
+        if pruned_read:
+            part_ds = make_input(part)
+        else:
+            part_ds = partition_filter(make_input(), key, part, num_partitions)
         result = stage_fn(part_ds)
         tmp_dir = final_dir + ".tmp"
         if os.path.isdir(tmp_dir):
@@ -138,6 +195,7 @@ def run_checkpointed(
             "wall_s": round(time.perf_counter() - t0, 3),
             "input_fingerprint": input_fingerprint,
             "engine_fingerprint": engine_fingerprint,
+            "pruned_read": pruned_read,
             "reused": False,
         }
         with open(lp + ".tmp", "w") as f:

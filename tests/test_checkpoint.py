@@ -127,3 +127,57 @@ def test_changed_partition_layout_invalidates_reuse(fixture_dir, tmp_path):
         factory, _stage, out, num_partitions=2, input_fingerprint="fp1"
     )
     assert all(r["reused"] for r in third)
+
+
+def test_partitioned_layout_prunes_reads(fixture_dir, tmp_path):
+    """Read-side pruning: total input rows read across all partitions ==
+    corpus rows (one pass), not corpus x N; output equals the filter-based
+    path; kill-resume works with the pruned reader."""
+    import ray.data as rd
+
+    src = rd.read_parquet(f"{fixture_dir}/transcripts.parquet")
+    n_src = src.count()
+    in_dir = str(tmp_path / "part_in")
+    checkpoint.write_partitioned_input(src, in_dir, key="conv_id", num_partitions=4)
+    reader = checkpoint.partitioned_input_reader(in_dir)
+
+    # pruned reads: each partition dir holds a disjoint slice, summing to
+    # exactly one corpus (the no-N-full-scans property)
+    per_part = [reader(p).count() for p in range(4)]
+    assert sum(per_part) == n_src
+    assert all(n > 0 for n in per_part)
+
+    # crash mid-run, then resume over the pruned reader
+    calls = {"n": 0}
+
+    def failing_stage(ds):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Boom("simulated loss")
+        return _stage(ds)
+
+    out = str(tmp_path / "ckpt_pruned")
+    with pytest.raises(Boom):
+        checkpoint.run_checkpointed(
+            reader, failing_stage, out, num_partitions=4, input_fingerprint="fp"
+        )
+    records = checkpoint.run_checkpointed(
+        reader, _stage, out, num_partitions=4, input_fingerprint="fp"
+    )
+    assert [r["reused"] for r in records] == [True, False, False, False]
+    assert all(r["pruned_read"] for r in records)
+
+    files = [
+        f"{out}/part={p:05d}/{name}"
+        for p in range(4)
+        for name in os.listdir(f"{out}/part={p:05d}")
+    ]
+    got = (
+        pads.dataset(files, format="parquet")
+        .to_table()
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    clean = _stage(src).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, clean)
