@@ -257,6 +257,14 @@ def _q_fingerprints(sf_dir: str):
     return textstats.fingerprints(_docs(sf_dir))
 
 
+def _q_token_quantiles(sf_dir: str):
+    """Distributed exact quantiles of the token-count distribution
+    (value-histogram combiner; no global sort)."""
+    quiet_ray_data()
+    tc = textstats.token_counts(_docs(sf_dir))
+    return textstats.exact_quantiles(tc, "n_tokens", [100, 2500, 5000, 7500, 9900])
+
+
 def _q_curate(sf_dir: str):
     """Training-data curation composition: quality filter -> exact dedup
     -> curated (doc_id, text, n_tokens)."""
@@ -590,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "token_quantiles": _q_token_quantiles,
         # --- multimodal (binary columns; actor-pool decode stages) ---
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
@@ -651,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": oracles.QUALITY_SCORES,
         "lang_id": oracles.LANG_ID,
         "fingerprints": oracles.FINGERPRINTS,
+        "token_quantiles": oracles.TOKEN_QUANTILES,
         "media_stats": oracles.MEDIA_STATS,
         "media_features": oracles.MEDIA_FEATURES,
         "media_frames": oracles.MEDIA_FRAMES,

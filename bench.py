@@ -113,7 +113,15 @@ def bench_kg(sf_dir: str, replicas: int, num_buckets: int) -> dict:
 
     The shared ``mentions`` intermediate is materialized once so the two
     wide consumers (entity2conv nodes, pair aggregation) don't re-execute
-    the scan — the Ray Data analog of a persisted stage boundary.
+    the scan — the Ray Data analog of a persisted stage boundary. Before
+    the materialize, mentions are projected + per-block DISTINCTed down to
+    the (conv_id, entity_type, entity_id) keys both consumers actually
+    read (they dedupe these exact columns internally anyway): the
+    object-store boundary then holds the distinct key stream (~4x fewer
+    bytes than full mention rows with text/spans), which is the part of
+    the pipeline that scales worst on a shared memory bus. Arrow's hash
+    group_by emits keys in first-appearance order, so conv-contiguity of
+    blocks (the assume_unsplit_blocks contract) is preserved.
     """
     from bio_re_with_entity_embeddings_ray.stages.aggregate import (
         entity2conv_bucketed,
@@ -123,9 +131,22 @@ def bench_kg(sf_dir: str, replicas: int, num_buckets: int) -> dict:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    import pyarrow as pa
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["conv_id", "entity_type", "entity_id"])
+            .group_by(["conv_id", "entity_type", "entity_id"])
+            .aggregate([])
+        )
+
     t0 = time.perf_counter()
     ts = _transcripts(sf_dir, replicas)
-    mentions = scan_mentions(ts, include_tool=True).materialize()
+    mentions = (
+        scan_mentions(ts, include_tool=True)
+        .map_batches(distinct_keys, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
     # The bench fixture makes EVERY pair/entity a hot key (each co-occurs
     # with a large fraction of all conversations), so the headline uses the
     # bucketed-provenance scale path (SURVEY.md §7.3): provenance stays one
@@ -277,11 +298,12 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     def run(ncpu: int) -> dict:
-        # best of 2: a fresh-process Ray session right after the previous
+        # best of 3: a fresh-process Ray session right after the previous
         # one exits occasionally pays multi-second OS/object-store reclaim
-        # noise (observed 7s -> 50s outliers); settle + repeat isolates it
+        # noise (observed 7s -> 50s outliers, ~±20% run-to-run on this
+        # shared box); settle + repeat isolates it
         results = []
-        for _ in range(2):
+        for _ in range(3):
             time.sleep(3)
             results.append(run_one(ncpu))
         return min(results, key=lambda r: r["value"])
@@ -343,11 +365,15 @@ def hw_ceiling() -> float:
             scanner(derive_batch(tbl))
 
     ray.get([kernel.remote(1) for _ in range(32)])  # warm imports + cache
-    tput = {}
-    for par in (8, 32):
-        t0 = time.perf_counter()
-        ray.get([kernel.remote(6) for _ in range(par)])
-        tput[par] = par * 6 / (time.perf_counter() - t0)
+    # best-of-3 per leg, interleaved: single measurements of either leg
+    # swing ±20% with box noise (observed ceiling spread 0.67-0.92 from
+    # one-shot legs); the per-leg BEST is the cleanest hardware number
+    tput = {8: 0.0, 32: 0.0}
+    for _ in range(3):
+        for par in (8, 32):
+            t0 = time.perf_counter()
+            ray.get([kernel.remote(6) for _ in range(par)])
+            tput[par] = max(tput[par], par * 6 / (time.perf_counter() - t0))
     ray.shutdown()
     return round((tput[32] / tput[8]) / (32 / 8), 3)
 

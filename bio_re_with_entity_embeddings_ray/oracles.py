@@ -398,6 +398,20 @@ SELECT doc_id,
             % 2305843009213693951 AS BIGINT) AS fingerprint
 FROM __tok GROUP BY doc_id"""
 
+# exact quantiles of token counts (stages/textstats.exact_quantiles):
+# q-quantile = value at 1-based position ceil(q*n/10000) of the sorted
+# metric — integer ceiling on both sides
+TOKEN_QUANTILES = """WITH __t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents
+),
+__n AS (SELECT count(*) AS n FROM __t),
+__r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM __t),
+__q AS (SELECT CAST(unnest([100, 2500, 5000, 7500, 9900]) AS BIGINT) AS q_bp)
+SELECT q.q_bp,
+       (SELECT v FROM __r
+        WHERE rn = GREATEST(1, (q.q_bp * (SELECT n FROM __n) + 9999) // 10000)) AS value
+FROM __q q"""
+
 CURATE = f"""WITH {_CORPUS},
 __q AS (
   SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,

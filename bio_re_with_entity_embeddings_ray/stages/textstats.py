@@ -111,3 +111,62 @@ def fingerprints(docs):
         return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def exact_quantiles(ds, col: str, qs_bp: list[int], num_buckets: int = 16):
+    """Distributed EXACT quantiles of an integer metric column.
+
+    Definition (mirrored bit-for-bit by the SQL oracle): the q-quantile is
+    the value at 1-based position ``ceil(q * n)`` in ascending sorted
+    order (q in basis points; q=0 maps to position 1). Returns
+    (q_bp, value) — one row per requested quantile.
+
+    Scale shape: a per-batch ``value_counts`` combiner collapses each
+    block to one row per distinct value, a hash-partitioned merge sums
+    counts per value, and only the (distinct value, count) table — small
+    for any bounded metric like token counts or bp scores, regardless of
+    corpus size — is collected for the cumulative scan. No global sort,
+    no row shuffle; exact, not an approximation. For unbounded
+    high-cardinality metrics, bound the domain first (round/clip), or the
+    value table itself becomes the problem.
+    """
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts()
+        return pd.DataFrame(
+            {"value": vc.index.astype("int64"), "cnt": vc.to_numpy().astype("int64")}
+        )
+
+    partials = ds.map_batches(local_counts, batch_format="pandas", batch_size=None)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby("value", as_index=False)["cnt"].sum()
+
+    counts = (
+        bucketed_group_apply(partials, "value", merge, num_buckets)
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    n = int(counts["cnt"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "q_bp": pd.Series([], dtype="int64"),
+                "value": pd.Series([], dtype="int64"),
+            }
+        )
+    cum = counts["cnt"].cumsum().to_numpy()
+    vals = counts["value"].to_numpy()
+    out_q, out_v = [], []
+    for q in qs_bp:
+        pos = max(1, -(-q * n // 10000))  # ceil(q*n/10000), floor at 1
+        out_q.append(int(q))
+        out_v.append(int(vals[np.searchsorted(cum, pos)]))
+    return pd.DataFrame(
+        {
+            "q_bp": pd.Series(out_q, dtype="int64"),
+            "value": pd.Series(out_v, dtype="int64"),
+        }
+    )
