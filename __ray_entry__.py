@@ -257,6 +257,35 @@ def _q_fingerprints(sf_dir: str):
     return textstats.fingerprints(_docs(sf_dir))
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic salted-hash 25% sample of the documents table."""
+    from bio_re_with_entity_embeddings_ray.stages import sampling
+
+    quiet_ray_data()
+    return sampling.hash_sample(_docs(sf_dir), rate_bp=2500, salt="sample")
+
+
+def _q_corpus_mix(sf_dir: str):
+    """Training-mix composition: 70% of documents ∪ 30% of the shifted
+    replica, each by an independent salted hash."""
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.stages import sampling
+
+    quiet_ray_data()
+    docs = _docs(sf_dir)
+
+    def shift(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["doc_id"] = batch["doc_id"] + 1_000_000
+        return batch
+
+    shifted = docs.map_batches(shift, batch_format="pandas")
+    return sampling.mix_corpora(
+        [(docs, 7000, "mixA"), (shifted, 3000, "mixB")]
+    )
+
+
 def _q_token_quantiles(sf_dir: str):
     """Distributed exact quantiles of the token-count distribution
     (value-histogram combiner; no global sort)."""
@@ -599,6 +628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "token_quantiles": _q_token_quantiles,
+        "hash_sample": _q_hash_sample,
+        "corpus_mix": _q_corpus_mix,
         # --- multimodal (binary columns; actor-pool decode stages) ---
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
@@ -661,6 +692,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.LANG_ID,
         "fingerprints": oracles.FINGERPRINTS,
         "token_quantiles": oracles.TOKEN_QUANTILES,
+        "hash_sample": oracles.HASH_SAMPLE,
+        "corpus_mix": oracles.CORPUS_MIX,
         "media_stats": oracles.MEDIA_STATS,
         "media_features": oracles.MEDIA_FEATURES,
         "media_frames": oracles.MEDIA_FRAMES,

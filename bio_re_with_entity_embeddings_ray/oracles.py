@@ -714,6 +714,20 @@ SELECT v.tag, CAST(v.f AS BIGINT) AS dim_idx,
        CAST(round(1000000 * CASE WHEN n.nn > 0 THEN v.v / n.nn ELSE v.v END) AS BIGINT) AS value_bp
 FROM __v v JOIN __norm n ON n.tag = v.tag"""
 
+# --------------------------------------------------- sampling / corpus mix
+# deterministic salted-hash sampling (stages/sampling.py): keep iff
+# md5int8(salt || ':' || key) % 10000 < rate_bp
+
+HASH_SAMPLE = """SELECT doc_id, text FROM documents
+WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 2500"""
+
+# mix: 70% of documents (salt mixA) ∪ 30% of the +1M shifted copy (salt mixB)
+CORPUS_MIX = """SELECT doc_id, text FROM documents
+WHERE CAST(('0x' || substr(md5('mixA:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 7000
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents
+WHERE CAST(('0x' || substr(md5('mixB:' || CAST(doc_id + 1000000 AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 3000"""
+
 # ------------------------------------------------------- drop_duplicates
 
 DROP_DUPLICATES = """SELECT o_custkey, o_orderkey, price_cents FROM (

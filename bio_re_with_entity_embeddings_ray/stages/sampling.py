@@ -1,0 +1,76 @@
+"""Deterministic sampling / corpus-mix operators for training-data
+pipelines.
+
+Sampling for a training mix must be REPRODUCIBLE — independent of run,
+machine, block layout and parallelism — so these operators derive the
+keep/drop decision from a salted content-free hash of the row key
+(md5int8, the same primitive as the dedup family) instead of RNG state.
+Every decision is a pure per-row function, so each operator is a narrow
+``map_batches`` with an exact DuckDB mirror (oracles.HASH_SAMPLE /
+CORPUS_MIX).
+
+Reference analog: the reference subsamples corpora by id list files
+(extract_articles.py:63-67); here the id set is implicit in the hash, so
+no id list needs to exist or be shipped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+
+
+def _keep_mask(keys: pd.Series, rate_bp: int, salt: str) -> np.ndarray:
+    tagged = [f"{salt}:{k}" for k in keys.astype(str)]
+    return (md5int8_array(tagged) % 10000) < rate_bp
+
+
+def hash_sample(ds, rate_bp: int, key: str = "doc_id", salt: str = "sample"):
+    """Keep rows where ``md5int8(salt + ':' + key) % 10000 < rate_bp`` —
+    a deterministic ~rate_bp/10000 sample. Different ``salt`` values give
+    independent samples; the same salt always selects the same rows.
+    SQL: ``('0x' || substr(md5(salt || ':' || key), 1, 8))::BIGINT
+    % 10000 < rate_bp``."""
+    if not 0 <= rate_bp <= 10000:
+        raise ValueError(f"rate_bp must be in [0, 10000], got {rate_bp}")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[_keep_mask(batch[key], rate_bp, salt)]
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=None)
+
+
+def hash_split(ds, val_bp: int, key: str = "doc_id", salt: str = "split"):
+    """Deterministic train/validation split: returns ``(train, val)``
+    datasets partitioned by the same salted hash — every row lands in
+    exactly one side, stable across runs. The two sides are independent
+    lazy pipelines over the same input (each filter is a narrow map)."""
+    if not 0 <= val_bp <= 10000:
+        raise ValueError(f"val_bp must be in [0, 10000], got {val_bp}")
+
+    def val_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[_keep_mask(batch[key], val_bp, salt)]
+
+    def train_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[~_keep_mask(batch[key], val_bp, salt)]
+
+    return (
+        ds.map_batches(train_fn, batch_format="pandas", batch_size=None),
+        ds.map_batches(val_fn, batch_format="pandas", batch_size=None),
+    )
+
+
+def mix_corpora(sources, key: str = "doc_id"):
+    """Training-mix composition: ``sources`` is a list of
+    ``(dataset, rate_bp, salt)`` triples; each source is hash-sampled at
+    its rate and the results are unioned into one stream. Rates are
+    per-source (not normalized): (A, 5000), (B, 10000) keeps ~half of A
+    and all of B. Deterministic end to end; at 100 TB each source stays
+    its own streaming read — no shuffle, no materialization."""
+    sampled = [hash_sample(ds, rate_bp, key, salt) for ds, rate_bp, salt in sources]
+    out = sampled[0]
+    for s in sampled[1:]:
+        out = out.union(s)
+    return out

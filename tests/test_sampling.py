@@ -1,0 +1,53 @@
+"""Deterministic hash sampling / split / mix: reproducibility, disjoint
+split, salt independence."""
+
+import pandas as pd
+import ray.data as rd
+
+from bio_re_with_entity_embeddings_ray.stages import sampling
+
+
+def _docs(n=2000):
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": range(n), "text": [f"doc {i}" for i in range(n)]})
+    )
+
+
+def test_sample_deterministic_and_in_rate_ballpark(ray_session):
+    a = sampling.hash_sample(_docs(), 2500).to_pandas()
+    b = sampling.hash_sample(_docs(), 2500).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # binomial(2000, 0.25): far outside [350, 650] would mean a broken hash
+    assert 350 < len(a) < 650
+
+
+def test_different_salts_give_different_samples(ray_session):
+    a = set(sampling.hash_sample(_docs(), 2500, salt="s1").to_pandas()["doc_id"])
+    b = set(sampling.hash_sample(_docs(), 2500, salt="s2").to_pandas()["doc_id"])
+    assert a != b
+    # independent samples overlap ~ rate^2
+    assert len(a & b) < len(a)
+
+
+def test_split_partitions_every_row_once(ray_session):
+    train, val = sampling.hash_split(_docs(), 1000)
+    t = set(train.to_pandas()["doc_id"])
+    v = set(val.to_pandas()["doc_id"])
+    assert t.isdisjoint(v)
+    assert len(t) + len(v) == 2000
+    assert 120 < len(v) < 290  # ~10%
+
+
+def test_mix_rates(ray_session):
+    full = _docs()
+    mixed = sampling.mix_corpora(
+        [(full, 10000, "a"), (full, 0, "b")]
+    ).to_pandas()
+    assert len(mixed) == 2000  # rate 10000 keeps all, rate 0 keeps none
+
+
+def test_rate_validation(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampling.hash_sample(_docs(), 10001)
