@@ -198,6 +198,16 @@ def bench_minhash(sf_dir: str, replicas: int, num_buckets: int) -> float:
     return time.perf_counter() - t0
 
 
+def bench_curate(sf_dir: str, replicas: int, num_buckets: int) -> float:
+    """Curation composition: quality filter -> hashed exact dedup
+    (digest-only exchange) -> broadcast keep-set filter."""
+    from bio_re_with_entity_embeddings_ray.pipelines.curate import curate
+
+    t0 = time.perf_counter()
+    curate(_corpus(sf_dir, replicas), num_buckets=num_buckets).count()
+    return time.perf_counter() - t0
+
+
 def bench_knn(sf_dir: str) -> float:
     import ray.data as rd
 
@@ -254,6 +264,7 @@ def run_once() -> dict:
         queries.update(
             {
                 "minhash_lsh": round(bench_minhash(sf_dir, replicas, num_buckets), 3),
+                "curate": round(bench_curate(sf_dir, replicas, num_buckets), 3),
                 "knn_topk": round(bench_knn(sf_dir), 3),
                 "tumbling_window": round(bench_window(sf_dir), 3),
             }

@@ -50,14 +50,22 @@ def exact_dedup(docs, num_buckets: int = 64):
     return bucketed_group_apply(pre, "text", local_min, num_buckets)
 
 
-def exact_dedup_hashed(docs, num_buckets: int = 64):
+def exact_dedup_hashed(docs, num_buckets: int = 64, plan: str = "auto"):
     """Scale variant of exact dedup: ship (md5(text), doc_id) through the
-    shuffle instead of full document text. Returns the KEEP SET
+    merge instead of full document text. Returns the KEEP SET
     (doc_id, content_md5) — one row per distinct content, min doc_id —
     which a second broadcast/semi-join pass turns into deduped documents.
     At 100 TB this moves ~40 bytes/doc through the exchange instead of
-    whole documents."""
+    whole documents.
+
+    The merge side goes through ``common.merge_partials`` (min-per-key is
+    associative): a small measured partial set takes the no-shuffle
+    reduction tree (saves the seconds-fixed sort-exchange barrier);
+    billions of distinct contents fall back to the hash-partitioned
+    exchange automatically."""
     import hashlib
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
 
     def local_min(batch: pd.DataFrame) -> pd.DataFrame:
         md5 = hashlib.md5
@@ -73,7 +81,14 @@ def exact_dedup_hashed(docs, num_buckets: int = 64):
         ].min()[["doc_id", "content_md5"]]
 
     pre = docs.map_batches(local_min, batch_format="pandas", batch_size=None)
-    return bucketed_group_apply(pre, "content_md5", merge_min, num_buckets)
+    return merge_partials(
+        pre,
+        "content_md5",
+        merge_min,
+        lambda b: b[["doc_id", "content_md5"]],
+        num_buckets,
+        plan=plan,
+    )
 
 
 def _doc_shingles(batch: pd.DataFrame, k: int) -> pd.DataFrame:

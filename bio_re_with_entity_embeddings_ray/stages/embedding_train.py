@@ -27,6 +27,21 @@ hashing), and by (distinct tags x dim) per block for the combiner — the
 same scaling envelope as the engine's other aggregates. 177k-tag
 reference vocabularies (README.md:55-146) are ~45 MB of partials per
 block at dim=64.
+
+CONFORMANCE NOTE — what diverges from the reference (gensim is absent in
+this environment, and single-node SGD is not a Ray Data primitive):
+- reference: Doc2Vec DBOW, 20 epochs x 1 iteration, 8 threads, window 10,
+  lr 0.01, min_count 4, dims {500..2000} (learn_embeddings.py:36-58,
+  resources/configurations/doc2vec-0500.config) — stochastic (hogwild
+  SGD), vectors differ run to run;
+- here: hashed-PPMI count factorization — deterministic, embarrassingly
+  distributable, same (tag -> dense L2-normalized vector) contract and
+  the same doc2vec_input consumption, but NOT numerically comparable to
+  gensim vectors; no negative sampling, no window (document-level
+  co-occurrence), no min_count pruning, dim is a feature-hash width.
+Downstream consumers (scorer actor pools, kNN, export sinks) are
+representation-agnostic, so swapping in real Doc2Vec vectors trained
+off-platform preserves every pipeline.
 """
 
 from __future__ import annotations

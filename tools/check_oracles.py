@@ -46,6 +46,9 @@ PATHO_QUERIES = {
     "token_counts", "quality_scores", "lang_id", "fingerprints",
     "media_stats", "media_features", "media_frames", "media_resize",
     "pubtator_roundtrip",
+    # round-2 additions
+    "dedup_clusters", "curate", "curate_budget", "curate_neardup",
+    "token_quantiles", "hash_sample", "corpus_mix",
 }
 
 
