@@ -286,6 +286,24 @@ def _q_corpus_mix(sf_dir: str):
     )
 
 
+def _q_cap_per_group(sf_dir: str):
+    """Per-group (synthetic 'domain' = doc_id % 7) cap at 20 docs, chosen
+    by salted hash — the crawl-curation domain-capping operator."""
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.stages import sampling
+
+    quiet_ray_data()
+
+    def grp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "grp": batch["doc_id"] % 7}
+        )
+
+    ds = _docs(sf_dir).map_batches(grp, batch_format="pandas")
+    return sampling.cap_per_group(ds, "grp", 20)
+
+
 def _q_token_quantiles(sf_dir: str):
     """Distributed exact quantiles of the token-count distribution
     (value-histogram combiner; no global sort)."""
@@ -630,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "hash_sample": _q_hash_sample,
         "corpus_mix": _q_corpus_mix,
+        "cap_per_group": _q_cap_per_group,
         # --- multimodal (binary columns; actor-pool decode stages) ---
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
@@ -694,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": oracles.TOKEN_QUANTILES,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,
+        "cap_per_group": oracles.CAP_PER_GROUP,
         "media_stats": oracles.MEDIA_STATS,
         "media_features": oracles.MEDIA_FEATURES,
         "media_frames": oracles.MEDIA_FRAMES,

@@ -728,6 +728,16 @@ UNION ALL
 SELECT doc_id + 1000000 AS doc_id, text FROM documents
 WHERE CAST(('0x' || substr(md5('mixB:' || CAST(doc_id + 1000000 AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 3000"""
 
+# per-group cap (stages/sampling.cap_per_group): keep <= n rows per
+# group by smallest salted key hash, ties by key
+CAP_PER_GROUP = """SELECT doc_id, grp FROM (
+  SELECT doc_id, doc_id % 7 AS grp,
+         row_number() OVER (
+           PARTITION BY doc_id % 7
+           ORDER BY CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
+         ) AS rn
+  FROM documents) WHERE rn <= 20"""
+
 # ------------------------------------------------------- drop_duplicates
 
 DROP_DUPLICATES = """SELECT o_custkey, o_orderkey, price_cents FROM (

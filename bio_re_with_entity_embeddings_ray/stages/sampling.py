@@ -74,3 +74,35 @@ def mix_corpora(sources, key: str = "doc_id"):
     for s in sampled[1:]:
         out = out.union(s)
     return out
+
+
+def cap_per_group(ds, group_col: str, n: int, key: str = "doc_id", salt: str = "cap", num_buckets: int = 32):
+    """Deterministic per-group cap: keep at most ``n`` rows per group,
+    chosen by smallest salted hash of the row key (ties by key) — the
+    "cap documents per domain/source" operator of crawl curation. Being
+    hash-ranked (not first-N-seen) makes the kept subset independent of
+    block order and parallelism, and an unbiased sample of the group.
+
+    One hash exchange keyed by ``group_col``; a per-block combiner first
+    cuts each block's contribution to its local top-n, so a hot group
+    ships n rows per block — never its whole membership. SQL mirror:
+    row_number() OVER (PARTITION BY group ORDER BY md5int8(salt||':'||key), key) <= n.
+    """
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy(deep=False)
+        b["__h"] = md5int8_array([f"{salt}:{k}" for k in b[key].astype(str)])
+        b = b.sort_values(["__h", key], kind="mergesort")
+        return b.groupby(group_col, sort=False).head(n)
+
+    def final_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        return local_top(bucket).drop(columns="__h")
+
+    pre = ds.map_batches(
+        lambda b: local_top(b).drop(columns="__h"),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    return bucketed_group_apply(pre, group_col, final_top, num_buckets)

@@ -68,3 +68,40 @@ def test_curate_neardup_keeps_one_per_cluster():
     )
     out = curate.curate_neardup(docs, num_buckets=2).to_pandas()
     assert sorted(out["doc_id"]) == [0, 2]
+
+
+def _uf_clusters(pairs_df):
+    """Brute-force union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_random_graphs_match_union_find():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        n_nodes = 60
+        n_edges = [20, 60, 150][trial]  # sparse -> dense
+        a = rng.randint(0, n_nodes, n_edges)
+        b = rng.randint(0, n_nodes, n_edges)
+        keep = a != b
+        pairs = pd.DataFrame(
+            {"doc_a": np.minimum(a, b)[keep], "doc_b": np.maximum(a, b)[keep]}
+        )
+        cc = _cc(pairs)
+        got = dict(zip(cc["doc_id"], cc["cluster_id"]))
+        want = _uf_clusters(pairs)
+        assert got == want, f"trial {trial}"

@@ -51,3 +51,27 @@ def test_rate_validation(ray_session):
 
     with pytest.raises(ValueError):
         sampling.hash_sample(_docs(), 10001)
+
+
+def test_cap_per_group_deterministic_and_capped(ray_session):
+    import numpy as np
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(500),
+            "grp": np.arange(500) % 3,  # one hot-ish group per residue
+        }
+    )
+    out1 = sampling.cap_per_group(rd.from_pandas(df), "grp", 10, num_buckets=4).to_pandas()
+    out2 = sampling.cap_per_group(
+        rd.from_pandas(df.sample(frac=1.0, random_state=5)), "grp", 10, num_buckets=4
+    ).to_pandas()
+    # cap respected and selection independent of input row order
+    assert out1.groupby("grp").size().max() == 10
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_cap_per_group_small_groups_untouched(ray_session):
+    df = pd.DataFrame({"doc_id": range(6), "grp": [0, 0, 1, 1, 2, 2]})
+    out = sampling.cap_per_group(rd.from_pandas(df), "grp", 5, num_buckets=2).to_pandas()
+    assert len(out) == 6
