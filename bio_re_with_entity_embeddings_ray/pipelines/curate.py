@@ -38,11 +38,34 @@ def quality_filter(docs, min_tokens: int = 5, min_distinct_bp: int = 3000):
     return docs.map_batches(score_and_filter, batch_format="pandas", batch_size=None)
 
 
+CACHE_MAX_BYTES = 4 << 30  # cache the filtered stream below this input size
+
+
+def _maybe_cache(filtered, docs, cache: str):
+    """Materialize the two-consumer filtered stream, or keep it a
+    recompute-on-demand lineage, per the ``cache`` policy ("auto" decides
+    from the measured input size — Parquet metadata, no execution)."""
+    if cache == "auto":
+        try:
+            nbytes = docs.size_bytes()
+        except Exception:
+            nbytes = None
+        cache = (
+            "cache" if nbytes is not None and nbytes < CACHE_MAX_BYTES else "recompute"
+        )
+    if cache == "cache":
+        return filtered.materialize()
+    if cache != "recompute":
+        raise ValueError(f"unknown cache mode {cache!r}")
+    return filtered
+
+
 def curate(
     docs,
     min_tokens: int = 5,
     min_distinct_bp: int = 3000,
     num_buckets: int = 64,
+    cache: str = "auto",
 ):
     """documents(doc_id, text) -> curated (doc_id, text, n_tokens).
 
@@ -55,16 +78,22 @@ def curate(
     doc_ids come back as a broadcast keep-set (8 B/doc, ``ray.put`` once)
     and the curated output is a second streaming pass over the filtered
     input with a vectorized ``isin``. Shuffle volume is therefore
-    independent of document size. The quality filter is recomputed on the
-    second pass rather than materialized — re-reading beats pinning the
-    whole corpus in the object store. Content identity is md5 (collision
+    independent of document size. Content identity is md5 (collision
     odds ~n^2/2^128 — negligible below ~10^18 docs). Beyond ~10^9
     surviving docs the keep-set outgrows broadcast; switch to a
     co-partitioned semi-join on hash(doc_id) (stages/relational.py J3
     hash plan) — same contract, one extra exchange of 8-byte keys.
+
+    ``cache``: the filtered stream has two consumers (keep-set
+    derivation + final output pass). "recompute" streams the quality
+    filter twice (never pins the corpus — the only sane choice at
+    100 TB); "cache" materializes it once (faster when it fits the
+    object store); "auto" decides from the MEASURED input size
+    (Parquet metadata via ``Dataset.size_bytes()``, cached below
+    ``CACHE_MAX_BYTES``, recompute when big or unknown).
     """
 
-    filtered = quality_filter(docs, min_tokens, min_distinct_bp)
+    filtered = _maybe_cache(quality_filter(docs, min_tokens, min_distinct_bp), docs, cache)
 
     import ray
 
@@ -78,19 +107,15 @@ def curate(
         set(int(i) for i in kdf["doc_id"]) if "doc_id" in kdf.columns else set()
     )
 
-    class KeepFilter:
-        def __init__(self, ref):
-            self.keep = ray.get(ref)
+    # task pool, not actor pool: ray.get of the broadcast keep-set is
+    # deserialized once per WORKER PROCESS (Ray caches gets of the same
+    # ref), so tasks get actor-init economics with elastic parallelism
+    # and no actor ramp-up
+    def keep_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        keep_set = ray.get(ref)
+        return batch[batch["doc_id"].isin(keep_set)]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["doc_id"].isin(self.keep)]
-
-    return filtered.map_batches(
-        KeepFilter,
-        fn_constructor_args=(ref,),
-        batch_format="pandas",
-        concurrency=(1, 8),
-    )
+    return filtered.map_batches(keep_fn, batch_format="pandas", batch_size=None)
 
 
 def curate_neardup(
@@ -99,6 +124,7 @@ def curate_neardup(
     min_distinct_bp: int = 3000,
     num_buckets: int = 64,
     k: int = 3,
+    cache: str = "auto",
 ):
     """Near-dup curation: quality filter -> MinHash-LSH star pairs ->
     connected components -> keep only each cluster's representative
@@ -117,7 +143,7 @@ def curate_neardup(
 
     from bio_re_with_entity_embeddings_ray.stages import dedup
 
-    filtered = quality_filter(docs, min_tokens, min_distinct_bp)
+    filtered = _maybe_cache(quality_filter(docs, min_tokens, min_distinct_bp), docs, cache)
     pairs = dedup.minhash_lsh_pairs(filtered, k=k, num_buckets=num_buckets, star=True)
     cc = dedup.connected_components(pairs, num_buckets)
 
@@ -127,19 +153,12 @@ def curate_neardup(
     drop_df = cc.map_batches(non_reps, batch_format="pandas", batch_size=None).to_pandas()
     ref = ray.put(set(int(i) for i in drop_df["doc_id"]) if len(drop_df) else set())
 
-    class DropFilter:
-        def __init__(self, ref):
-            self.drop = ray.get(ref)
+    # task pool with per-worker-cached broadcast drop-set (see curate)
+    def drop_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(ref)
+        return batch[~batch["doc_id"].isin(drop)]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[~batch["doc_id"].isin(self.drop)]
-
-    return filtered.map_batches(
-        DropFilter,
-        fn_constructor_args=(ref,),
-        batch_format="pandas",
-        concurrency=(1, 8),
-    )
+    return filtered.map_batches(drop_fn, batch_format="pandas", batch_size=None)
 
 
 def token_budget(curated):

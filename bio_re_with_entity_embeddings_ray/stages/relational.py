@@ -290,6 +290,12 @@ def hopping_window(events, width_s: int = 3600, hop_s: int = 1800):
     event lands in width_s/hop_s overlapping windows (flat-map 1->N window
     assignment inside the batch, then the same partial+merge as tumbling).
     Returns (event_type, window_start, n, value_cents)."""
+    if width_s % hop_s != 0 or width_s <= 0 or hop_s <= 0:
+        raise ValueError(
+            f"hopping_window: width_s ({width_s}) must be a positive "
+            f"multiple of hop_s ({hop_s}) — the hop-aligned window-start "
+            "enumeration assumes width/hop windows cover each event"
+        )
     n_win = width_s // hop_s
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:

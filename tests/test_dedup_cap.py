@@ -54,3 +54,11 @@ def test_capped_dups_still_pass_jaccard_threshold(ray_session):
         (2 * p, 2 * p + 1) for p in range(4)
     }
     assert (out["inter"] == 6).all() and (out["size_a"] == 7).all()
+
+
+def test_simhash_max_hamming_guard(ray_session):
+    import pytest
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a b c"]}))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dup_pairs(docs, max_hamming=4)

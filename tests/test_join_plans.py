@@ -58,3 +58,11 @@ def test_auto_flips_to_hash_when_keys_exceed_cap(ray_session):
         .sort_values("c_custkey")
     )
     assert list(out["c_custkey"]) == [1, 2, 5]
+
+
+def test_hopping_window_rejects_non_multiple_hop(ray_session):
+    ev = rd.from_pandas(
+        pd.DataFrame({"event_type": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "value": [1.0]})
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        relational.hopping_window(ev, width_s=3600, hop_s=1000)
