@@ -24,6 +24,44 @@ def _load_matrix(emb_pdf: pd.DataFrame, id_col: str = "vec_id", vec_col: str = "
     return ids, M
 
 
+def _rowwise_topk(qids: np.ndarray, ids: np.ndarray, sims: np.ndarray, k: int) -> pd.DataFrame:
+    """Exact per-query top-k over a (n_queries, n_candidates) similarity
+    matrix with the oracle tie order (sim DESC, nid ASC), fully
+    vectorized across queries: columns are pre-sorted by neighbor id
+    once, then a STABLE row-wise argsort on -sim preserves the id order
+    among sim ties — equivalent to a per-query lexsort((nid, -sim)) with
+    no Python loop over queries (the per-query loop was the ST5 scale
+    ceiling for large query sets). Self-matches (ids == qid) and
+    ``sims == -inf`` cells (callers mask out-of-bucket candidates that
+    way) are excluded."""
+    if sims.shape[1] == 0 or len(qids) == 0:
+        return pd.DataFrame(
+            {
+                "qid": np.array([], dtype=np.int64),
+                "nid": np.array([], dtype=np.int64),
+                "sim": np.array([], dtype=np.float64),
+            }
+        )
+    sims = np.where(ids[None, :] == qids[:, None], -np.inf, sims)
+    col_order = np.argsort(ids, kind="stable")
+    s2 = sims[:, col_order]
+    ord2 = np.argsort(-s2, axis=1, kind="stable")[:, :k]
+    top_cols = col_order[ord2]  # (q, k') positions into ids
+    top_sims = np.take_along_axis(s2, ord2, axis=1)
+    kk = ord2.shape[1]
+    q_idx = np.repeat(np.arange(len(qids)), kk)
+    flat_cols = top_cols.reshape(-1)
+    flat_sims = top_sims.reshape(-1)
+    keep = np.isfinite(flat_sims)
+    return pd.DataFrame(
+        {
+            "qid": qids[q_idx[keep]].astype(np.int64),
+            "nid": ids[flat_cols[keep]].astype(np.int64),
+            "sim": flat_sims[keep],
+        }
+    )
+
+
 def knn_topk(emb, n_queries: int = 5, k: int = 10, num_buckets: int = 16):
     """Brute-force cosine top-k: queries = vec_id < n_queries (broadcast),
     corpus streamed in batches. Returns (qid, nid, rank), rank 1..k,
@@ -54,25 +92,7 @@ def knn_topk(emb, n_queries: int = 5, k: int = 10, num_buckets: int = 16):
             M = np.array(batch["embedding"].tolist(), dtype=np.float64)
             M /= np.linalg.norm(M, axis=1, keepdims=True)
             sims = self.Q @ M.T  # (q, b)
-            qcol, ncol, scol = [], [], []
-            for qi in range(len(self.qids)):
-                s = sims[qi]
-                cand_idx = np.flatnonzero(ids != self.qids[qi])
-                # exact per-batch cut with the oracle's tie order
-                # (sim DESC, nid ASC) — an argpartition cut can drop a
-                # sim-tied candidate with a smaller nid
-                order = np.lexsort((ids[cand_idx], -s[cand_idx]))
-                top = cand_idx[order[:k]]
-                qcol.append(np.full(len(top), self.qids[qi], dtype=np.int64))
-                ncol.append(ids[top].astype(np.int64))
-                scol.append(s[top])
-            return pd.DataFrame(
-                {
-                    "qid": np.concatenate(qcol) if qcol else np.array([], dtype=np.int64),
-                    "nid": np.concatenate(ncol) if ncol else np.array([], dtype=np.int64),
-                    "sim": np.concatenate(scol) if scol else np.array([], dtype=np.float64),
-                }
-            )
+            return _rowwise_topk(self.qids, ids, sims, k)
 
     partial = emb.map_batches(
         PartialTopK,
@@ -195,32 +215,13 @@ def ivf_search(
             M = np.array(batch["embedding"].tolist(), dtype=np.float64)
             M /= np.linalg.norm(M, axis=1, keepdims=True)
             cent = self.cids[(M @ self.C.T).argmax(axis=1)]
-            qcol, ncol, scol = [], [], []
-            for qi, (qid, probes) in enumerate(zip(self.qids, self.q_cent)):
-                in_bucket = np.flatnonzero(np.isin(cent, probes) & (ids != qid))
-                if len(in_bucket) == 0:
-                    continue
-                s = M[in_bucket] @ self.Q[qi]
-                order = np.lexsort((ids[in_bucket], -s))
-                top = in_bucket[order[:k]]
-                qcol.append(np.full(len(top), qid, dtype=np.int64))
-                ncol.append(ids[top].astype(np.int64))
-                scol.append(s[order[:k]])
-            if not qcol:
-                return pd.DataFrame(
-                    {
-                        "qid": np.array([], dtype=np.int64),
-                        "nid": np.array([], dtype=np.int64),
-                        "sim": np.array([], dtype=np.float64),
-                    }
-                )
-            return pd.DataFrame(
-                {
-                    "qid": np.concatenate(qcol),
-                    "nid": np.concatenate(ncol),
-                    "sim": np.concatenate(scol),
-                }
-            )
+            sims = self.Q @ M.T  # (q, b)
+            # out-of-bucket candidates -> -inf (dropped by _rowwise_topk);
+            # the (q, b, n_probe) comparison is bool and bounded by the
+            # batch size knob
+            in_bucket = (cent[None, :, None] == self.q_cent[:, None, :]).any(axis=2)
+            sims = np.where(in_bucket, sims, -np.inf)
+            return _rowwise_topk(self.qids, ids, sims, k)
 
     partial = emb.map_batches(
         BucketTopK,
