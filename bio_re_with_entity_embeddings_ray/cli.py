@@ -37,9 +37,58 @@ def _write(ds, path: str) -> int:
 def cmd_kg(args) -> dict:
     from bio_re_with_entity_embeddings_ray.pipelines import kg
 
-    return kg.full_pipeline(
-        args.sf_dir, args.out, num_buckets=args.num_buckets, embedding_dim=args.dim
+    mentions = None
+    summary: dict = {}
+    if args.checkpoint_dir:
+        # resumable mention extraction: the expensive scan is committed
+        # per conv_id-hash partition (Parquet + lineage); a rerun skips
+        # committed partitions and the aggregates read the committed
+        # tables — the reference's crawl-resume story lifted to the
+        # engine's partition granularity (state/checkpoint.py)
+        import ray.data as rd
+
+        from bio_re_with_entity_embeddings_ray.sources.transcripts import (
+            derive_transcripts,
+        )
+        from bio_re_with_entity_embeddings_ray.stages.mentions import scan_mentions
+        from bio_re_with_entity_embeddings_ray.state import checkpoint
+
+        records = checkpoint.run_checkpointed(
+            lambda: derive_transcripts(args.sf_dir),
+            lambda ds: scan_mentions(ds, include_tool=True),
+            args.checkpoint_dir,
+            key="conv_id",
+            num_partitions=args.num_buckets,
+            input_fingerprint=args.sf_dir,
+        )
+        import os
+
+        part_dirs = [
+            os.path.join(args.checkpoint_dir, d)
+            for d in sorted(os.listdir(args.checkpoint_dir))
+            if d.startswith("part=")
+        ]
+        # read_parquet wants files when given a list — enumerate each
+        # committed partition's parquet files
+        files = [
+            os.path.join(pd_, f)
+            for pd_ in part_dirs
+            for f in sorted(os.listdir(pd_))
+            if f.endswith(".parquet")
+        ]
+        mentions = rd.read_parquet(files)
+        summary["reused_partitions"] = sum(1 for r in records if r["reused"])
+        summary["computed_partitions"] = sum(1 for r in records if not r["reused"])
+    summary.update(
+        kg.full_pipeline(
+            args.sf_dir,
+            args.out,
+            num_buckets=args.num_buckets,
+            embedding_dim=args.dim,
+            mentions=mentions,
+        )
     )
+    return summary
 
 
 def cmd_curate(args) -> dict:
@@ -84,6 +133,11 @@ def build_parser() -> argparse.ArgumentParser:
     kg.add_argument("--out", required=True)
     kg.add_argument("--num-buckets", type=int, default=16)
     kg.add_argument("--dim", type=int, default=32)
+    kg.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="commit mention extraction per partition here; reruns resume",
+    )
     kg.set_defaults(fn=cmd_kg)
 
     cur = sub.add_parser("curate", help="corpus curation -> curated Parquet")

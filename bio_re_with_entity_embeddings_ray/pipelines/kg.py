@@ -75,6 +75,7 @@ def full_pipeline(
     out_dir: str,
     num_buckets: int = 16,
     embedding_dim: int = 32,
+    mentions=None,
 ) -> dict:
     """The complete E1+E2+E3 composition (SURVEY.md §3) with Parquet
     artifacts — what a reference user runs instead of the three CLI entry
@@ -93,10 +94,15 @@ def full_pipeline(
     )
     from bio_re_with_entity_embeddings_ray.stages.scoring import score_triples_with
 
+    from bio_re_with_entity_embeddings_ray.stages.pairs import adjacency_index
+
     ts = derive_transcripts(sf_dir)
-    # scan ONCE: three consumers (conv2entity, entity2conv, triples) would
-    # otherwise each re-run derivation + the gazetteer scan from scratch
-    mentions = scan_mentions(ts, include_tool=True).materialize()
+    if mentions is None:
+        # scan ONCE: three consumers (conv2entity, entity2conv, triples)
+        # would otherwise each re-run derivation + the gazetteer scan
+        mentions = scan_mentions(ts, include_tool=True).materialize()
+    # else: caller supplies committed mentions (e.g. the CLI's
+    # checkpoint-resumable extraction, cli.cmd_kg)
 
     counts: dict[str, int] = {}
     c2e = conv2entity(mentions, num_buckets)
@@ -108,6 +114,7 @@ def full_pipeline(
     ).materialize()
     trip = triples(mentions, "op", "res", "applies_to", num_buckets).materialize()
     scored = score_triples_with(trip, emb)
+    adjacency = adjacency_index(adjacency_edges(trip), num_buckets)
 
     import shutil
 
@@ -117,6 +124,7 @@ def full_pipeline(
         "doc2vec_input": d2v,
         "embeddings": emb,
         "scored": scored,
+        "adjacency": adjacency,
     }.items():
         # write_parquet APPENDS into an existing directory; a re-run must
         # replace the artifact, not double it (resumable partial-run skips

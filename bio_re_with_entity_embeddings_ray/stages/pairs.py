@@ -349,14 +349,17 @@ def adjacency_index(edges_ds, num_buckets: int = 16):
             ["entity_id", "neighbor_id", "pred"], kind="mergesort"
         )
         ents: list[str] = []
-        nbrs: list[np.ndarray] = []
+        nbrs: list[list[dict]] = []
         for eid, g in b.groupby("entity_id", sort=False):
             ents.append(eid)
-            recs = [
-                {"neighbor_id": n, "pred": p, "weight": int(w)}
-                for n, p, w in zip(g["neighbor_id"], g["pred"], g["weight"])
-            ]
-            nbrs.append(np.array(recs, dtype=object))
+            # plain lists of dicts: Arrow infers list<struct<...>> for the
+            # Parquet sink (numpy object arrays are not convertible)
+            nbrs.append(
+                [
+                    {"neighbor_id": n, "pred": p, "weight": int(w)}
+                    for n, p, w in zip(g["neighbor_id"], g["pred"], g["weight"])
+                ]
+            )
         return pd.DataFrame({"entity_id": ents, "neighbors": nbrs})
 
     return bucketed_group_apply(edges_ds, "entity_id", build, num_buckets)

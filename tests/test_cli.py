@@ -49,3 +49,22 @@ def test_cli_pipeline(ray_session, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] > 0
+
+
+def test_cli_kg_checkpointed_resume(ray_session, tmp_path, capsys):
+    ckpt = str(tmp_path / "ckpt")
+    args = [
+        "kg", "--sf-dir", SF, "--out", str(tmp_path / "kg1"),
+        "--num-buckets", "4", "--checkpoint-dir", ckpt,
+    ]
+    assert cli.main(args) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["computed_partitions"] == 4 and first["reused_partitions"] == 0
+
+    args[4] = str(tmp_path / "kg2")
+    assert cli.main(args) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["reused_partitions"] == 4 and second["computed_partitions"] == 0
+    # resumed run produces identical artifacts
+    for key in ("nodes", "triples", "scored", "adjacency"):
+        assert second[key] == first[key]

@@ -62,14 +62,18 @@ def test_export_roundtrip(tmp_path):
 
 
 def test_full_pipeline_artifacts(tmp_path):
-    """E1+E2+E3 composition writes all five Parquet artifact tables and the
-    learned-embedding scorer attaches scores to every triple."""
+    """E1+E2+E3 composition writes all six Parquet artifact tables (incl.
+    the nested adjacency index) and the learned-embedding scorer attaches
+    scores to every triple."""
     from bio_re_with_entity_embeddings_ray.pipelines import kg
 
     counts = kg.full_pipeline(
         "/root/testdata/sf0.001", str(tmp_path / "kg"), num_buckets=4, embedding_dim=16
     )
-    assert set(counts) == {"nodes", "triples", "doc2vec_input", "embeddings", "scored"}
+    assert set(counts) == {
+        "nodes", "triples", "doc2vec_input", "embeddings", "scored", "adjacency"
+    }
+    assert counts["adjacency"] > 0
     assert counts["scored"] == counts["triples"] > 0
     assert counts["embeddings"] > 0
     scored = rd.read_parquet(str(tmp_path / "kg" / "scored")).to_pandas()
