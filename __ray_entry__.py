@@ -336,6 +336,15 @@ def _q_dedup_clusters(sf_dir: str):
     return dedup.connected_components(pairs, _NB)
 
 
+def _q_dedup_clusters_actors(sf_dir: str):
+    """Same cluster resolution through the shard-actor engine
+    (stages/cc_actors.py: edges loaded once, only label minima exchanged
+    per round) — same oracle as dedup_clusters."""
+    quiet_ray_data()
+    pairs = dedup.minhash_lsh_pairs(_corpus(sf_dir), k=3, num_buckets=_NB, star=True)
+    return dedup.connected_components(pairs, _NB, method="actors")
+
+
 def _q_curate_neardup(sf_dir: str):
     """End-to-end near-dup curation: quality filter -> LSH clusters ->
     keep one representative per cluster."""
@@ -634,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,
         "curate_budget": _q_curate_budget,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_actors": _q_dedup_clusters_actors,
         "curate_neardup": _q_curate_neardup,
         # --- similarity search ---
         "knn_topk": _q_knn,
@@ -701,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "curate": oracles.CURATE,
         "curate_budget": oracles.CURATE_BUDGET,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,
+        "dedup_clusters_actors": oracles.DEDUP_CLUSTERS,
         "curate_neardup": oracles.CURATE_NEARDUP,
         "knn_topk": oracles.KNN_TOPK,
         "ivf_assign": oracles.IVF_ASSIGN,

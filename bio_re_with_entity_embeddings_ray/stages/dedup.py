@@ -321,11 +321,21 @@ def minhash_lsh_pairs(docs, k: int = 3, num_buckets: int = 64, star: bool = Fals
     return bucketed_group_apply(partial, ["doc_a", "doc_b"], distinct, num_buckets)
 
 
-def connected_components(pairs, num_buckets: int = 64, max_iters: int = 64):
+def connected_components(
+    pairs, num_buckets: int = 64, max_iters: int = 64, method: str = "dataset"
+):
     """Near-dup cluster resolution: (doc_a, doc_b) pair table ->
     (doc_id, cluster_id) with cluster_id = the MINIMUM doc_id reachable
     (the component representative). Only docs appearing in >= 1 pair are
     emitted; isolated docs are implicitly their own cluster.
+
+    ``method="dataset"`` (default): pure Ray Data label propagation —
+    re-ships the edge list through the exchange each round, the right
+    trade for the 2-3-round near-star graphs LSH emits.
+    ``method="actors"``: shard-actor variant (stages/cc_actors.py) that
+    loads edge partitions ONCE and exchanges only label minima per round
+    — the scale path for deeper graphs; equality-tested against this
+    implementation.
 
     Distributed min-label propagation: each round every node's current
     label flows to its neighbors through a hash-partitioned exchange and
@@ -343,6 +353,16 @@ def connected_components(pairs, num_buckets: int = 64, max_iters: int = 64):
     (utils/pandas_utils.py:109-120) lifted to near-dup equivalence. Oracle:
     recursive-CTE transitive closure (oracles.DEDUP_CLUSTERS).
     """
+    if method == "actors":
+        from bio_re_with_entity_embeddings_ray.stages.cc_actors import (
+            connected_components_actors,
+        )
+
+        return connected_components_actors(
+            pairs, num_shards=max(2, num_buckets // 8), max_iters=max_iters
+        )
+    if method != "dataset":
+        raise ValueError(f"unknown connected_components method {method!r}")
 
     def sym(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["doc_a"].to_numpy()

@@ -105,3 +105,39 @@ def test_random_graphs_match_union_find():
         got = dict(zip(cc["doc_id"], cc["cluster_id"]))
         want = _uf_clusters(pairs)
         assert got == want, f"trial {trial}"
+
+
+def test_actor_cc_matches_dataset_cc(ray_session):
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_ray.stages import cc_actors
+
+    rng = np.random.RandomState(23)
+    for n_edges in (15, 120):
+        a = rng.randint(0, 50, n_edges)
+        b = rng.randint(0, 50, n_edges)
+        keep = a != b
+        pairs = pd.DataFrame(
+            {"doc_a": np.minimum(a, b)[keep], "doc_b": np.maximum(a, b)[keep]}
+        )
+        ds_out = _cc(pairs)
+        actor_out = cc_actors.connected_components_actors(
+            rd.from_pandas(pairs), num_shards=4
+        )
+        pd.testing.assert_frame_equal(
+            ds_out[["doc_id", "cluster_id"]], actor_out, check_dtype=False
+        )
+
+
+def test_actor_cc_chain_and_empty(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages import cc_actors
+
+    chain = pd.DataFrame({"doc_a": range(19), "doc_b": range(1, 20)})
+    out = cc_actors.connected_components_actors(rd.from_pandas(chain), num_shards=3)
+    assert set(out["cluster_id"]) == {0} and len(out) == 20
+
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+    )
+    out = cc_actors.connected_components_actors(rd.from_pandas(empty), num_shards=2)
+    assert len(out) == 0
