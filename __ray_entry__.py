@@ -286,6 +286,22 @@ def _q_corpus_mix(sf_dir: str):
     )
 
 
+def _q_hash_split_train(sf_dir: str):
+    from bio_re_with_entity_embeddings_ray.stages import sampling
+
+    quiet_ray_data()
+    train, _ = sampling.hash_split(_docs(sf_dir), val_bp=1000)
+    return train
+
+
+def _q_hash_split_val(sf_dir: str):
+    from bio_re_with_entity_embeddings_ray.stages import sampling
+
+    quiet_ray_data()
+    _, val = sampling.hash_split(_docs(sf_dir), val_bp=1000)
+    return val
+
+
 def _q_cap_per_group(sf_dir: str):
     """Per-group (synthetic 'domain' = doc_id % 7) cap at 20 docs, chosen
     by salted hash — the crawl-curation domain-capping operator."""
@@ -659,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "corpus_mix": _q_corpus_mix,
         "cap_per_group": _q_cap_per_group,
+        "hash_split_train": _q_hash_split_train,
+        "hash_split_val": _q_hash_split_val,
         # --- multimodal (binary columns; actor-pool decode stages) ---
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
@@ -725,6 +743,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,
         "cap_per_group": oracles.CAP_PER_GROUP,
+        "hash_split_train": oracles.HASH_SPLIT_TRAIN,
+        "hash_split_val": oracles.HASH_SPLIT_VAL,
         "media_stats": oracles.MEDIA_STATS,
         "media_features": oracles.MEDIA_FEATURES,
         "media_frames": oracles.MEDIA_FRAMES,

@@ -721,6 +721,12 @@ FROM __v v JOIN __norm n ON n.tag = v.tag"""
 HASH_SAMPLE = """SELECT doc_id, text FROM documents
 WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 2500"""
 
+_SPLIT_HASH = (
+    "CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+)
+HASH_SPLIT_TRAIN = f"SELECT doc_id, text FROM documents WHERE {_SPLIT_HASH} >= 1000"
+HASH_SPLIT_VAL = f"SELECT doc_id, text FROM documents WHERE {_SPLIT_HASH} < 1000"
+
 # mix: 70% of documents (salt mixA) ∪ 30% of the +1M shifted copy (salt mixB)
 CORPUS_MIX = """SELECT doc_id, text FROM documents
 WHERE CAST(('0x' || substr(md5('mixA:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 7000
