@@ -137,7 +137,10 @@ def entity2conv(
 
 
 def entity2conv_bucketed(
-    mentions, num_buckets: int = 64, assume_unsplit_blocks: bool = False
+    mentions,
+    num_buckets: int = 64,
+    assume_unsplit_blocks: bool = False,
+    merge_plan: str = "auto",
 ):
     """Scale path for hot entities: bucketed provenance + payload-free
     exact support (same design and block-split robustness as
@@ -184,7 +187,7 @@ def entity2conv_bucketed(
     if assume_unsplit_blocks:
         provenance = interior.materialize()
         counts = provenance.select_columns(["entity_id", "entity_type", "n_convs"])
-        return _merge_entity_counts(counts, num_buckets), provenance
+        return _merge_entity_counts(counts, num_buckets, merge_plan), provenance
     bnd = mentions.map_batches(boundary_rows, batch_format="pandas", batch_size=None)
     bnd_prov = entity2conv(bnd, num_buckets).map_batches(
         lambda b: pd.DataFrame(
@@ -200,10 +203,10 @@ def entity2conv_bucketed(
     )
     provenance = interior.union(bnd_prov).materialize()
     counts = provenance.select_columns(["entity_id", "entity_type", "n_convs"])
-    return _merge_entity_counts(counts, num_buckets), provenance
+    return _merge_entity_counts(counts, num_buckets, merge_plan), provenance
 
 
-def _merge_entity_counts(counts, num_buckets: int):
+def _merge_entity_counts(counts, num_buckets: int, plan: str = "auto"):
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(["entity_id", "entity_type"], sort=False)["n_convs"].sum()
         return g.reset_index()
@@ -214,7 +217,7 @@ def _merge_entity_counts(counts, num_buckets: int):
         return out
 
     return merge_partials(
-        counts, ["entity_id", "entity_type"], combine, finalize, num_buckets
+        counts, ["entity_id", "entity_type"], combine, finalize, num_buckets, plan=plan
     )
 
 

@@ -198,6 +198,7 @@ def triples_bucketed(
     pred: str,
     num_buckets: int = 64,
     assume_unsplit_blocks: bool = False,
+    merge_plan: str = "auto",
 ):
     """Scale path for HOT pairs (SURVEY.md §7.3: cap/stream giant groups,
     support counts + bucketed provenance).
@@ -298,7 +299,7 @@ def triples_bucketed(
         )
 
     edges = merge_partials(
-        counts, ["subj_id", "obj_id"], combine, finalize, num_buckets
+        counts, ["subj_id", "obj_id"], combine, finalize, num_buckets, plan=merge_plan
     )
     return edges, provenance
 
