@@ -257,6 +257,18 @@ def _q_fingerprints(sf_dir: str):
     return textstats.fingerprints(_docs(sf_dir))
 
 
+def _q_token_quantiles_by_lang(sf_dir: str):
+    """Per-group exact quantiles: token-count distribution per predicted
+    language (one narrow map + one group-keyed exchange of count rows)."""
+    quiet_ray_data()
+    lt = textstats.lang_and_tokens(_docs(sf_dir)).select_columns(
+        ["pred_lang", "n_tokens"]
+    )
+    return textstats.exact_quantiles_by(
+        lt, "pred_lang", "n_tokens", [2500, 5000, 7500]
+    )
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic salted-hash 25% sample of the documents table."""
     from bio_re_with_entity_embeddings_ray.stages import sampling
@@ -672,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "token_quantiles": _q_token_quantiles,
+        "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "hash_sample": _q_hash_sample,
         "corpus_mix": _q_corpus_mix,
         "cap_per_group": _q_cap_per_group,
@@ -740,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.LANG_ID,
         "fingerprints": oracles.FINGERPRINTS,
         "token_quantiles": oracles.TOKEN_QUANTILES,
+        "token_quantiles_by_lang": oracles.TOKEN_QUANTILES_BY_LANG,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,
         "cap_per_group": oracles.CAP_PER_GROUP,

@@ -412,6 +412,26 @@ SELECT q.q_bp,
         WHERE rn = GREATEST(1, (q.q_bp * (SELECT n FROM __n) + 9999) // 10000)) AS value
 FROM __q q"""
 
+# per-group exact quantiles (textstats.exact_quantiles_by) grouped by the
+# lang-ID heuristic — same integer position rule, within each group
+TOKEN_QUANTILES_BY_LANG = """WITH __d AS (
+  SELECT CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+              WHEN list_contains(string_split(text, ' '), 'le') THEN 'fr'
+              WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+              WHEN list_contains(string_split(text, ' '), 'el') THEN 'es'
+              ELSE 'und' END AS pred_lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+__n AS (SELECT pred_lang, count(*) AS n FROM __d GROUP BY 1),
+__r AS (SELECT pred_lang, v, row_number() OVER (PARTITION BY pred_lang ORDER BY v) AS rn FROM __d),
+__q AS (SELECT CAST(unnest([2500, 5000, 7500]) AS BIGINT) AS q_bp)
+SELECT n.pred_lang, q.q_bp, r.v AS value
+FROM __q q
+CROSS JOIN __n n
+JOIN __r r ON r.pred_lang = n.pred_lang
+          AND r.rn = GREATEST(1, (q.q_bp * n.n + 9999) // 10000)"""
+
 CURATE = f"""WITH {_CORPUS},
 __q AS (
   SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,

@@ -170,3 +170,68 @@ def exact_quantiles(ds, col: str, qs_bp: list[int], num_buckets: int = 16):
             "value": pd.Series(out_v, dtype="int64"),
         }
     )
+
+
+def lang_and_tokens(docs):
+    """(doc_id, pred_lang, n_tokens) in ONE narrow map — both are pure
+    functions of text, so computing them together avoids the doc_id join
+    a lang_id ⋈ token_counts composition would need."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        sets = toks.map(set)
+        pred = pd.Series(["und"] * len(batch), index=batch.index)
+        assigned = pd.Series([False] * len(batch), index=batch.index)
+        for marker, lang in LANG_MARKERS:
+            hit = sets.map(lambda t, m=marker: m in t) & ~assigned
+            pred[hit] = lang
+            assigned |= hit
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pred,
+                "n_tokens": toks.str.len().astype("int64"),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def exact_quantiles_by(ds, group_col: str, col: str, qs_bp: list[int], num_buckets: int = 16):
+    """Distributed EXACT per-group quantiles of an integer metric:
+    (group, q_bp, value) with the same position definition as
+    :func:`exact_quantiles` (1-based ceil(q*n/10000), ascending order),
+    applied within each group.
+
+    Scale shape: per-block (group, value) count combiner, then ONE hash
+    exchange keyed by group — each bucket computes its groups' cumulative
+    histograms vectorized. Exchange volume is (groups x distinct values)
+    count rows, independent of row count. Fully distributed end to end
+    (no driver-side collection, unlike the global exact_quantiles whose
+    final table is a single cumsum)."""
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    qs = sorted(set(int(q) for q in qs_bp))
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby([group_col, col]).size().reset_index(name="cnt")
+
+    partials = ds.map_batches(local_counts, batch_format="pandas", batch_size=None)
+
+    def per_group(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        c = bucket.groupby([group_col, col], as_index=False)["cnt"].sum()
+        for grp, g in c.groupby(group_col, sort=False):
+            g = g.sort_values(col)
+            cum = g["cnt"].cumsum().to_numpy()
+            vals = g[col].to_numpy()
+            n = int(cum[-1])
+            for q in qs:
+                pos = max(1, -(-q * n // 10000))
+                rows.append((grp, q, int(vals[np.searchsorted(cum, pos)])))
+        out = pd.DataFrame(rows, columns=[group_col, "q_bp", "value"])
+        out["q_bp"] = out["q_bp"].astype("int64")
+        out["value"] = out["value"].astype("int64")
+        return out
+
+    return bucketed_group_apply(partials, group_col, per_group, num_buckets)
