@@ -109,6 +109,17 @@ def connected_components_actors(pairs, num_shards: int = 8, max_iters: int = 64)
 
     CCShard = _shard_class()
     shards = [CCShard.remote(i, num_shards) for i in range(num_shards)]
+    try:
+        return _run(pairs, shards, num_shards, max_iters)
+    finally:
+        # actors must not outlive the call, success or failure
+        for s in shards:
+            ray.kill(s)
+
+
+def _run(pairs, shards, num_shards: int, max_iters: int) -> pd.DataFrame:
+    import ray
+
     ray.get([s.set_peers.remote(shards) for s in shards])
 
     # distributed load: each map task routes its batch's half-edges to the
@@ -143,8 +154,6 @@ def connected_components_actors(pairs, num_shards: int = 8, max_iters: int = 64)
         )
 
     parts = ray.get([s.result.remote() for s in shards])
-    for s in shards:
-        ray.kill(s)
     nodes = np.concatenate([p[0] for p in parts]) if parts else np.array([], dtype=np.int64)
     labels = np.concatenate([p[1] for p in parts]) if parts else np.array([], dtype=np.int64)
     out = pd.DataFrame({"doc_id": nodes, "cluster_id": labels}).sort_values(
