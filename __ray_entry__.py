@@ -578,6 +578,29 @@ def _q_rel_rekey_union(sf_dir: str):
     return relational.rekey_grouped_union(cust, nation)
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join: each event matched to the user's latest prior 'signup'
+    event (co-partitioned merge_asof; DuckDB native ASOF JOIN oracle)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return relational.asof_join_events(ev, "signup")
+
+
+def _q_range_join(sf_dir: str):
+    """Range (interval) join: orders binned into broadcast price bands."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    return relational.range_join_orders(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    )
+
+
 def _q_window_tumbling(sf_dir: str):
     import ray.data as rd
 
@@ -705,6 +728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_anti_join": _q_rel_anti_join,
         "rel_top_n_per_group": _q_rel_top_n_per_group,
         "rel_rekey_union": _q_rel_rekey_union,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "window_tumbling": _q_window_tumbling,
         "window_hopping": _q_window_hopping,
         "sessionize": _q_sessionize,
@@ -776,6 +801,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_anti_join": oracles.REL_ANTI_JOIN,
         "rel_top_n_per_group": oracles.REL_TOP_N_PER_GROUP,
         "rel_rekey_union": oracles.REL_REKEY_UNION,
+        "asof_join": oracles.ASOF_JOIN,
+        "range_join": oracles.RANGE_JOIN,
         "window_tumbling": oracles.WINDOW_TUMBLING,
         "window_hopping": oracles.WINDOW_HOPPING,
         "sessionize": oracles.SESSIONIZE,

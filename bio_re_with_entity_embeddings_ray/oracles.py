@@ -544,6 +544,37 @@ SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM (
   SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
   FROM scored) WHERE rnk <= 5"""
 
+# as-of join (stages/relational.asof_join_events): DuckDB's native ASOF
+# LEFT JOIN is the oracle; the right side is pre-deduped per (user, epoch)
+# keeping max event_id so ties are deterministic on both sides
+ASOF_JOIN = """WITH __l AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events
+),
+__rd AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         max(event_id) AS ref_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+)
+SELECT l.event_id,
+       CAST(COALESCE(r.ref_event_id, -1) AS BIGINT) AS ref_event_id,
+       CAST(COALESCE(l.epoch - r.epoch, -1) AS BIGINT) AS lag_s
+FROM __l l ASOF LEFT JOIN __rd r
+  ON l.user_id = r.user_id AND l.epoch >= r.epoch"""
+
+
+def _range_join_sql() -> str:
+    from bio_re_with_entity_embeddings_ray.stages.relational import PRICE_BANDS
+
+    rows = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+    return f"""SELECT o.o_orderkey, CAST(b.band_id AS BIGINT) AS band_id
+FROM orders o
+JOIN (VALUES {rows}) b(band_id, lo, hi)
+  ON CAST(round(o.o_totalprice * 100) AS BIGINT) // 100 >= b.lo
+ AND CAST(round(o.o_totalprice * 100) AS BIGINT) // 100 < b.hi"""
+
+
+RANGE_JOIN = _range_join_sql()
+
 WINDOW_TUMBLING = """WITH e AS (
   SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
          CAST(round(value * 100) AS BIGINT) AS cents

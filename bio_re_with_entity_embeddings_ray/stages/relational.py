@@ -204,7 +204,7 @@ def tumbling_window(events, width_s: int = 3600):
     the window key is derived per row, so no ordering assumption."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        epoch = batch["ts"].astype("int64") // 1_000_000
+        epoch = batch["ts"].astype("datetime64[s]").astype("int64")
         b = pd.DataFrame(
             {
                 "event_type": batch["event_type"],
@@ -299,7 +299,7 @@ def hopping_window(events, width_s: int = 3600, hop_s: int = 1800):
     n_win = width_s // hop_s
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        epoch = (batch["ts"].astype("int64") // 1_000_000).to_numpy()
+        epoch = batch["ts"].astype("datetime64[s]").astype("int64").to_numpy()
         cents = (batch["value"] * 100).round().astype("int64").to_numpy()
         et = batch["event_type"].to_numpy()
         # window starts: the hop-aligned starts w with w <= t < w + width
@@ -333,7 +333,7 @@ def sessionize(events, gap_s: int = 1800):
 
     def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.sort_values(["user_id", "ts"], kind="mergesort")
-        epoch = b["ts"].astype("int64") // 1_000_000
+        epoch = b["ts"].astype("datetime64[s]").astype("int64")
         new_user = b["user_id"].ne(b["user_id"].shift())
         gap = epoch.diff().fillna(0) > gap_s
         session_start = (new_user | gap).astype("int64")
@@ -344,3 +344,117 @@ def sessionize(events, gap_s: int = 1800):
 
     ev = events.select_columns(["user_id", "ts"])
     return bucketed_group_apply(ev, "user_id", per_user, 32)
+
+
+def asof_join_events(events, marker_type: str = "signup", num_buckets: int = 32):
+    """As-of join — an operator Ray Data lacks natively: attach to every
+    event the user's most recent ``marker_type`` event at or before its
+    timestamp. Returns (event_id, ref_event_id, lag_s); -1 when the user
+    has no prior marker.
+
+    Implementation: both sides are projected to (user_id, ts_epoch, id),
+    tagged and co-partitioned by user through ONE hash exchange; each
+    bucket runs pandas ``merge_asof`` (direction='backward', by=user)
+    over the ts-sorted bucket — C-speed, no per-row Python. The right
+    side is deduped per (user, ts) keeping the max event_id so ties are
+    deterministic on both engine and oracle (DuckDB ASOF LEFT JOIN,
+    oracles.ASOF_JOIN). Partitioning assumption: a user's events fit one
+    bucket's worker — the same per-key envelope as sessionize."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch["ts"].astype("datetime64[s]").astype("int64")
+        left = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "epoch": epoch,
+                "event_id": batch["event_id"],
+                "side": np.int64(0),
+            }
+        )
+        is_m = (batch["event_type"] == marker_type).to_numpy()
+        right = left.loc[is_m].assign(side=np.int64(1))
+        return pd.concat([left, right], ignore_index=True)
+
+    tagged = events.select_columns(
+        ["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(project, batch_format="pandas", batch_size=None)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket[bucket["side"] == 0].sort_values(
+            ["epoch", "event_id"], kind="mergesort"
+        )
+        r = (
+            bucket[bucket["side"] == 1]
+            .sort_values(["epoch", "event_id"], kind="mergesort")
+            .drop_duplicates(subset=["user_id", "epoch"], keep="last")
+            .rename(columns={"event_id": "ref_event_id", "epoch": "ref_epoch"})
+        )
+        if len(l) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "ref_event_id": pd.Series([], dtype="int64"),
+                    "lag_s": pd.Series([], dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            l,
+            r[["user_id", "ref_epoch", "ref_event_id"]],
+            left_on="epoch",
+            right_on="ref_epoch",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        ref = m["ref_event_id"].fillna(-1).astype("int64")
+        lag = (m["epoch"] - m["ref_epoch"]).fillna(-1).astype("int64")
+        lag[ref < 0] = -1
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "ref_event_id": ref,
+                "lag_s": lag,
+            }
+        )
+
+    return bucketed_group_apply(tagged, "user_id", per_bucket, num_buckets)
+
+
+# static price bands for the range-join operator (lo inclusive, hi exclusive)
+PRICE_BANDS = [
+    (0, 0, 50_000),
+    (1, 50_000, 150_000),
+    (2, 150_000, 300_000),
+    (3, 300_000, 1 << 60),
+]
+
+
+def range_join_orders(orders, bands=None):
+    """Range (interval) join — each order matched to the price band whose
+    [lo, hi) interval contains it. Returns (o_orderkey, band_id).
+
+    The band table is tiny and BROADCAST (closure capture); assignment is
+    one ``np.searchsorted`` against the sorted lower bounds per batch —
+    no shuffle at all, the map-side interval join every binning pipeline
+    needs. Bands must be non-overlapping and sorted (validated)."""
+    bands = PRICE_BANDS if bands is None else bands
+    ids = np.array([b[0] for b in bands], dtype=np.int64)
+    los = np.array([b[1] for b in bands], dtype=np.int64)
+    his = np.array([b[2] for b in bands], dtype=np.int64)
+    if not (np.all(los[1:] >= his[:-1]) and np.all(los < his)):
+        raise ValueError("range_join_orders: bands must be sorted and non-overlapping")
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cents_like = (batch["o_totalprice"] * 100).round().astype("int64") // 100
+        v = cents_like.to_numpy()
+        ix = np.searchsorted(los, v, side="right") - 1
+        ok = (ix >= 0) & (v < his[np.clip(ix, 0, len(his) - 1)])
+        out = pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy()[ok],
+                "band_id": ids[ix[ok]],
+            }
+        )
+        return out
+
+    return orders.map_batches(assign, batch_format="pandas", batch_size=None)

@@ -66,3 +66,57 @@ def test_hopping_window_rejects_non_multiple_hop(ray_session):
     )
     with pytest.raises(ValueError, match="multiple"):
         relational.hopping_window(ev, width_s=3600, hop_s=1000)
+
+
+def _ev(rows):
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_s", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts_s"], unit="s")
+    return rd.from_pandas(df[["event_id", "user_id", "ts", "event_type"]])
+
+
+def test_asof_join_edges(ray_session):
+    ev = _ev(
+        [
+            (1, 7, 100, "signup"),   # marker
+            (2, 7, 100, "click"),    # exact-match ts -> matches marker 1
+            (3, 7, 50, "view"),      # before first marker -> -1
+            (4, 7, 200, "signup"),   # second marker
+            (5, 7, 201, "click"),    # -> marker 4, lag 1
+            (6, 8, 300, "click"),    # user with no markers -> -1
+            (7, 9, 400, "signup"),
+            (8, 9, 400, "signup"),   # tie on (user, ts): max event_id wins
+            (9, 9, 401, "click"),
+        ]
+    )
+    out = (
+        relational.asof_join_events(ev, "signup", num_buckets=4)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert out.loc[2, "ref_event_id"] == 1 and out.loc[2, "lag_s"] == 0
+    assert out.loc[3, "ref_event_id"] == -1 and out.loc[3, "lag_s"] == -1
+    assert out.loc[5, "ref_event_id"] == 4 and out.loc[5, "lag_s"] == 1
+    assert out.loc[6, "ref_event_id"] == -1
+    assert out.loc[9, "ref_event_id"] == 8  # deterministic tie-break
+    # markers also appear as left rows and match themselves (ts equality)
+    assert out.loc[1, "ref_event_id"] == 1 and out.loc[4, "ref_event_id"] == 4
+
+
+def test_range_join_boundaries(ray_session):
+    orders = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3, 4],
+                "o_totalprice": [0.0, 49_999.99, 50_000.0, 299_999.5],
+            }
+        )
+    )
+    out = (
+        relational.range_join_orders(orders)
+        .to_pandas()
+        .set_index("o_orderkey")["band_id"]
+    )
+    assert out[1] == 0       # lo inclusive
+    assert out[2] == 0       # 49999.99 floors to 49999 -> band 0
+    assert out[3] == 1       # hi exclusive: 50000 starts band 1
+    assert out[4] == 2
