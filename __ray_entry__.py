@@ -269,6 +269,13 @@ def _q_token_quantiles_by_lang(sf_dir: str):
     )
 
 
+def _q_vocab_topk(sf_dir: str):
+    """Global top-50 tokens (combiner + token-keyed merge + partial
+    top-k per bucket)."""
+    quiet_ray_data()
+    return textstats.vocab_topk(_docs(sf_dir), k=50)
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic salted-hash 25% sample of the documents table."""
     from bio_re_with_entity_embeddings_ray.stages import sampling
@@ -708,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "token_quantiles": _q_token_quantiles,
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
+        "vocab_topk": _q_vocab_topk,
         "hash_sample": _q_hash_sample,
         "corpus_mix": _q_corpus_mix,
         "cap_per_group": _q_cap_per_group,
@@ -779,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": oracles.FINGERPRINTS,
         "token_quantiles": oracles.TOKEN_QUANTILES,
         "token_quantiles_by_lang": oracles.TOKEN_QUANTILES_BY_LANG,
+        "vocab_topk": oracles.VOCAB_TOPK,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,
         "cap_per_group": oracles.CAP_PER_GROUP,

@@ -412,6 +412,13 @@ SELECT q.q_bp,
         WHERE rn = GREATEST(1, (q.q_bp * (SELECT n FROM __n) + 9999) // 10000)) AS value
 FROM __q q"""
 
+# global vocabulary top-k (textstats.vocab_topk), ties by token
+VOCAB_TOPK = """SELECT token, cnt, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w) WHERE rn <= 50"""
+
 # per-group exact quantiles (textstats.exact_quantiles_by) grouped by the
 # lang-ID heuristic — same integer position rule, within each group
 TOKEN_QUANTILES_BY_LANG = """WITH __d AS (

@@ -153,6 +153,53 @@ def _write_parquet(path: str):
     return apply
 
 
+# ---- training-data curation steps (config-driven curation pipelines) ----
+
+
+def _quality_filter(min_tokens: int = 5, min_distinct_bp: int = 3000):
+    """stages: length + distinct-token-ratio quality gate (curate front)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.pipelines import curate
+
+        return curate.quality_filter(ds, min_tokens, min_distinct_bp)
+
+    return apply
+
+
+def _hash_sample(rate_bp: int, key: str = "doc_id", salt: str = "sample"):
+    """deterministic salted-hash sample (stages/sampling.py)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import sampling
+
+        return sampling.hash_sample(ds, rate_bp, key, salt)
+
+    return apply
+
+
+def _cap_per_group(group_col: str, n: int, key: str = "doc_id", salt: str = "cap"):
+    """per-group cap by smallest salted hash (domain capping)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import sampling
+
+        return sampling.cap_per_group(ds, group_col, n, key, salt)
+
+    return apply
+
+
+def _dedup_exact(num_buckets: int = 64):
+    """exact content dedup keeping min doc_id (stages/dedup.py)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import dedup
+
+        return dedup.exact_dedup(ds, num_buckets)
+
+    return apply
+
+
 for _name, _factory in {
     "not_null": _not_null,
     "map_column": _map_column,
@@ -162,6 +209,10 @@ for _name, _factory in {
     "unique_values": _unique_values,
     "drop_duplicates": _drop_duplicates,
     "write_parquet": _write_parquet,
+    "quality_filter": _quality_filter,
+    "hash_sample": _hash_sample,
+    "cap_per_group": _cap_per_group,
+    "dedup_exact": _dedup_exact,
 }.items():
     register_step(_name, _factory)
 

@@ -235,3 +235,36 @@ def exact_quantiles_by(ds, group_col: str, col: str, qs_bp: list[int], num_bucke
         return out
 
     return bucketed_group_apply(partials, group_col, per_group, num_buckets)
+
+
+def vocab_topk(docs, k: int = 50, num_buckets: int = 16):
+    """Global top-k most frequent tokens: (token, cnt, rank), ties broken
+    by token. Per-block value_counts combiner -> token-keyed hash merge ->
+    per-bucket partial top-k (each bucket ships only k rows) -> tiny
+    driver-side final cut. The exchange volume is (distinct tokens x
+    blocks) count rows; the driver sees num_buckets * k rows."""
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "cnt": vc.to_numpy().astype("int64")}
+        )
+
+    partials = docs.map_batches(local, batch_format="pandas", batch_size=None)
+
+    def merge_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("token", as_index=False)["cnt"].sum()
+        g = g.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    per_bucket = bucketed_group_apply(partials, "token", merge_top, num_buckets)
+    top = (
+        per_bucket.to_pandas()
+        .sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["cnt"] = top["cnt"].astype("int64")
+    return top

@@ -76,3 +76,40 @@ def test_run_config_with_sink(tmp_path):
     back = rd.read_parquet(str(tmp_path / "out")).to_pandas()
     assert set(back.columns) == {"doc_id", "text", "n_words"}
     assert len(back) == ds.count()
+
+
+def test_config_driven_curation_steps(ray_session, tmp_path):
+    """The curation family is reachable from declarative configs: quality
+    filter -> exact dedup -> deterministic sample, end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    rows = {
+        "doc_id": list(range(40)),
+        "text": (
+            ["alpha beta gamma delta epsilon"] * 20   # dups -> one survivor
+            + [f"doc {i} unique words here now" for i in range(18)]
+            + ["short", "a a a a a a"]                # quality-dropped
+        ),
+    }
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table(rows), path)
+
+    out = compose.run_config(
+        {
+            "input": {"path": path, "columns": ["doc_id", "text"]},
+            "steps": [
+                {"step": "quality_filter", "min_tokens": 5, "min_distinct_bp": 3000},
+                {"step": "dedup_exact", "num_buckets": 4},
+                {"step": "hash_sample", "rate_bp": 10000},
+            ],
+        }
+    ).to_pandas()
+    # 20 dups -> 1 (min id 0); 18 unique survive; 2 quality-dropped
+    assert len(out) == 19
+    assert 0 in set(out["doc_id"]) and 1 not in set(out["doc_id"])
+
+
+def test_cap_per_group_step_registered():
+    assert "cap_per_group" in compose.step_names()

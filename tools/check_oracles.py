@@ -48,7 +48,8 @@ PATHO_QUERIES = {
     "pubtator_roundtrip",
     # round-2 additions
     "dedup_clusters", "curate", "curate_budget", "curate_neardup",
-    "token_quantiles", "hash_sample", "corpus_mix",
+    "token_quantiles", "hash_sample", "corpus_mix", "vocab_topk",
+    "token_quantiles_by_lang", "cap_per_group",
 }
 
 
@@ -104,10 +105,14 @@ def write_pathological(dirpath: str) -> None:
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--patho"]
     patho = "--patho" in sys.argv
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
     if patho:
+        # under --patho every positional is a query name (sf_dir is fixed)
+        only = set(args)
         sf_dir = "/tmp/patho_sf"
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        only = set(args[1:])
+    if patho:
         write_pathological(sf_dir)
         if only:
             dropped = only - PATHO_QUERIES
