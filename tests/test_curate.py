@@ -49,3 +49,13 @@ def test_empty_corpus():
     assert curate.curate(empty, num_buckets=2).count() == 0
     b = curate.token_budget(curate.curate(empty, num_buckets=2)).to_pandas()
     assert int(b["total_tokens"][0]) == 0
+
+
+def test_cache_modes_agree_and_validate():
+    import pytest
+
+    a = curate.curate(_docs(), num_buckets=4, cache="cache").to_pandas()
+    b = curate.curate(_docs(), num_buckets=4, cache="recompute").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"]) == [3, 5]
+    with pytest.raises(ValueError, match="cache"):
+        curate.curate(_docs(), num_buckets=4, cache="bogus").to_pandas()

@@ -49,6 +49,7 @@ PATHO_QUERIES = {
     # round-2 additions
     "dedup_clusters", "curate", "curate_budget", "curate_neardup",
     "token_quantiles", "hash_sample", "corpus_mix", "vocab_topk",
+    "hash_split_train", "hash_split_val",
     "token_quantiles_by_lang", "cap_per_group",
 }
 
