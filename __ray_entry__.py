@@ -585,6 +585,30 @@ def _q_rel_rekey_union(sf_dir: str):
     return relational.rekey_grouped_union(cust, nation)
 
 
+def _q_orders_describe(sf_dir: str):
+    """Distributed one-row describe (n/min/max/sum/mean in exact cents)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    return relational.describe_cents(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"]),
+        "o_totalprice",
+    )
+
+
+def _q_tsv_roundtrip(sf_dir: str):
+    """Reference-format TSV compat (S4/S5): documents -> sharded TSV sink
+    -> parallel TSV source -> documents. Oracle = the documents table."""
+    import tempfile
+
+    from bio_re_with_entity_embeddings_ray.sources import tsv
+
+    quiet_ray_data()
+    out = tempfile.mkdtemp(prefix="tsv_rt_", dir="/tmp")
+    tsv.write_tsv(_docs(sf_dir), out)
+    return tsv.read_tsv(out, columns=["doc_id", "text"])
+
+
 def _q_asof_join(sf_dir: str):
     """As-of join: each event matched to the user's latest prior 'signup'
     event (co-partitioned merge_asof; DuckDB native ASOF JOIN oracle)."""
@@ -738,6 +762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rekey_union": _q_rel_rekey_union,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "orders_describe": _q_orders_describe,
+        "tsv_roundtrip": _q_tsv_roundtrip,
         "window_tumbling": _q_window_tumbling,
         "window_hopping": _q_window_hopping,
         "sessionize": _q_sessionize,
@@ -812,6 +838,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_rekey_union": oracles.REL_REKEY_UNION,
         "asof_join": oracles.ASOF_JOIN,
         "range_join": oracles.RANGE_JOIN,
+        "orders_describe": oracles.ORDERS_DESCRIBE,
+        "tsv_roundtrip": "SELECT doc_id, text FROM documents",
         "window_tumbling": oracles.WINDOW_TUMBLING,
         "window_hopping": oracles.WINDOW_HOPPING,
         "sessionize": oracles.SESSIONIZE,

@@ -582,6 +582,16 @@ JOIN (VALUES {rows}) b(band_id, lo, hi)
 
 RANGE_JOIN = _range_join_sql()
 
+ORDERS_DESCRIBE = """WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(cents) // count(*) AS BIGINT) AS mean_cents
+FROM c"""
+
 WINDOW_TUMBLING = """WITH e AS (
   SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
          CAST(round(value * 100) AS BIGINT) AS cents

@@ -458,3 +458,61 @@ def range_join_orders(orders, bands=None):
         return out
 
     return orders.map_batches(assign, batch_format="pandas", batch_size=None)
+
+
+def describe_cents(ds, col: str):
+    """One-row distributed describe of a money-like double column in
+    integer cents: (n, min_cents, max_cents, sum_cents, mean_cents).
+    Per-row cast to cents BEFORE aggregating keeps every number exact
+    (order-independent, bit-equal to the SQL oracle); mean is integer
+    floor division. Combiner partials -> single merge block."""
+    import ray.data as rd
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = (batch[col] * 100).round().astype("int64")
+        if len(cents) == 0:
+            return pd.DataFrame(
+                {
+                    "n": pd.Series([], dtype="int64"),
+                    "mn": pd.Series([], dtype="int64"),
+                    "mx": pd.Series([], dtype="int64"),
+                    "sm": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "n": [len(cents)],
+                "mn": [int(cents.min())],
+                "mx": [int(cents.max())],
+                "sm": [int(cents.sum())],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or batch["n"].sum() == 0:
+            return pd.DataFrame(
+                {
+                    "n": pd.Series([], dtype="int64"),
+                    "min_cents": pd.Series([], dtype="int64"),
+                    "max_cents": pd.Series([], dtype="int64"),
+                    "sum_cents": pd.Series([], dtype="int64"),
+                    "mean_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        n = int(batch["n"].sum())
+        sm = int(batch["sm"].sum())
+        return pd.DataFrame(
+            {
+                "n": [n],
+                "min_cents": [int(batch["mn"].min())],
+                "max_cents": [int(batch["mx"].max())],
+                "sum_cents": [sm],
+                "mean_cents": [sm // n],
+            }
+        )
+
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )

@@ -113,3 +113,22 @@ def test_config_driven_curation_steps(ray_session, tmp_path):
 
 def test_cap_per_group_step_registered():
     assert "cap_per_group" in compose.step_names()
+
+
+def test_tsv_roundtrip_quoting(ray_session, tmp_path):
+    """TSV sink/source survives tabs, quotes and newlines inside fields."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.sources import tsv
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ['tab\there', 'quote "inside"', 'new\nline'],
+        }
+    )
+    out = str(tmp_path / "tsv")
+    tsv.write_tsv(rd.from_pandas(df), out)
+    back = tsv.read_tsv(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
