@@ -125,6 +125,7 @@ def curate_neardup(
     num_buckets: int = 64,
     k: int = 3,
     cache: str = "auto",
+    cc_method: str = "actors",
 ):
     """Near-dup curation: quality filter -> MinHash-LSH star pairs ->
     connected components -> keep only each cluster's representative
@@ -145,7 +146,9 @@ def curate_neardup(
 
     filtered = _maybe_cache(quality_filter(docs, min_tokens, min_distinct_bp), docs, cache)
     pairs = dedup.minhash_lsh_pairs(filtered, k=k, num_buckets=num_buckets, star=True)
-    cc = dedup.connected_components(pairs, num_buckets)
+    # actors by default: measured 6x faster cluster resolution at 640k
+    # docs with identical output (see dedup.connected_components)
+    cc = dedup.connected_components(pairs, num_buckets, method=cc_method)
 
     def non_reps(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.loc[batch["doc_id"] != batch["cluster_id"], ["doc_id"]]
