@@ -126,6 +126,12 @@ def ngram_jaccard_pairs(
     sub-cap shingles; per-doc set sizes still count every shingle. The
     SQL oracle applies the identical cap, and each bucket worker logs the
     number of pruned (shingle, doc) postings (no silent truncation).
+
+    Scale note: the per-doc size map is collected and broadcast
+    (8+8 B/doc) — fine to ~10^9 docs; past that, swap the broadcast for
+    the J3 co-partitioned hash join on doc id (relational._key_semi_anti
+    pattern). For crawl-scale near-dup the family's scale path is
+    MinHash-LSH (star) + connected components, not all-pairs Jaccard.
     """
     import ray
 
