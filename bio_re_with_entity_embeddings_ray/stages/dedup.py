@@ -472,7 +472,7 @@ def embedding_near_dup_ivf(emb, n_centroids: int = 8, threshold: float = 0.4):
     from bio_re_with_entity_embeddings_ray.stages.scoring import _load_matrix
 
     cpdf = (
-        emb.filter(lambda r: r["vec_id"] < n_centroids)
+        emb.filter(expr=f"vec_id < {n_centroids}")
         .to_pandas()
         .sort_values("vec_id")
     )

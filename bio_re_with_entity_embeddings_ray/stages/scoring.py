@@ -73,7 +73,7 @@ def knn_topk(emb, n_queries: int = 5, k: int = 10, num_buckets: int = 16):
     """
     import ray
 
-    qpdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas()
+    qpdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
     if len(qpdf) == 0:
         raise ValueError(
             f"knn_topk: no embedding rows with vec_id < {n_queries}; queries "
@@ -135,7 +135,7 @@ def ivf_assign(emb, n_centroids: int = 8):
     import ray
 
     cpdf = (
-        emb.filter(lambda r: r["vec_id"] < n_centroids)
+        emb.filter(expr=f"vec_id < {n_centroids}")
         .to_pandas()
         .sort_values("vec_id")  # argmax keeps the FIRST max: ties -> lowest id
     )
@@ -184,7 +184,7 @@ def ivf_search(
     import ray
 
     cpdf = (
-        emb.filter(lambda r: r["vec_id"] < n_centroids)
+        emb.filter(expr=f"vec_id < {n_centroids}")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -193,7 +193,7 @@ def ivf_search(
             f"ivf_search: no embedding rows with vec_id < {n_centroids}"
         )
     cids, C = _load_matrix(cpdf)
-    qpdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas().sort_values("vec_id")
+    qpdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
     if len(qpdf) == 0:
         raise ValueError(f"ivf_search: no embedding rows with vec_id < {n_queries}")
     qids, Q = _load_matrix(qpdf)
