@@ -105,7 +105,6 @@ def connected_components_actors(pairs, num_shards: int = 8, max_iters: int = 64)
     cluster_id = min reachable id; same contract as
     dedup.connected_components, edges held resident in shard actors."""
     import ray
-    import ray.data as rd
 
     CCShard = _shard_class()
     shards = [CCShard.remote(i, num_shards) for i in range(num_shards)]
