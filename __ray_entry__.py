@@ -609,6 +609,19 @@ def _q_tsv_roundtrip(sf_dir: str):
     return tsv.read_tsv(out, columns=["doc_id", "text"])
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL compat: documents -> sharded JSONL sink -> parallel JSONL
+    source -> documents (oracle = the documents table)."""
+    import tempfile
+
+    from bio_re_with_entity_embeddings_ray.sources import jsonl
+
+    quiet_ray_data()
+    out = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    jsonl.write_jsonl(_docs(sf_dir), out)
+    return jsonl.read_jsonl(out, columns=["doc_id", "text"])
+
+
 def _q_asof_join(sf_dir: str):
     """As-of join: each event matched to the user's latest prior 'signup'
     event (co-partitioned merge_asof; DuckDB native ASOF JOIN oracle)."""
@@ -764,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "orders_describe": _q_orders_describe,
         "tsv_roundtrip": _q_tsv_roundtrip,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "window_tumbling": _q_window_tumbling,
         "window_hopping": _q_window_hopping,
         "sessionize": _q_sessionize,
@@ -840,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": oracles.RANGE_JOIN,
         "orders_describe": oracles.ORDERS_DESCRIBE,
         "tsv_roundtrip": "SELECT doc_id, text FROM documents",
+        "jsonl_roundtrip": "SELECT doc_id, text FROM documents",
         "window_tumbling": oracles.WINDOW_TUMBLING,
         "window_hopping": oracles.WINDOW_HOPPING,
         "sessionize": oracles.SESSIONIZE,

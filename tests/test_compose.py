@@ -132,3 +132,18 @@ def test_tsv_roundtrip_quoting(ray_session, tmp_path):
     tsv.write_tsv(rd.from_pandas(df), out)
     back = tsv.read_tsv(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, df)
+
+
+def test_jsonl_roundtrip_unicode(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.sources import jsonl
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ['ümläut "quoted"', "tab\tand\nnewline"]}
+    )
+    out = str(tmp_path / "jl")
+    jsonl.write_jsonl(rd.from_pandas(df), out)
+    back = jsonl.read_jsonl(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["doc_id", "text"]], df)

@@ -152,9 +152,12 @@ def main() -> int:
         print(f"[FAIL] unknown query name(s): {sorted(unknown)}")
         return 2
     failures = 0
+    import time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             mine = to_pandas(fn(sf_dir))
         except Exception as ex:
@@ -194,7 +197,7 @@ def main() -> int:
             failures += 1
             print(f"[FAIL] {name}: " + " | ".join(problems))
         else:
-            print(f"[ OK ] {name}: {len(mine)} rows")
+            print(f"[ OK ] {name}: {len(mine)} rows ({time.perf_counter() - t0:.1f}s)")
     return failures
 
 
