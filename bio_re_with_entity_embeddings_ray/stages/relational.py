@@ -14,7 +14,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+from bio_re_with_entity_embeddings_ray.stages.common import (
+    bucketed_group_apply,
+    merge_partials,
+)
 
 
 def groupby_sum_counts(lineitem):
@@ -43,8 +46,10 @@ def groupby_sum_counts(lineitem):
             sum_price_cents=("sum_price_cents", "sum"),
         )
 
-    return bucketed_group_apply(
-        partials, ["l_returnflag", "l_linestatus"], merge, 8
+    # associative sum over partials: the measured plan chooser takes the
+    # no-shuffle reduction tree for this tiny key space (6 groups)
+    return merge_partials(
+        partials, ["l_returnflag", "l_linestatus"], merge, lambda b: b, 8
     )
 
 
@@ -223,7 +228,10 @@ def tumbling_window(events, width_s: int = 3600):
             n=("n", "sum"), value_cents=("value_cents", "sum")
         )
 
-    return bucketed_group_apply(partials, ["event_type", "window_start"], merge, 16)
+    # associative partial sums -> measured tree/exchange plan choice
+    return merge_partials(
+        partials, ["event_type", "window_start"], merge, lambda b: b, 16
+    )
 
 
 def top_n_per_group(orders, n: int = 3, num_buckets: int = 16):
@@ -322,7 +330,9 @@ def hopping_window(events, width_s: int = 3600, hop_s: int = 1800):
             n=("n", "sum"), value_cents=("value_cents", "sum")
         )
 
-    return bucketed_group_apply(partials, ["event_type", "window_start"], merge, 16)
+    return merge_partials(
+        partials, ["event_type", "window_start"], merge, lambda b: b, 16
+    )
 
 
 def sessionize(events, gap_s: int = 1800):
