@@ -146,10 +146,13 @@ def ngram_jaccard_pairs(
     def count_merge(bucket: pd.DataFrame) -> pd.DataFrame:
         return bucket.groupby("doc_id", as_index=False).agg(size=("size", "sum"))
 
-    sizes = bucketed_group_apply(
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    sizes = merge_partials(
         sh.map_batches(count_local, batch_format="pandas"),
         "doc_id",
         count_merge,
+        lambda b: b,
         num_buckets,
     ).to_pandas()
     sizes_ref = ray.put(dict(zip(sizes["doc_id"], sizes["size"])))
@@ -183,7 +186,12 @@ def ngram_jaccard_pairs(
             inter=("inter", "sum")
         )
 
-    pair_counts = bucketed_group_apply(partial, ["doc_a", "doc_b"], merge_pairs, num_buckets)
+    # associative pair-count sum: tree for moderate candidate tables,
+    # hash exchange beyond (same plan choice as the minhash distinct)
+    pair_counts = merge_partials(
+        partial, ["doc_a", "doc_b"], merge_pairs, lambda b: b, num_buckets,
+        small_rows=10_000_000,
+    )
 
     class JaccardFilter:
         def __init__(self, sizes_ref):

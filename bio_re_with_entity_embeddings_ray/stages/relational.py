@@ -190,6 +190,9 @@ def rekey_grouped_union(customer, nation):
         Rekey, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
     )
 
+    def distinct(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
     def union_sets(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.drop_duplicates().sort_values(
             ["r_regionkey", "c_custkey"], kind="mergesort"
@@ -200,7 +203,9 @@ def rekey_grouped_union(customer, nation):
         out["n_cust"] = g.nunique().to_numpy().astype("int64")
         return out
 
-    return bucketed_group_apply(rekeyed, "r_regionkey", union_sets, 4)
+    # distinct is the associative combine; the grouped pack happens once
+    # on the key-complete merged frame (plan chooser: tree while small)
+    return merge_partials(rekeyed, "r_regionkey", distinct, union_sets, 4)
 
 
 def tumbling_window(events, width_s: int = 3600):
@@ -273,7 +278,9 @@ def top_n_per_group(orders, n: int = 3, num_buckets: int = 16):
         out["rank"] = out.groupby("o_custkey", sort=False).cumcount() + 1
         return out
 
-    return bucketed_group_apply(pre, "o_custkey", final_top, num_buckets)
+    # per-group top-n is associative (top_n(top_n(A) ∪ top_n(B)) ==
+    # top_n(A ∪ B)), so the merge goes through the plan chooser
+    return merge_partials(pre, "o_custkey", local_top, final_top, num_buckets)
 
 
 def anti_join_customers(
