@@ -212,6 +212,16 @@ def bench_curate(sf_dir: str, replicas: int, num_buckets: int) -> float:
     return time.perf_counter() - t0
 
 
+def bench_neardup(sf_dir: str, replicas: int, num_buckets: int) -> float:
+    """End-to-end near-dup curation: quality filter -> MinHash-LSH star
+    pairs -> connected components (actor engine) -> keep representative."""
+    from bio_re_with_entity_embeddings_ray.pipelines.curate import curate_neardup
+
+    t0 = time.perf_counter()
+    curate_neardup(_corpus(sf_dir, replicas), num_buckets=num_buckets).count()
+    return time.perf_counter() - t0
+
+
 def bench_knn(sf_dir: str) -> float:
     import ray.data as rd
 
@@ -269,6 +279,7 @@ def run_once() -> dict:
             {
                 "minhash_lsh": round(bench_minhash(sf_dir, replicas, num_buckets), 3),
                 "curate": round(bench_curate(sf_dir, replicas, num_buckets), 3),
+                "curate_neardup": round(bench_neardup(sf_dir, replicas, num_buckets), 3),
                 "knn_topk": round(bench_knn(sf_dir), 3),
                 "tumbling_window": round(bench_window(sf_dir), 3),
             }
