@@ -7,8 +7,11 @@ operator families exist for:
 
 Everything stays streaming: the quality scores are computed per batch,
 the dedup EXCHANGE ships 16-byte content digests (never document text),
-and the deduped corpus is produced by a broadcast keep-set filter over a
-second streaming pass of the filtered input. At 100 TB this is the
+and the deduped corpus is produced by a generic semi/anti join
+(stages/relational.key_semi_anti_join) whose physical plan is picked by
+MEASURED key count: a broadcast keep-set while it fits the object store,
+a co-partitioned hash semi-join past ``broadcast_max_keys`` — so nothing
+ever materializes on the driver at any scale. At 100 TB this is the
 pipeline that turns a raw crawl into a training mix; each stage's scale
 path is documented in its own module (stages/textstats.py,
 stages/dedup.py) and SCALE.md.
@@ -18,16 +21,19 @@ from __future__ import annotations
 
 import pandas as pd
 
+from bio_re_with_entity_embeddings_ray.stages.relational import key_semi_anti_join
+from bio_re_with_entity_embeddings_ray.stages.textstats import token_quality_arrays
+
 
 def quality_filter(docs, min_tokens: int = 5, min_distinct_bp: int = 3000):
     """documents(doc_id, text) -> (doc_id, text, n_tokens) rows passing the
     length + distinct-token-ratio heuristics (narrow per-batch map; the
-    shared front stage of curate / curate_neardup)."""
+    shared front stage of curate / curate_neardup). Token statistics come
+    from the flattened-factorize kernel (textstats.token_quality_arrays) —
+    no per-row Python in this hottest full-corpus map."""
 
     def score_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        n_tok = toks.str.len().astype("int64")
-        n_distinct = toks.map(lambda t: len(set(t))).astype("int64")
+        n_tok, n_distinct, _ = token_quality_arrays(batch["text"])
         keep = (n_tok >= min_tokens) & (
             10000 * n_distinct // n_tok >= min_distinct_bp
         )
@@ -40,16 +46,40 @@ def quality_filter(docs, min_tokens: int = 5, min_distinct_bp: int = 3000):
 
 CACHE_MAX_BYTES = 4 << 30  # cache the filtered stream below this input size
 
+# keep/drop-set size beyond which the second pass switches from the
+# broadcast set to the co-partitioned hash semi/anti join (SCALE.md)
+BROADCAST_MAX_KEYS = 50_000_000
+
+# dtype-true dummies for the hash plan's tagged keys side (the curated
+# stream's non-key columns; see key_semi_anti_join)
+_CURATED_COLS = {"text": "", "n_tokens": 0}
+
+
+def _is_leaf_read(ds) -> bool:
+    """True when ``ds`` is a plain source read (no transforms), i.e. its
+    ``size_bytes()`` is a metadata-only probe. Uses the logical plan;
+    defensively False on any internals change."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        return isinstance(ds._logical_plan.dag, Read)
+    except Exception:
+        return False
+
 
 def _maybe_cache(filtered, docs, cache: str):
     """Materialize the two-consumer filtered stream, or keep it a
     recompute-on-demand lineage, per the ``cache`` policy ("auto" decides
-    from the measured input size — Parquet metadata, no execution)."""
+    from the measured input size — Parquet metadata, no execution; for a
+    DERIVED input, where ``size_bytes()`` would silently execute the
+    upstream plan, auto defaults to recompute)."""
     if cache == "auto":
-        try:
-            nbytes = docs.size_bytes()
-        except Exception:
-            nbytes = None
+        nbytes = None
+        if _is_leaf_read(docs):
+            try:
+                nbytes = docs.size_bytes()
+            except Exception:
+                nbytes = None
         cache = (
             "cache" if nbytes is not None and nbytes < CACHE_MAX_BYTES else "recompute"
         )
@@ -66,6 +96,8 @@ def curate(
     min_distinct_bp: int = 3000,
     num_buckets: int = 64,
     cache: str = "auto",
+    join_plan: str = "auto",
+    broadcast_max_keys: int = BROADCAST_MAX_KEYS,
 ):
     """documents(doc_id, text) -> curated (doc_id, text, n_tokens).
 
@@ -75,47 +107,37 @@ def curate(
 
     Scale shape: the dedup shuffle moves only (md5(text), doc_id) pairs
     (~40 B/doc — dedup.exact_dedup_hashed), never the text; the winning
-    doc_ids come back as a broadcast keep-set (8 B/doc, ``ray.put`` once)
-    and the curated output is a second streaming pass over the filtered
-    input with a vectorized ``isin``. Shuffle volume is therefore
-    independent of document size. Content identity is md5 (collision
-    odds ~n^2/2^128 — negligible below ~10^18 docs). Beyond ~10^9
-    surviving docs the keep-set outgrows broadcast; switch to a
-    co-partitioned semi-join on hash(doc_id) (stages/relational.py J3
-    hash plan) — same contract, one extra exchange of 8-byte keys.
+    doc_ids come back through :func:`relational.key_semi_anti_join` with
+    a MEASURED plan choice — a ``ray.put`` broadcast keep-set (8 B/doc,
+    vectorized ``isin`` over a second streaming pass) below
+    ``broadcast_max_keys`` surviving docs, and the co-partitioned hash
+    semi-join above it (one exchange of the filtered stream; the driver
+    never sees the keys). Content identity is md5 (collision odds
+    ~n^2/2^128 — negligible below ~10^18 docs).
 
     ``cache``: the filtered stream has two consumers (keep-set
     derivation + final output pass). "recompute" streams the quality
     filter twice (never pins the corpus — the only sane choice at
     100 TB); "cache" materializes it once (faster when it fits the
     object store); "auto" decides from the MEASURED input size
-    (Parquet metadata via ``Dataset.size_bytes()``, cached below
-    ``CACHE_MAX_BYTES``, recompute when big or unknown).
+    (Parquet metadata via ``Dataset.size_bytes()`` for leaf reads —
+    recompute for derived inputs where the probe would execute the
+    upstream plan — cached below ``CACHE_MAX_BYTES``).
     """
-
-    filtered = _maybe_cache(quality_filter(docs, min_tokens, min_distinct_bp), docs, cache)
-
-    import ray
-
     from bio_re_with_entity_embeddings_ray.stages import dedup
 
+    filtered = _maybe_cache(quality_filter(docs, min_tokens, min_distinct_bp), docs, cache)
     keep = dedup.exact_dedup_hashed(filtered, num_buckets)
-    # an all-filtered-out corpus yields a zero-block dataset with no
-    # schema — treat it as an empty keep-set instead of selecting columns
-    kdf = keep.to_pandas()
-    ref = ray.put(
-        set(int(i) for i in kdf["doc_id"]) if "doc_id" in kdf.columns else set()
+    return key_semi_anti_join(
+        filtered,
+        keep,
+        "doc_id",
+        anti=False,
+        plan=join_plan,
+        num_buckets=num_buckets,
+        broadcast_max_keys=broadcast_max_keys,
+        other_cols=_CURATED_COLS,
     )
-
-    # task pool, not actor pool: ray.get of the broadcast keep-set is
-    # deserialized once per WORKER PROCESS (Ray caches gets of the same
-    # ref), so tasks get actor-init economics with elastic parallelism
-    # and no actor ramp-up
-    def keep_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        keep_set = ray.get(ref)
-        return batch[batch["doc_id"].isin(keep_set)]
-
-    return filtered.map_batches(keep_fn, batch_format="pandas", batch_size=None)
 
 
 def curate_neardup(
@@ -126,6 +148,8 @@ def curate_neardup(
     k: int = 3,
     cache: str = "auto",
     cc_method: str = "actors",
+    join_plan: str = "auto",
+    broadcast_max_keys: int = BROADCAST_MAX_KEYS,
 ):
     """Near-dup curation: quality filter -> MinHash-LSH star pairs ->
     connected components -> keep only each cluster's representative
@@ -136,12 +160,14 @@ def curate_neardup(
     equivalent — deliberately aggressive, the standard crawl-dedup
     trade), cluster resolution is the distributed label propagation of
     dedup.connected_components, and the final pass drops the non-
-    representative doc_ids via a broadcast drop-set (only near-dup ids,
-    typically a small fraction of the corpus). Text moves zero times
-    through any exchange. Oracle: oracles.CURATE_NEARDUP (recursive-CTE
-    closure over the same banding)."""
-    import ray
-
+    representative doc_ids via the same measured broadcast/hash anti-join
+    plan as :func:`curate` (the drop set is only the near-dup ids —
+    typically a small fraction of the corpus — but past
+    ``broadcast_max_keys`` it flows through the co-partitioned hash
+    anti-join without ever touching the driver). Text moves zero times
+    through any exchange on the broadcast plan, once on the hash plan.
+    Oracle: oracles.CURATE_NEARDUP (recursive-CTE closure over the same
+    banding)."""
     from bio_re_with_entity_embeddings_ray.stages import dedup
 
     filtered = _maybe_cache(quality_filter(docs, min_tokens, min_distinct_bp), docs, cache)
@@ -153,15 +179,17 @@ def curate_neardup(
     def non_reps(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.loc[batch["doc_id"] != batch["cluster_id"], ["doc_id"]]
 
-    drop_df = cc.map_batches(non_reps, batch_format="pandas", batch_size=None).to_pandas()
-    ref = ray.put(set(int(i) for i in drop_df["doc_id"]) if len(drop_df) else set())
-
-    # task pool with per-worker-cached broadcast drop-set (see curate)
-    def drop_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        drop = ray.get(ref)
-        return batch[~batch["doc_id"].isin(drop)]
-
-    return filtered.map_batches(drop_fn, batch_format="pandas", batch_size=None)
+    drop_keys = cc.map_batches(non_reps, batch_format="pandas", batch_size=None)
+    return key_semi_anti_join(
+        filtered,
+        drop_keys,
+        "doc_id",
+        anti=True,
+        plan=join_plan,
+        num_buckets=num_buckets,
+        broadcast_max_keys=broadcast_max_keys,
+        other_cols=_CURATED_COLS,
+    )
 
 
 def token_budget(curated):

@@ -70,6 +70,142 @@ def top_orders(orders, k: int = 10):
     return top
 
 
+_SIDE_COL = "__side"
+
+
+def _schema_dummies(ds, key_col: str) -> dict:
+    """Dtype-true dummy values for every non-key column of ``ds``, derived
+    from its Arrow schema (NOTE: ``ds.schema()`` may execute part of a
+    derived dataset's plan — callers on hot paths pass ``other_cols``
+    explicitly instead)."""
+    import pyarrow as pa
+
+    out: dict = {}
+    schema = ds.schema()
+    for name, typ in zip(schema.names, schema.types):
+        if name == key_col:
+            continue
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            out[name] = ""
+        elif pa.types.is_floating(typ):
+            out[name] = np.zeros(1, dtype=typ.to_pandas_dtype())[0]
+        elif pa.types.is_integer(typ):
+            out[name] = np.zeros(1, dtype=typ.to_pandas_dtype())[0]
+        elif pa.types.is_boolean(typ):
+            out[name] = False
+        elif pa.types.is_timestamp(typ):
+            out[name] = pd.Timestamp(0)
+        else:
+            raise TypeError(
+                f"key_semi_anti_join hash plan: no dummy for column {name!r} "
+                f"of type {typ} — pass other_cols explicitly"
+            )
+    return out
+
+
+def key_semi_anti_join(
+    big,
+    keys,
+    key_col: str,
+    keys_key_col: str | None = None,
+    anti: bool = False,
+    plan: str = "auto",
+    num_buckets: int = 64,
+    broadcast_max_keys: int = 5_000_000,
+    other_cols: dict | None = None,
+):
+    """Generic distributed semi/anti join on one key column: keep (semi)
+    or drop (anti) every big-side row whose ``key_col`` value appears in
+    the ``keys`` dataset's ``keys_key_col`` (default: same name). Output =
+    the big side's rows, filtered.
+
+    Physical plans (J3 scale note, SURVEY.md; reference analog is the
+    broadcast id-dict filter at extract_articles.py:63-67):
+    - ``broadcast``: collect the distinct key set once, ``ray.put`` it,
+      filter the big side per batch with a vectorized ``isin`` — ZERO
+      shuffle of the big side. Right while the key set fits the object
+      store comfortably (~10^8-10^9 int keys).
+    - ``hash``: co-partition BOTH sides by hash(key) and semi/anti-filter
+      inside each bucket — nothing ever materializes on the driver; the
+      plan that scales when the key set itself outgrows broadcast. Costs
+      one exchange of the big side (its rows cross the shuffle once).
+    - ``auto``: count the keys (measured, not guessed — same discipline
+      as common.merge_partials) and pick: <= ``broadcast_max_keys`` ->
+      broadcast, else hash.
+
+    ``other_cols`` maps every non-key big-side column to a DTYPE-TRUE
+    dummy value (e.g. ``{"text": "", "n_tokens": 0}``; use numpy scalars
+    like ``np.int32(0)`` for narrow ints). The hash plan needs it to give
+    the tagged keys side the big side's block schema without probing
+    ``big.schema()`` (which can trigger partial execution of a derived
+    dataset); omitted, it is derived from the schema. The broadcast plan
+    ignores it.
+    """
+    import ray
+
+    kk = keys_key_col or key_col
+    if plan == "auto":
+        keys = keys.materialize()
+        plan = "broadcast" if keys.count() <= broadcast_max_keys else "hash"
+    if plan == "broadcast":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        kdf = keys.to_pandas()
+        # an all-empty keys side can be a zero-block dataset with no
+        # schema — treat it as an empty key set
+        vals = kdf[kk].unique() if kk in kdf.columns else []
+        ref = ray.put(pa.array(vals))
+
+        # task pool, not actor pool: ray.get of the broadcast key array is
+        # deserialized once per WORKER PROCESS (Ray caches gets of the
+        # same ref, and Arrow arrays deserialize zero-copy from the object
+        # store), so tasks get actor-init economics with elastic
+        # parallelism and no actor ramp-up. Pure-Arrow filter: zero-copy
+        # input blocks, and no zero-row pandas object columns for Ray's
+        # block-size probe to warn about.
+        def bfilter(batch: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            if len(ks) == 0:
+                return batch if anti else batch.slice(0, 0)
+            m = pc.is_in(batch[key_col], value_set=ks)
+            if anti:
+                m = pc.invert(m)
+            return batch.filter(m)
+
+        return big.map_batches(bfilter, batch_format="pyarrow", batch_size=None)
+    if plan != "hash":
+        raise ValueError(f"unknown join plan {plan!r}")
+
+    if other_cols is None:
+        other_cols = _schema_dummies(big, key_col)
+    cols = [key_col] + list(other_cols)
+
+    def tag_big(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[cols].copy(deep=False)
+        b[_SIDE_COL] = np.int64(0)
+        return b
+
+    def tag_keys(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key_col: pd.unique(b[kk])})
+        for c, v in other_cols.items():
+            out[c] = v
+        out[_SIDE_COL] = np.int64(1)
+        return out
+
+    u = big.map_batches(tag_big, batch_format="pandas", batch_size=None).union(
+        keys.map_batches(tag_keys, batch_format="pandas", batch_size=None)
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        k = bucket.loc[bucket[_SIDE_COL] == 1, key_col].unique()
+        b = bucket[bucket[_SIDE_COL] == 0]
+        m = b[key_col].isin(k)
+        return b.loc[~m if anti else m, cols]
+
+    return bucketed_group_apply(u, key_col, per_bucket, num_buckets)
+
+
 def _key_semi_anti(
     customer,
     keys,
@@ -78,70 +214,19 @@ def _key_semi_anti(
     num_buckets: int,
     broadcast_max_keys: int,
 ):
-    """Shared engine of semi_join_customers / anti_join_customers.
-
-    Physical plans (J3 scale note, SURVEY.md):
-    - ``broadcast``: collect the distinct key set once, ``ray.put`` it,
-      filter the big side per batch with a vectorized ``isin`` — zero
-      shuffle of the big side. Right whenever the key set fits the object
-      store comfortably (~10^8-10^9 int keys).
-    - ``hash``: co-partition BOTH sides by hash(key) and semi/anti-filter
-      inside each bucket — no driver-side collection at all; the plan that
-      scales when the key set itself outgrows broadcast
-      (reference extract_articles.py:63-67 at 10^12-turn scale).
-    - ``auto``: count the (already filtered, small-side) keys and pick:
-      <= ``broadcast_max_keys`` -> broadcast, else hash. Measured, not
-      guessed — same discipline as common.merge_partials.
-    """
-    import ray
-
-    if plan == "auto":
-        keys = keys.materialize()
-        plan = "broadcast" if keys.count() <= broadcast_max_keys else "hash"
-    if plan == "broadcast":
-        key_set = set(
-            int(k) for k in keys.to_pandas()["o_custkey"].unique()
-        )
-        ref = ray.put(key_set)
-
-        class Filter:
-            def __init__(self, ref):
-                self.keys = ray.get(ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                m = batch["c_custkey"].isin(self.keys)
-                return batch[~m if anti else m][["c_custkey", "c_name"]]
-
-        return customer.map_batches(
-            Filter, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
-        )
-    if plan != "hash":
-        raise ValueError(f"unknown join plan {plan!r}")
-
-    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "c_custkey": b["c_custkey"],
-                "c_name": b["c_name"],
-                "side": np.int64(0),
-            }
-        )
-
-    def tag_keys(b: pd.DataFrame) -> pd.DataFrame:
-        u = pd.unique(b["o_custkey"])
-        return pd.DataFrame({"c_custkey": u, "c_name": "", "side": np.int64(1)})
-
-    u = customer.map_batches(tag_cust, batch_format="pandas", batch_size=None).union(
-        keys.map_batches(tag_keys, batch_format="pandas", batch_size=None)
+    """Customer/orders front-end of :func:`key_semi_anti_join` (the keys
+    side arrives keyed ``o_custkey``; output is (c_custkey, c_name))."""
+    return key_semi_anti_join(
+        customer.select_columns(["c_custkey", "c_name"]),
+        keys,
+        "c_custkey",
+        keys_key_col="o_custkey",
+        anti=anti,
+        plan=plan,
+        num_buckets=num_buckets,
+        broadcast_max_keys=broadcast_max_keys,
+        other_cols={"c_name": ""},
     )
-
-    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        k = bucket.loc[bucket["side"] == 1, "c_custkey"].unique()
-        c = bucket[bucket["side"] == 0]
-        m = c["c_custkey"].isin(k)
-        return c.loc[~m if anti else m, ["c_custkey", "c_name"]]
-
-    return bucketed_group_apply(u, "c_custkey", per_bucket, num_buckets)
 
 
 def semi_join_customers(

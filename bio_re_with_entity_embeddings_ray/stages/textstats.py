@@ -4,6 +4,13 @@ document fingerprinting.
 All integer-output (basis points instead of float ratios) so the DuckDB
 oracle matches bit-for-bit; all single-pass ``map_batches`` with
 vectorized pandas/numpy bodies (no shuffle).
+
+The shared token kernel (:func:`_flat_token_codes`) splits every row's
+text with Arrow's ``split_pattern`` (byte-identical to Python
+``text.split(" ")``, verified in tests) and dictionary-encodes the
+flattened token stream in Arrow C++ — so per-row distinct counts,
+stopword counts and marker membership are all integer-code numpy work.
+No per-row Python lambdas anywhere in these full-corpus maps.
 """
 
 from __future__ import annotations
@@ -23,12 +30,87 @@ LANG_MARKERS: list[tuple[str, str]] = [
 STOPWORDS = ("the", "a", "of", "to", "and")
 
 
+def _flat_token_codes(texts):
+    """texts -> (n_tok, row_idx, codes, vocab): single-space tokens of all
+    rows flattened and dictionary-encoded at C level.
+
+    ``n_tok[i]`` = token count of row i; ``row_idx[j]`` = owning row of
+    flat token j; ``codes[j]`` = integer id of flat token j into ``vocab``
+    (a numpy object array of the batch's distinct tokens). Split semantics
+    are identical to Python ``text.split(" ")`` including empty strings
+    and consecutive separators."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string())
+    lists = pc.split_pattern(arr, " ")
+    n_tok = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    row_idx = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+    enc = pc.dictionary_encode(pc.list_flatten(lists))
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+    return n_tok, row_idx, codes, vocab
+
+
+def _distinct_per_row(n_rows: int, row_idx: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Per-row distinct token count: sort the (row, code) pairs once and
+    count group-change points — all C-level, no per-row set()."""
+    if len(codes) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    order = np.lexsort((codes, row_idx))
+    r, c = row_idx[order], codes[order]
+    new = np.ones(len(r), dtype=bool)
+    new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+    return np.bincount(r[new], minlength=n_rows).astype(np.int64)
+
+
+def token_quality_arrays(texts):
+    """-> (n_tokens, n_distinct, n_stop) int64 arrays for each text row —
+    the vectorized kernel behind :func:`quality_scores` and the curate
+    pipelines' quality filter."""
+    n_tok, row_idx, codes, vocab = _flat_token_codes(texts)
+    n = len(n_tok)
+    n_distinct = _distinct_per_row(n, row_idx, codes)
+    # membership is decided once on the tiny batch vocabulary, then
+    # propagated to the token stream by integer isin + bincount
+    stop_codes = np.flatnonzero(np.isin(vocab, STOPWORDS))
+    n_stop = np.bincount(
+        row_idx[np.isin(codes, stop_codes)], minlength=n
+    ).astype(np.int64)
+    return n_tok, n_distinct, n_stop
+
+
+def _lang_pred(n_rows: int, row_idx: np.ndarray, codes: np.ndarray, vocab: np.ndarray):
+    """First-matching-marker language per row (priority order), via one
+    vocabulary lookup + boolean scatter per marker."""
+    pred = np.full(n_rows, "und", dtype=object)
+    assigned = np.zeros(n_rows, dtype=bool)
+    for marker, lang in LANG_MARKERS:
+        mc = np.flatnonzero(vocab == marker)
+        if len(mc) == 0:
+            continue
+        hit = np.zeros(n_rows, dtype=bool)
+        hit[row_idx[codes == mc[0]]] = True
+        sel = hit & ~assigned
+        pred[sel] = lang
+        assigned |= sel
+    return pred
+
+
 def token_counts(docs):
     """(doc_id, n_tokens, n_chars)."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        n_tok = batch["text"].str.split(" ").str.len().astype("int64")
-        n_chars = batch["text"].str.len().astype("int64")
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(batch["text"], type=pa.string())
+        n_tok = (
+            pc.list_value_length(pc.split_pattern(arr, " "))
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n_chars = pc.utf8_length(arr).to_numpy().astype(np.int64)
         return pd.DataFrame(
             {"doc_id": batch["doc_id"], "n_tokens": n_tok, "n_chars": n_chars}
         )
@@ -45,17 +127,14 @@ def quality_scores(docs):
     """
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        n_tok = toks.str.len().astype("int64")
-        n_distinct = toks.map(lambda t: len(set(t))).astype("int64")
-        n_stop = toks.map(lambda t: sum(1 for w in t if w in STOPWORDS)).astype("int64")
+        n_tok, n_distinct, n_stop = token_quality_arrays(batch["text"])
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "n_tokens": n_tok,
                 "n_distinct": n_distinct,
-                "distinct_bp": (10000 * n_distinct // n_tok).astype("int64"),
-                "stop_bp": (10000 * n_stop // n_tok).astype("int64"),
+                "distinct_bp": 10000 * n_distinct // np.maximum(n_tok, 1),
+                "stop_bp": 10000 * n_stop // np.maximum(n_tok, 1),
             }
         )
 
@@ -66,13 +145,8 @@ def lang_id(docs):
     """(doc_id, pred_lang) — marker-word heuristic, priority order."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ").map(set)
-        pred = pd.Series(["und"] * len(batch), index=batch.index)
-        assigned = pd.Series([False] * len(batch), index=batch.index)
-        for marker, lang in LANG_MARKERS:
-            hit = toks.map(lambda t, m=marker: m in t) & ~assigned
-            pred[hit] = lang
-            assigned |= hit
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        pred = _lang_pred(len(n_tok), row_idx, codes, vocab)
         return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
 
     return docs.map_batches(fn, batch_format="pandas")
@@ -103,11 +177,17 @@ def fingerprints(docs):
     instead of a signed-int64 wrap."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(batch), dtype=np.int64)
-        for j, txt in enumerate(batch["text"]):
-            toks = txt.split(" ")
-            h = md5int8_array(toks)
-            out[j] = _modsum(h * np.arange(1, len(toks) + 1, dtype=np.int64))
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        # md5 once per DISTINCT token in the batch (the expensive part),
+        # fanned back out to the token stream by integer indexing
+        h = md5int8_array(vocab.tolist())[codes]
+        starts = np.zeros(len(n_tok) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=starts[1:])
+        pos = np.arange(len(codes), dtype=np.int64) - starts[:-1][row_idx] + 1
+        terms = h * pos  # each < 2^49 (md5int8 < 2^32, pos < 2^17)
+        out = np.empty(len(n_tok), dtype=np.int64)
+        for j in range(len(n_tok)):  # per-row modular tree fold (exact)
+            out[j] = _modsum(terms[starts[j] : starts[j + 1]])
         return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out})
 
     return docs.map_batches(fn, batch_format="pandas")
@@ -178,19 +258,13 @@ def lang_and_tokens(docs):
     a lang_id ⋈ token_counts composition would need."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        sets = toks.map(set)
-        pred = pd.Series(["und"] * len(batch), index=batch.index)
-        assigned = pd.Series([False] * len(batch), index=batch.index)
-        for marker, lang in LANG_MARKERS:
-            hit = sets.map(lambda t, m=marker: m in t) & ~assigned
-            pred[hit] = lang
-            assigned |= hit
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        pred = _lang_pred(len(n_tok), row_idx, codes, vocab)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "pred_lang": pred,
-                "n_tokens": toks.str.len().astype("int64"),
+                "n_tokens": n_tok,
             }
         )
 
@@ -246,10 +320,9 @@ def vocab_topk(docs, k: int = 50, num_buckets: int = 16):
     from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch["text"].str.split(" ").explode().value_counts()
-        return pd.DataFrame(
-            {"token": vc.index.astype(str), "cnt": vc.to_numpy().astype("int64")}
-        )
+        _, _, codes, vocab = _flat_token_codes(batch["text"])
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        return pd.DataFrame({"token": vocab.astype(str), "cnt": cnt})
 
     partials = docs.map_batches(local, batch_format="pandas", batch_size=None)
 

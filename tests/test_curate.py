@@ -59,3 +59,59 @@ def test_cache_modes_agree_and_validate():
     assert sorted(a["doc_id"]) == sorted(b["doc_id"]) == [3, 5]
     with pytest.raises(ValueError, match="cache"):
         curate.curate(_docs(), num_buckets=4, cache="bogus").to_pandas()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("plan", ["broadcast", "hash"])
+def test_curate_join_plans_agree(plan):
+    """The keep-set pass must be plan-equivalent: broadcast set filter and
+    co-partitioned hash semi-join produce identical curated rows."""
+    out = (
+        curate.curate(_docs(), num_buckets=4, join_plan=plan)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["doc_id"]) == [3, 5]
+    assert list(out["n_tokens"]) == [7, 7]
+    assert list(out.columns) == ["doc_id", "text", "n_tokens"]
+
+
+@pytest.mark.parametrize("plan", ["broadcast", "hash"])
+def test_curate_neardup_join_plans_agree(plan):
+    """Same plan equivalence for the anti-join drop-set pass of
+    curate_neardup (near-identical docs collapse to the min-id rep)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta epsilon zeta",
+                        "alpha beta gamma delta epsilon zeta",  # near-dup of 1
+                        "totally different words in this document here",
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        curate.curate_neardup(docs, num_buckets=4, join_plan=plan, cc_method="dataset")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["doc_id"]) == [1, 3]
+
+
+def test_curate_auto_flips_to_hash_past_key_cap():
+    # broadcast_max_keys=1 forces the hash plan through the auto probe
+    out = (
+        curate.curate(_docs(), num_buckets=4, broadcast_max_keys=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["doc_id"]) == [3, 5]
