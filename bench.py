@@ -111,23 +111,33 @@ def _transcripts(sf_dir: str, replicas: int):
 def bench_kg(sf_dir: str, replicas: int, num_buckets: int) -> dict:
     """Headline: transcripts -> mentions -> nodes + triples, single pass.
 
-    The shared ``mentions`` intermediate is materialized once so the two
-    wide consumers (entity2conv nodes, pair aggregation) don't re-execute
-    the scan — the Ray Data analog of a persisted stage boundary. Before
-    the materialize, mentions are projected + per-block DISTINCTed down to
-    the (conv_id, entity_type, entity_id) keys both consumers actually
-    read (they dedupe these exact columns internally anyway): the
-    object-store boundary then holds the distinct key stream (~4x fewer
-    bytes than full mention rows with text/spans), which is the part of
-    the pipeline that scales worst on a shared memory bus. Arrow's hash
-    group_by emits keys in first-appearance order, so conv-contiguity of
-    blocks (the assume_unsplit_blocks contract) is preserved.
+    The two wide consumers (entity2conv nodes, pair aggregation) run as
+    ONE fused per-block pass (kg.nodes_and_triples_bucketed): the scan's
+    own tasks project + per-block-DISTINCT the mention keys and pack both
+    provenance kinds, so the only materialized boundary is the tagged
+    provenance (one packed row per (pair|entity, block) — ~1000x fewer
+    rows than the mention stream the round-2 design parked in the object
+    store). The count merges + provenance views are cheap projections of
+    that boundary and run CONCURRENTLY so their fixed barriers overlap.
+
+    The bench fixture makes EVERY pair/entity a hot key (each co-occurs
+    with a large fraction of all conversations), so the headline uses the
+    bucketed-provenance scale path (SURVEY.md §7.3): provenance stays one
+    disjoint bucket per input block — never funneled through a single
+    task — and edge/node support is an exact payload-free integer sum.
+
+    assume_unsplit_blocks: each (replica, chunk) work item emits one
+    ~15 MB mention block, far below target_max_block_size (128 MB), so
+    Ray never splits a conversation across blocks here; the contract is
+    BLOCK MEMBERSHIP, not row order (map stages are one-block-in/
+    one-block-out — nothing downstream relies on intra-block row order).
+    The boundary-exact default path costs two extra sub-pipelines per
+    consumer and stays available through the same function.
     """
-    from bio_re_with_entity_embeddings_ray.stages.aggregate import (
-        entity2conv_bucketed,
+    from bio_re_with_entity_embeddings_ray.pipelines.kg import (
+        nodes_and_triples_bucketed,
     )
     from bio_re_with_entity_embeddings_ray.stages.mentions import scan_mentions
-    from bio_re_with_entity_embeddings_ray.stages.pairs import triples_bucketed
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -142,50 +152,25 @@ def bench_kg(sf_dir: str, replicas: int, num_buckets: int) -> dict:
 
     t0 = time.perf_counter()
     ts = _transcripts(sf_dir, replicas)
-    mentions = (
-        scan_mentions(ts, include_tool=True)
-        .map_batches(distinct_keys, batch_format="pyarrow", batch_size=None)
-        .materialize()
+    mentions = scan_mentions(ts, include_tool=True).map_batches(
+        distinct_keys, batch_format="pyarrow", batch_size=None
     )
-    # The bench fixture makes EVERY pair/entity a hot key (each co-occurs
-    # with a large fraction of all conversations), so the headline uses the
-    # bucketed-provenance scale path (SURVEY.md §7.3): provenance stays one
-    # disjoint bucket per input block — never funneled through a single
-    # task — and edge/node support is an exact payload-free integer sum.
-    # The two wide consumers run CONCURRENTLY so fixed barriers overlap.
+    edges, nodes, pair_prov, node_prov, tagged = nodes_and_triples_bucketed(
+        mentions, "op", "res", "applies_to", num_buckets,
+        assume_unsplit_blocks=True,
+    )
     with ThreadPoolExecutor(2) as pool:
-
-        # assume_unsplit_blocks: each (replica, chunk) work item emits one
-        # ~15 MB mention block, far below target_max_block_size (128 MB),
-        # so Ray never splits a conversation across blocks here; the safe
-        # boundary-exact default costs two extra sub-pipelines per consumer
-        # merge_plan stays "auto": the explicit "tree" plan (bounded key
-        # space, skips the probe barrier) measured 5.2 s vs auto's 4.9 s
-        # here — the probe is not the cost at this scale, so keep the
-        # measured default; the knob exists for callers who know better
-        def run_triples():
-            edges, prov = triples_bucketed(
-                mentions, "op", "res", "applies_to", num_buckets,
-                assume_unsplit_blocks=True,
-            )
-            return edges.count(), prov.count()
-
-        def run_nodes():
-            nodes, prov = entity2conv_bucketed(
-                mentions, num_buckets, assume_unsplit_blocks=True
-            )
-            return nodes.count(), prov.count()
-
-        f_triples = pool.submit(run_triples)
-        f_nodes = pool.submit(run_nodes)
-        n_triples, n_triple_prov = f_triples.result()
-        n_nodes, n_node_prov = f_nodes.result()
+        f_e, f_n = pool.submit(edges.count), pool.submit(nodes.count)
+        n_triples, n_nodes = f_e.result(), f_n.result()
+    # tagged is materialized and holds exactly pair_prov + node_prov rows,
+    # so the provenance count is a metadata read, not a third execution
+    n_prov = tagged.count()
     sec = time.perf_counter() - t0
     return {
         "sec": sec,
         "triples": n_triples,
         "nodes": n_nodes,
-        "prov_buckets": n_triple_prov + n_node_prov,
+        "prov_buckets": n_prov,
     }
 
 

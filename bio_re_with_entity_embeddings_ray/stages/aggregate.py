@@ -27,15 +27,49 @@ from bio_re_with_entity_embeddings_ray.stages.common import (
 SET_SEP = ";;;"  # reference's set serialization separator
 
 
-def _pack(series: pd.Series) -> str:
-    return SET_SEP.join(sorted(set(series)))
+def group_join(frame: pd.DataFrame, keys: list[str], col: str, out_col: str) -> pd.DataFrame:
+    """';;;'-join of string ``col`` per ``keys`` in the frame's CURRENT row
+    order — Arrow hash ``group_by('list')`` + ``binary_join``: one C call
+    per batch instead of one Python ``join`` per group (with millions of
+    small groups the interpreter overhead dominated the combiner).
+    Callers establish order / distinctness first; single-threaded group_by
+    keeps first-appearance key order and in-order list values."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(frame) == 0:
+        out = frame[keys].copy()
+        out[out_col] = pd.Series([], dtype="object")
+        return out
+    t = pa.Table.from_pandas(frame[[*keys, col]], preserve_index=False)
+    g = t.group_by(keys, use_threads=False).aggregate([(col, "list")])
+    packed = pc.binary_join(g[f"{col}_list"].combine_chunks(), SET_SEP)
+    return g.remove_column(len(keys)).append_column(out_col, packed).to_pandas()
 
 
-def _union_packed(series: pd.Series) -> str:
-    seen: set[str] = set()
-    for part in series:
-        seen.update(part.split(SET_SEP))
-    return SET_SEP.join(sorted(seen))
+def pack_sorted_distinct(
+    frame: pd.DataFrame, keys: list[str], col: str, out_col: str
+) -> pd.DataFrame:
+    """Sorted-distinct ';;;'-pack of ``col`` per ``keys`` (the reference's
+    set_to_string semantics, prepare_entity_dataset.py:76-81) — mergesort +
+    dedup + :func:`group_join`, fully C-level."""
+    cols = [*keys, col]
+    b = frame[cols].drop_duplicates().sort_values(cols, kind="mergesort")
+    return group_join(b, keys, col, out_col)
+
+
+def explode_packed(frame: pd.DataFrame, keys: list[str], col: str) -> pd.DataFrame:
+    """(keys, ';;;'-packed) -> one row per element; Arrow split + take."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(frame) == 0:
+        return frame[[*keys, col]]
+    t = pa.Table.from_pandas(frame[[*keys, col]], preserve_index=False)
+    lists = pc.split_pattern(t[col].combine_chunks(), SET_SEP)
+    par = pc.list_parent_indices(lists)
+    flat = pc.list_flatten(lists)
+    return t.remove_column(len(keys)).take(par).append_column(col, flat).to_pandas()
 
 
 def _combine_packed(keys: list[str], col: str = "packed", disjoint: bool = False):
@@ -44,15 +78,17 @@ def _combine_packed(keys: list[str], col: str = "packed", disjoint: bool = False
     ``disjoint=True`` asserts the partials for one key never share members
     (true when the set elements are conv ids and every conversation's rows
     live in exactly one upstream block — the conv-partitioned layout): the
-    union degenerates to a C-speed string concat, no split/set/sort. The
-    set CONTENT stays deterministic; intra-list order then follows block
-    order. Default keeps full sorted-union semantics (byte-stable output).
+    union degenerates to an in-order string concat, no split/dedup/sort.
+    The set CONTENT stays deterministic; intra-list order then follows
+    block order. Default keeps full sorted-union semantics (byte-stable
+    output): explode the packed partials and re-pack sorted-distinct —
+    both paths all-Arrow, no per-group Python.
     """
-    joiner = SET_SEP.join if disjoint else _union_packed
 
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, sort=False)[col].agg(joiner)
-        return g.reset_index()
+        if disjoint:
+            return group_join(batch, keys, col, col)
+        return pack_sorted_distinct(explode_packed(batch, keys, col), keys, col, col)
 
     return combine
 
@@ -73,9 +109,7 @@ def conv2entity(
     """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[["conv_id", "entity_id"]].drop_duplicates()
-        g = b.groupby("conv_id", sort=False)["entity_id"]
-        return g.agg(_pack).reset_index().rename(columns={"entity_id": "packed"})
+        return pack_sorted_distinct(batch, ["conv_id"], "entity_id", "packed")
 
     partials = mentions.map_batches(partial, batch_format="pandas", batch_size=None)
 
@@ -112,9 +146,9 @@ def entity2conv(
     """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[["entity_id", "entity_type", "conv_id"]].drop_duplicates()
-        g = b.groupby(["entity_id", "entity_type"], sort=False)["conv_id"]
-        return g.agg(_pack).reset_index().rename(columns={"conv_id": "packed"})
+        return pack_sorted_distinct(
+            batch, ["entity_id", "entity_type"], "conv_id", "packed"
+        )
 
     partials = mentions.map_batches(partial, batch_format="pandas", batch_size=None)
 
@@ -162,14 +196,13 @@ def entity2conv_bucketed(
                 }
             )
         if assume_unsplit_blocks:
-            inner = batch[["entity_id", "entity_type", "conv_id"]].drop_duplicates()
+            inner = batch
         else:
             boundary = {batch["conv_id"].iloc[0], batch["conv_id"].iloc[-1]}
-            inner = batch[~batch["conv_id"].isin(boundary)][
-                ["entity_id", "entity_type", "conv_id"]
-            ].drop_duplicates()
-        g = inner.groupby(["entity_id", "entity_type"], sort=False)["conv_id"]
-        out = g.agg(_pack).reset_index().rename(columns={"conv_id": "conv_ids"})
+            inner = batch[~batch["conv_id"].isin(boundary)]
+        out = pack_sorted_distinct(
+            inner, ["entity_id", "entity_type"], "conv_id", "conv_ids"
+        )
         out["n_convs"] = (out["conv_ids"].str.count(SET_SEP) + 1).astype("int64")
         return out
 

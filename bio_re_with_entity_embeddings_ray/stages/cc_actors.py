@@ -12,6 +12,14 @@ applies them. min() is commutative/associative, so the result is
 deterministic regardless of message/scheduling order and identical to the
 Dataset path (equality-tested on random graphs).
 
+Shard state is numpy CSR, not Python dicts: edges are accumulated as raw
+arrays and compiled once in ``init_labels`` into sorted node / offset
+arrays plus per-destination-shard send plans (edge permutation + reduceat
+boundaries). A propagation round is then pure C: one fancy-index gather
+of source labels and one grouped ``np.minimum.reduceat`` per destination
+shard, ~16-24 bytes/edge resident instead of ~100 B/edge of dict-of-list
+objects — the difference between 10^9 edges fitting a shard or not.
+
 This is the documented raw-actor exception of the engine: a shared
 mutable index (per-shard adjacency + label state) that the Dataset API
 cannot hold across iterations. Partitioning assumption: node ids hash
@@ -34,68 +42,101 @@ def _shard_class():
         def __init__(self, shard_id: int, num_shards: int):
             self.shard_id = shard_id
             self.num = num_shards
-            self.adj: dict[int, list[int]] = {}
-            self.label: dict[int, int] = {}
-            self.inbox: dict[int, int] = {}
+            self._edge_nodes: list[np.ndarray] = []
+            self._edge_nbrs: list[np.ndarray] = []
+            self.nodes = np.empty(0, dtype=np.int64)  # sorted local node ids
+            self.labels = np.empty(0, dtype=np.int64)  # aligned with nodes
+            # per-destination-shard send plan (built once in init_labels):
+            # labels[send_src[sh]] grouped by send_starts[sh] reduces to one
+            # minimum per distinct destination node send_dest[sh]
+            self.send_src: list[np.ndarray] = []
+            self.send_starts: list[np.ndarray] = []
+            self.send_dest: list[np.ndarray] = []
+            self.inbox: list[tuple[np.ndarray, np.ndarray]] = []
             self.peers = None
 
         def set_peers(self, peers) -> None:
             self.peers = peers
 
         def add_edges(self, nodes: np.ndarray, nbrs: np.ndarray) -> None:
-            adj = self.adj
-            for n, m in zip(nodes.tolist(), nbrs.tolist()):
-                adj.setdefault(n, []).append(m)
+            self._edge_nodes.append(np.asarray(nodes, dtype=np.int64))
+            self._edge_nbrs.append(np.asarray(nbrs, dtype=np.int64))
 
         def init_labels(self) -> None:
-            self.label = {n: min(n, min(ms)) for n, ms in self.adj.items()}
-            self.inbox = {}
+            """Compile accumulated half-edges into CSR + send plans and set
+            label(v) = min(v, min neighbor) — one free propagation step."""
+            if self._edge_nodes:
+                en = np.concatenate(self._edge_nodes)
+                eb = np.concatenate(self._edge_nbrs)
+            else:
+                en = np.empty(0, dtype=np.int64)
+                eb = np.empty(0, dtype=np.int64)
+            self._edge_nodes = []
+            self._edge_nbrs = []
+            order = np.argsort(en, kind="stable")
+            en, eb = en[order], eb[order]
+            self.nodes, starts = np.unique(en, return_index=True)
+            if len(en):
+                self.labels = np.minimum(
+                    self.nodes, np.minimum.reduceat(eb, starts)
+                )
+            else:
+                self.labels = np.empty(0, dtype=np.int64)
+            # src_idx[j] = local index of edge j's source node
+            degree = np.diff(np.append(starts, len(en)))
+            src_idx = np.repeat(np.arange(len(self.nodes)), degree)
+            self.send_src, self.send_starts, self.send_dest = [], [], []
+            for sh in range(self.num):
+                m = (eb % self.num) == sh
+                d, s = eb[m], src_idx[m]
+                o = np.argsort(d, kind="stable")
+                d, s = d[o], s[o]
+                dest, dstarts = np.unique(d, return_index=True)
+                self.send_src.append(s)
+                self.send_starts.append(dstarts)
+                self.send_dest.append(dest)
+            self.inbox = []
 
         def send_round(self):
-            """Push each local node's label to its neighbors' shards.
+            """Push each local node's label minimum to its neighbors' shards.
             Returns the peers' receive ObjectRefs WITHOUT blocking on
             them: a blocking get here would deadlock (every shard's
             receive queue sits behind its own in-flight send_round on a
             single-threaded actor). The driver barriers on the returned
             refs before anyone applies."""
-            out: list[dict[int, int]] = [dict() for _ in range(self.num)]
-            for n, ms in self.adj.items():
-                lab = self.label[n]
-                for m in ms:
-                    d = out[m % self.num]
-                    prev = d.get(m)
-                    if prev is None or lab < prev:
-                        d[m] = lab
-            return [
-                self.peers[i].receive.remote(updates)
-                for i, updates in enumerate(out)
-                if updates
-            ]
+            refs = []
+            for sh in range(self.num):
+                if len(self.send_dest[sh]) == 0:
+                    continue
+                mins = np.minimum.reduceat(
+                    self.labels[self.send_src[sh]], self.send_starts[sh]
+                )
+                refs.append(
+                    self.peers[sh].receive.remote(self.send_dest[sh], mins)
+                )
+            return refs
 
-        def receive(self, updates: dict[int, int]) -> bool:
-            inbox = self.inbox
-            for n, lab in updates.items():
-                prev = inbox.get(n)
-                if prev is None or lab < prev:
-                    inbox[n] = lab
+        def receive(self, nodes: np.ndarray, labs: np.ndarray) -> bool:
+            self.inbox.append((nodes, labs))
             return True
 
         def apply_round(self) -> int:
-            changed = 0
-            label = self.label
-            for n, lab in self.inbox.items():
-                if lab < label[n]:
-                    label[n] = lab
-                    changed += 1
-            self.inbox = {}
+            if not self.inbox:
+                return 0
+            in_nodes = np.concatenate([n for n, _ in self.inbox])
+            in_labs = np.concatenate([l for _, l in self.inbox])
+            self.inbox = []
+            # every message destination is locally owned (edges are loaded
+            # symmetric, so each endpoint is a source on its owner shard)
+            pos = np.searchsorted(self.nodes, in_nodes)
+            new = self.labels.copy()
+            np.minimum.at(new, pos, in_labs)
+            changed = int(np.count_nonzero(new < self.labels))
+            self.labels = new
             return changed
 
         def result(self):
-            items = sorted(self.label.items())
-            return (
-                np.fromiter((n for n, _ in items), dtype=np.int64, count=len(items)),
-                np.fromiter((l for _, l in items), dtype=np.int64, count=len(items)),
-            )
+            return (self.nodes, self.labels)
 
     return CCShard
 

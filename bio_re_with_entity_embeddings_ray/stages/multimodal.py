@@ -6,11 +6,15 @@ travel as opaque Arrow ``binary`` columns plus typed metadata (kind, width,
 height); every transform below is an actor-pool ``map_batches`` stage so a
 real decoder (PIL / libav) would be loaded ONCE per actor in ``__init__``.
 
-Those decode libraries are not in this container, so the *decode* step is
-stubbed two ways, both deterministic and documented:
+General decode libraries are not in this container, so decode has two
+real-ness levels, both deterministic and documented:
 
-- ``real_decode=True``  -> ``NotImplementedError`` at actor construction
-  (the production hook point: swap in PIL/torchaudio there);
+- ``real_decode=True``  -> ACTUAL pixel decode: PIL if importable, else
+  the built-in pure-numpy binary-PPM (P6) codec below — payloads that
+  start with ``P6`` are decoded to H x W x 3 uint8 pixels and
+  featurized/resized from the pixels; non-PPM payloads in the same batch
+  fall back to the metadata stub per row (a production build dispatches
+  per codec at the same point);
 - ``real_decode=False`` -> a deterministic fake "decode" computed purely
   from the payload bytes + metadata, so schemas, batch sizing, actor
   signatures and output layout are all real and oracle-testable.
@@ -34,6 +38,56 @@ FRAME_BYTES = 256  # fake "frame" size for video payloads
 FRAME_STRIDE = 2  # sample every 2nd frame
 
 _KINDS = np.array(["image", "audio", "video"])
+
+
+# ------------------------------------------------------------------ PPM codec
+# Pure-numpy binary-PPM (P6): the no-dependency real decoder behind
+# real_decode=True. PPM is the simplest real image container (netpbm);
+# a production deployment swaps PIL/libav in at the same hook.
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """H x W x 3 uint8 pixels -> binary PPM (P6) bytes."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"encode_ppm expects HxWx3, got {rgb.shape}")
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        rgb, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PPM (P6) bytes -> (width, height, H x W x 3 uint8). Handles
+    arbitrary whitespace and '#' comments in the header."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, n, vals = 2, len(payload), []
+    while len(vals) < 3:
+        if pos >= n:
+            raise ValueError("truncated PPM header")
+        ch = payload[pos : pos + 1]
+        if ch.isspace():
+            pos += 1
+        elif ch == b"#":
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, then raster
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    if n - pos < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, data.reshape(h, w, 3)
+
+
+def _is_ppm(payload: bytes) -> bool:
+    return payload[:2] == b"P6"
 
 
 def attach_media(docs) -> "object":
@@ -66,39 +120,48 @@ class MediaFeaturizer:
     """Actor-pool stage: media -> per-item feature row.
 
     ``__init__`` is the once-per-actor model/codec load point. With
-    ``real_decode`` the constructor demands a decoder library (absent in
-    this container -> NotImplementedError, the documented stub); otherwise
-    features are deterministic functions of (payload length, metadata):
-    ``n_bytes``, ``aspect_bp`` = width*10000//height.
+    ``real_decode`` the actor loads PIL when importable and otherwise the
+    built-in pure-numpy PPM codec; PPM payloads are then decoded and
+    their width/height/aspect come from the PIXELS (non-PPM rows fall
+    back to metadata per row). Without it, features are deterministic
+    functions of (payload length, metadata): ``n_bytes``, ``aspect_bp``
+    = width*10000//height.
     """
 
     def __init__(self, real_decode: bool = False):
-        self.decoder = None
+        self.decode = None
         if real_decode:
-            try:  # pragma: no cover - library absent by design
-                import PIL.Image as decoder  # noqa: F401
+            try:  # pragma: no cover - library absent in this container
+                import PIL.Image  # noqa: F401
+                import io
 
-                self.decoder = decoder
+                def _pil_decode(payload: bytes):
+                    img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+                    a = np.asarray(img, dtype=np.uint8)
+                    return img.width, img.height, a
+
+                self.decode = _pil_decode
             except ImportError:
-                raise NotImplementedError(
-                    "real media decode requires an image/audio library "
-                    "(PIL/torchaudio) not present in this environment; "
-                    "run with real_decode=False for the deterministic stub"
-                )
+                self.decode = decode_ppm  # built-in no-dependency codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         n_bytes = pc.binary_length(batch["payload"]).cast(pa.int64())
-        w = batch["width"].to_numpy().astype(np.int64)
-        h = batch["height"].to_numpy().astype(np.int64)
+        w = batch["width"].to_numpy().astype(np.int64).copy()
+        h = batch["height"].to_numpy().astype(np.int64).copy()
+        if self.decode is not None:
+            for i, payload in enumerate(batch["payload"].to_pylist()):
+                if _is_ppm(payload):
+                    dw, dh, _ = self.decode(payload)
+                    w[i], h[i] = dw, dh
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "kind": batch["kind"],
                 "n_bytes": n_bytes,
-                "width": batch["width"],
-                "height": batch["height"],
+                "width": pa.array(w.astype(np.int32), pa.int32()),
+                "height": pa.array(h.astype(np.int32), pa.int32()),
                 "aspect_bp": pa.array(w * 10000 // h, pa.int64()),
             }
         )
@@ -172,30 +235,48 @@ class MediaResizer:
     """Actor-pool stage: fit media into a ``max_dim`` bounding box.
 
     Metadata math is the real resize contract (integer scale preserving
-    aspect); the pixel operation is faked as payload truncation to
-    new_width*new_height bytes. ``real_decode=True`` is the PIL hook and
-    raises NotImplementedError here, like MediaFeaturizer.
+    aspect). Without ``real_decode`` the pixel operation is faked as
+    payload truncation to new_width*new_height bytes; with it, PPM
+    payloads are decoded (built-in numpy codec), nearest-neighbor
+    downsampled to the SAME target box (dimensions taken from the decoded
+    raster, not the metadata) and re-encoded as PPM — a full
+    decode -> transform -> encode loop with zero external dependencies.
     """
 
     def __init__(self, max_dim: int = 32, real_decode: bool = False):
-        if real_decode:
-            raise NotImplementedError(
-                "real resize requires PIL; use real_decode=False for the stub"
-            )
         self.max_dim = max_dim
+        self.real_decode = real_decode
+
+    @staticmethod
+    def _fit(w, h, md):
+        scale_w = np.where(w >= h, md, w * md // h)
+        scale_h = np.where(w >= h, h * md // w, md)
+        over = np.maximum(w, h) > md
+        nw = np.where(over, np.maximum(scale_w, 1), w).astype(np.int64)
+        nh = np.where(over, np.maximum(scale_h, 1), h).astype(np.int64)
+        return nw, nh
+
+    def _resize_ppm(self, payload: bytes) -> tuple[bytes, int, int]:
+        w, h, img = decode_ppm(payload)
+        nw, nh = self._fit(np.array([w]), np.array([h]), self.max_dim)
+        nw, nh = int(nw[0]), int(nh[0])
+        ys = (np.arange(nh, dtype=np.int64) * h) // nh
+        xs = (np.arange(nw, dtype=np.int64) * w) // nw
+        small = img[ys][:, xs]
+        return encode_ppm(small), nw, nh
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = batch["width"].to_numpy().astype(np.int64)
         h = batch["height"].to_numpy().astype(np.int64)
-        md = self.max_dim
-        scale_w = np.where(w >= h, md, w * md // h)
-        scale_h = np.where(w >= h, h * md // w, md)
-        over = np.maximum(w, h) > md
-        nw = np.where(over, scale_w, w).astype(np.int64)
-        nh = np.where(over, scale_h, h).astype(np.int64)
+        nw, nh = self._fit(w, h, self.max_dim)
         payloads = batch["payload"].to_pylist()
         cap = nw * nh
         out = [p[: int(c)] for p, c in zip(payloads, cap)]
+        if self.real_decode:
+            for i, p in enumerate(payloads):
+                if _is_ppm(p):
+                    out[i], rw, rh = self._resize_ppm(p)
+                    nw[i], nh[i] = rw, rh
         out_arr = pa.array(out, pa.binary())
         return pa.table(
             {
@@ -209,11 +290,11 @@ class MediaResizer:
         )
 
 
-def resize_media(media, max_dim: int = 32, concurrency: int = 4):
+def resize_media(media, max_dim: int = 32, concurrency: int = 4, real_decode: bool = False):
     """media -> resized media via a MediaResizer actor pool."""
     return media.map_batches(
         MediaResizer,
-        fn_constructor_kwargs={"max_dim": max_dim},
+        fn_constructor_kwargs={"max_dim": max_dim, "real_decode": real_decode},
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,

@@ -23,7 +23,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from bio_re_with_entity_embeddings_ray.stages.aggregate import SET_SEP, _union_packed
+from bio_re_with_entity_embeddings_ray.stages.aggregate import (
+    SET_SEP,
+    _combine_packed,
+    pack_sorted_distinct,
+)
 from bio_re_with_entity_embeddings_ray.stages.common import (
     bucketed_group_apply,
     merge_partials,
@@ -51,9 +55,7 @@ def _cross_and_pack(
         columns={"entity_id": "obj_id"}
     )
     m = src.merge(tgt, on="conv_id")
-    g = m.groupby(["subj_id", "obj_id"], sort=False)["conv_id"]
-    out = g.agg(lambda s: SET_SEP.join(sorted(set(s)))).reset_index()
-    out = out.rename(columns={"conv_id": out_col})
+    out = pack_sorted_distinct(m, ["subj_id", "obj_id"], "conv_id", out_col)
     if with_counts:
         out["n_convs"] = (out[out_col].str.count(SET_SEP) + 1).astype("int64")
     return out
@@ -101,10 +103,9 @@ def aggregate_pairs(
     support). Two-phase: per-batch combiner then hash-partitioned merge."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[["subj_id", "obj_id", "conv_id"]].drop_duplicates()
-        g = b.groupby(["subj_id", "obj_id"], sort=False)["conv_id"]
-        out = g.agg(lambda s: SET_SEP.join(sorted(set(s)))).reset_index()
-        return out.rename(columns={"conv_id": "convs_partial"})
+        return pack_sorted_distinct(
+            batch, ["subj_id", "obj_id"], "conv_id", "convs_partial"
+        )
 
     partials = cand.map_batches(partial, batch_format="pandas", batch_size=None)
     return _merge_pair_partials(partials, pred, num_buckets, as_string, plan=merge_plan)
@@ -125,13 +126,7 @@ def _merge_pair_partials(
     conv sets cannot overlap) turns the set-union into a C-speed concat —
     see aggregate._combine_packed."""
 
-    joiner = SET_SEP.join if disjoint else _union_packed
-
-    def combine(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(["subj_id", "obj_id"], sort=False)["convs_partial"].agg(
-            joiner
-        )
-        return g.reset_index()
+    combine = _combine_packed(["subj_id", "obj_id"], "convs_partial", disjoint)
 
     def finalize(combined: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -283,6 +278,14 @@ def triples_bucketed(
         provenance = interior.union(bnd_prov).materialize()
 
     counts = provenance.select_columns(["subj_id", "obj_id", "n_convs"])
+    edges = merge_pair_counts(counts, pred, num_buckets, merge_plan)
+    return edges, provenance
+
+
+def merge_pair_counts(counts, pred: str, num_buckets: int = 64, plan: str = "auto"):
+    """(subj_id, obj_id, n_convs) disjoint partial counts -> exact edges
+    (subj_id, pred, obj_id, support) via the measured merge-plan chooser
+    (shared by triples_bucketed and kg.nodes_and_triples_bucketed)."""
 
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(["subj_id", "obj_id"], sort=False)["n_convs"].sum()
@@ -298,10 +301,9 @@ def triples_bucketed(
             }
         )
 
-    edges = merge_partials(
-        counts, ["subj_id", "obj_id"], combine, finalize, num_buckets, plan=merge_plan
+    return merge_partials(
+        counts, ["subj_id", "obj_id"], combine, finalize, num_buckets, plan=plan
     )
-    return edges, provenance
 
 
 def adjacency_edges(triples_ds):
@@ -345,22 +347,30 @@ def adjacency_index(edges_ds, num_buckets: int = 16):
     ``list(struct_pack(...) ORDER BY ...)`` (oracles.ADJACENCY_INDEX).
     """
 
-    def build(bucket: pd.DataFrame) -> pd.DataFrame:
+    def build(bucket: pd.DataFrame):
+        import pyarrow as pa
+
         b = bucket.sort_values(
             ["entity_id", "neighbor_id", "pred"], kind="mergesort"
         )
-        ents: list[str] = []
-        nbrs: list[list[dict]] = []
-        for eid, g in b.groupby("entity_id", sort=False):
-            ents.append(eid)
-            # plain lists of dicts: Arrow infers list<struct<...>> for the
-            # Parquet sink (numpy object arrays are not convertible)
-            nbrs.append(
-                [
-                    {"neighbor_id": n, "pred": p, "weight": int(w)}
-                    for n, p, w in zip(g["neighbor_id"], g["pred"], g["weight"])
-                ]
-            )
-        return pd.DataFrame({"entity_id": ents, "neighbors": nbrs})
+        # vectorized nested assembly: one struct array over the sorted
+        # edges + a ListArray cut at entity boundaries (no per-entity
+        # Python loop; emits a real Arrow list<struct> block)
+        structs = pa.StructArray.from_arrays(
+            [
+                pa.array(b["neighbor_id"], pa.string()),
+                pa.array(b["pred"], pa.string()),
+                pa.array(b["weight"].to_numpy().astype(np.int64), pa.int64()),
+            ],
+            names=["neighbor_id", "pred", "weight"],
+        )
+        ents, starts = np.unique(b["entity_id"].to_numpy(), return_index=True)
+        offsets = np.append(starts, len(b)).astype(np.int32)
+        return pa.table(
+            {
+                "entity_id": pa.array(ents, pa.string()),
+                "neighbors": pa.ListArray.from_arrays(offsets, structs),
+            }
+        )
 
     return bucketed_group_apply(edges_ds, "entity_id", build, num_buckets)

@@ -279,13 +279,19 @@ def rekey_grouped_union(customer, nation):
         return b.drop_duplicates()
 
     def union_sets(bucket: pd.DataFrame) -> pd.DataFrame:
+        from bio_re_with_entity_embeddings_ray.stages.aggregate import (
+            SET_SEP,
+            group_join,
+        )
+
+        # NUMERIC sort first (the packed order is by custkey value, not
+        # lexicographic), then the in-order C-level group join
         b = bucket.drop_duplicates().sort_values(
             ["r_regionkey", "c_custkey"], kind="mergesort"
         )
-        g = b.groupby("r_regionkey", sort=False)["c_custkey"]
-        out = g.agg(lambda s: ";;;".join(str(v) for v in s)).reset_index()
-        out = out.rename(columns={"c_custkey": "custkeys"})
-        out["n_cust"] = g.nunique().to_numpy().astype("int64")
+        b = b.assign(ck=b["c_custkey"].astype(str))
+        out = group_join(b, ["r_regionkey"], "ck", "custkeys")
+        out["n_cust"] = (out["custkeys"].str.count(SET_SEP) + 1).astype("int64")
         return out
 
     # distinct is the associative combine; the grouped pack happens once

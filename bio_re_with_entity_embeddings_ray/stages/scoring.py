@@ -310,10 +310,10 @@ class TagTripleScorer:
         if len(batch) == 0:
             batch["score"] = pd.Series([], dtype="float32")
             return batch
-        rs = [self.row_of.get(t, -1) for t in batch["subj_id"]]
-        ro = [self.row_of.get(t, -1) for t in batch["obj_id"]]
-        s = np.where(np.array(rs)[:, None] >= 0, self.M[rs], 0.0)
-        o = np.where(np.array(ro)[:, None] >= 0, self.M[ro], 0.0)
+        rs = batch["subj_id"].map(self.row_of).fillna(-1).astype("int64").to_numpy()
+        ro = batch["obj_id"].map(self.row_of).fillna(-1).astype("int64").to_numpy()
+        s = np.where(rs[:, None] >= 0, self.M[rs], 0.0)
+        o = np.where(ro[:, None] >= 0, self.M[ro], 0.0)
         batch["score"] = np.einsum("ij,ij->i", s, o).astype(np.float32)
         return batch
 

@@ -85,7 +85,25 @@ def partitioned_input_reader(in_dir: str, columns=None):
     def make(part: int):
         import ray.data as rd
 
-        return rd.read_parquet(os.path.join(in_dir, f"part={part}"), columns=columns)
+        pdir = os.path.join(in_dir, f"part={part}")
+        if not os.path.isdir(pdir):
+            # a hash partition with ZERO rows produces no part=<i>/ dir
+            # (write_parquet(partition_cols=...) writes only non-empty
+            # ones) — serve an empty dataset with the layout's schema from
+            # any sibling partition so skewed/small inputs still commit
+            siblings = sorted(
+                d
+                for d in os.listdir(in_dir)
+                if d.startswith("part=") and os.path.isdir(os.path.join(in_dir, d))
+            )
+            if not siblings:
+                raise FileNotFoundError(
+                    f"partitioned_input_reader: no part=*/ dirs under {in_dir}"
+                )
+            return rd.read_parquet(
+                os.path.join(in_dir, siblings[0]), columns=columns
+            ).limit(0)
+        return rd.read_parquet(pdir, columns=columns)
 
     return make
 
@@ -174,6 +192,10 @@ def run_checkpointed(
         # count committed rows from the written files (cheap metadata scan)
         import pyarrow.dataset as pads
 
+        if not os.path.isdir(tmp_dir):
+            # a zero-row partition result writes NO files (and no dir);
+            # commit an empty dir so resume still sees the partition done
+            os.makedirs(tmp_dir, exist_ok=True)
         rows = pads.dataset(tmp_dir, format="parquet").count_rows()
         # recompute of an existing partition: rename the committed dir
         # ASIDE (atomic) instead of rmtree-ing it before the replace, so a

@@ -181,3 +181,28 @@ def test_partitioned_layout_prunes_reads(fixture_dir, tmp_path):
     )
     clean = _stage(src).to_pandas().sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, clean)
+
+
+def test_empty_hash_partition_commits(tmp_path):
+    """A partitioned layout where some hash partitions hold zero rows (all
+    keys collide into a few buckets) must still run end to end: absent
+    part=<i>/ dirs read as empty datasets with the layout's schema."""
+    import ray.data as rd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    # one distinct key -> exactly one non-empty partition out of 4
+    df = pd.DataFrame({"conv_id": ["c0"] * 8, "text": [f"t{i}" for i in range(8)]})
+    checkpoint.write_partitioned_input(rd.from_pandas(df), src, "conv_id", 4)
+    reader = checkpoint.partitioned_input_reader(src, columns=["conv_id", "text"])
+
+    def stage(ds):
+        return ds
+
+    recs = checkpoint.run_checkpointed(
+        reader, stage, out, key="conv_id", num_partitions=4,
+        input_fingerprint="skew", engine_fingerprint="v1",
+    )
+    assert len(recs) == 4
+    assert sum(r["rows"] for r in recs) == 8
+    assert sorted(r["rows"] for r in recs) == [0, 0, 0, 8]

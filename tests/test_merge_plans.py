@@ -153,3 +153,64 @@ def test_bucketed_exact_under_block_straddle():
     assert convs == ["c1", "c2", "cX"]
     nodes, _ = aggregate.entity2conv_bucketed(m, 4)
     assert sorted(nodes.to_pandas()["support"]) == [3, 3]
+
+
+def test_fused_nodes_and_triples_matches_separate_paths():
+    """kg.nodes_and_triples_bucketed (one fused per-block pass + one
+    kind-combined count merge) must equal the two separate bucketed
+    consumers — edges, nodes, AND the unioned provenance."""
+    from bio_re_with_entity_embeddings_ray.pipelines import kg
+
+    m = _mentions(6)
+    edges, nodes, pp, np_, tagged = kg.nodes_and_triples_bucketed(
+        m, "op", "res", "applies_to", 8, assume_unsplit_blocks=True
+    )
+    ref_e = pairs.triples(m, "op", "res", "applies_to", 8).to_pandas()
+    e = edges.to_pandas().sort_values(["subj_id", "obj_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        e[["subj_id", "pred", "obj_id", "support"]],
+        ref_e[["subj_id", "pred", "obj_id", "support"]]
+        .sort_values(["subj_id", "obj_id"])
+        .reset_index(drop=True),
+    )
+    ref_n = aggregate.entity2conv(m, 8).to_pandas()
+    n = nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        n[["entity_id", "entity_type", "support"]],
+        ref_n[["entity_id", "entity_type", "support"]]
+        .sort_values("entity_id")
+        .reset_index(drop=True),
+    )
+    # provenance union per pair == the exact conv sets
+    pv = pp.to_pandas()
+    got = (
+        pv.groupby(["subj_id", "obj_id"])["conv_ids"]
+        .agg(lambda s: ";;;".join(sorted(";;;".join(s).split(";;;"))))
+        .reset_index()
+    )
+    want = ref_e[["subj_id", "obj_id", "conv_ids"]].copy()
+    want["conv_ids"] = want["conv_ids"].map(
+        lambda s: ";;;".join(sorted(s.split(";;;")))
+    )
+    merged = got.merge(want, on=["subj_id", "obj_id"], suffixes=("_f", "_r"))
+    assert len(merged) == len(want)
+    assert (merged["conv_ids_f"] == merged["conv_ids_r"]).all()
+    assert tagged.count() == pp.count() + np_.count()
+
+    # the exact (assume_unsplit_blocks=False) delegation agrees too
+    e2, n2, _, _, tg = kg.nodes_and_triples_bucketed(
+        m, "op", "res", "applies_to", 8, assume_unsplit_blocks=False
+    )
+    assert tg is None
+    pd.testing.assert_frame_equal(
+        e2.to_pandas().sort_values(["subj_id", "obj_id"]).reset_index(drop=True)[
+            ["subj_id", "pred", "obj_id", "support"]
+        ],
+        e[["subj_id", "pred", "obj_id", "support"]],
+    )
+    pd.testing.assert_frame_equal(
+        n2.to_pandas().sort_values("entity_id").reset_index(drop=True)[
+            ["entity_id", "entity_type", "support"]
+        ],
+        n[["entity_id", "entity_type", "support"]],
+    )

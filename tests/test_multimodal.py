@@ -47,11 +47,81 @@ def test_featurizer_actor_pool_features():
     }
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        mm.MediaFeaturizer(real_decode=True)
-    with pytest.raises(NotImplementedError):
-        mm.MediaResizer(real_decode=True)
+def _gradient_rgb(w: int, h: int):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 255 // max(w - 1, 1)), (y * 255 // max(h - 1, 1)), (x + y) % 256],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    import numpy as np
+
+    img = _gradient_rgb(7, 5)
+    payload = mm.encode_ppm(img)
+    w, h, back = mm.decode_ppm(payload)
+    assert (w, h) == (7, 5)
+    assert np.array_equal(back, img)
+    # header tolerance: comments + extra whitespace
+    hdr = b"P6\n# a comment\n 7  5 \n# another\n255\n" + payload.split(b"255\n", 1)[1]
+    w2, h2, back2 = mm.decode_ppm(hdr)
+    assert (w2, h2) == (7, 5) and np.array_equal(back2, img)
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError):
+        mm.decode_ppm(payload[:-4])  # truncated raster
+
+
+def _ppm_media(imgs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(imgs))), pa.int64()),
+                "kind": pa.array(["image"] * len(imgs), pa.string()),
+                "payload": pa.array([mm.encode_ppm(i) for i in imgs], pa.binary()),
+                # metadata deliberately WRONG so the test proves dimensions
+                # come from the decoded pixels on the real path
+                "width": pa.array([1] * len(imgs), pa.int32()),
+                "height": pa.array([1] * len(imgs), pa.int32()),
+            }
+        )
+    )
+
+
+def test_real_decode_featurize_and_resize_ppm():
+    import numpy as np
+
+    imgs = [_gradient_rgb(48, 24), _gradient_rgb(10, 40), _gradient_rgb(8, 8)]
+    media = _ppm_media(imgs)
+    feats = {r["doc_id"]: r for r in mm.featurize_media(media, real_decode=True).take_all()}
+    assert (feats[0]["width"], feats[0]["height"]) == (48, 24)
+    assert (feats[1]["width"], feats[1]["height"]) == (10, 40)
+    assert feats[0]["aspect_bp"] == 48 * 10000 // 24
+
+    rows = {r["doc_id"]: r for r in mm.resize_media(media, max_dim=16, real_decode=True).take_all()}
+    # 48x24 -> 16x8; 10x40 -> 4x16; 8x8 fits untouched
+    assert (rows[0]["width"], rows[0]["height"]) == (16, 8)
+    assert (rows[1]["width"], rows[1]["height"]) == (4, 16)
+    assert (rows[2]["width"], rows[2]["height"]) == (8, 8)
+    w, h, small = mm.decode_ppm(rows[0]["payload"])
+    assert (w, h) == (16, 8)
+    # nearest-neighbor contract: sampled pixels equal source pixels
+    src = imgs[0]
+    ys = (np.arange(8) * 24) // 8
+    xs = (np.arange(16) * 48) // 16
+    assert np.array_equal(small, src[ys][:, xs])
+    # untouched image round-trips bit-exact
+    assert rows[2]["payload"] == mm.encode_ppm(imgs[2])
+
+
+def test_real_decode_falls_back_per_row_for_non_ppm():
+    # mixed batch: non-PPM payloads keep the metadata stub path
+    feats = {r["doc_id"]: r for r in mm.featurize_media(mm.attach_media(_docs()), real_decode=True).take_all()}
+    assert feats[1]["n_bytes"] == 700
+    assert (feats[0]["width"], feats[0]["height"]) == (16, 16)
 
 
 def test_frame_sampler_fanout_and_bytes():

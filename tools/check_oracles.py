@@ -48,6 +48,8 @@ PATHO_QUERIES = {
     "pubtator_roundtrip",
     # round-2 additions
     "dedup_clusters", "curate", "curate_budget", "curate_neardup",
+    # round-3: the hash-plan keep/drop-set variants
+    "curate_hash", "curate_neardup_hash",
     "token_quantiles", "hash_sample", "corpus_mix", "vocab_topk",
     "hash_split_train", "hash_split_val",
     "token_quantiles_by_lang", "cap_per_group",
