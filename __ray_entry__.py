@@ -269,6 +269,26 @@ def _q_token_quantiles_by_lang(sf_dir: str):
     )
 
 
+def _q_repetition_scores(sf_dir: str):
+    """Gopher-style per-doc repetition signals (trigram repeats +
+    dominant-token fraction), one vectorized narrow map."""
+    quiet_ray_data()
+    return textstats.repetition_scores(_docs(sf_dir), k=3)
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """Top-3 tf-idf terms per doc: broadcast df table + narrow scoring
+    map (integer score so the oracle matches bit-for-bit)."""
+    quiet_ray_data()
+    return textstats.tfidf_topk(_docs(sf_dir), top=3)
+
+
+def _q_inverted_index(sf_dir: str):
+    """Token -> truncated postings index (df + first 8 doc_ids)."""
+    quiet_ray_data()
+    return textstats.inverted_index(_docs(sf_dir), max_postings=8)
+
+
 def _q_vocab_topk(sf_dir: str):
     """Global top-50 tokens (combiner + token-keyed merge + partial
     top-k per bucket)."""
@@ -755,6 +775,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # previously-sampled block
         "curate_hash": _q_curate_hash,
         "curate_neardup_hash": _q_curate_neardup_hash,
+        # new in round 3: text-analysis additions, ahead of the sampled tail
+        "repetition_scores": _q_repetition_scores,
+        "tfidf_topk": _q_tfidf_topk,
+        "inverted_index": _q_inverted_index,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -855,6 +879,9 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": oracles.TOKEN_QUANTILES,
         "token_quantiles_by_lang": oracles.TOKEN_QUANTILES_BY_LANG,
         "vocab_topk": oracles.VOCAB_TOPK,
+        "repetition_scores": oracles.REPETITION_SCORES,
+        "tfidf_topk": oracles.TFIDF_TOPK,
+        "inverted_index": oracles.INVERTED_INDEX,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,
         "cap_per_group": oracles.CAP_PER_GROUP,

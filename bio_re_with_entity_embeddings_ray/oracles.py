@@ -439,6 +439,82 @@ CROSS JOIN __n n
 JOIN __r r ON r.pred_lang = n.pred_lang
           AND r.rn = GREATEST(1, (q.q_bp * n.n + 9999) // 10000)"""
 
+# Gopher-style repetition signals (stages/textstats.repetition_scores, k=3):
+# fraction of repeated token trigrams + dominant-token fraction, integer bp
+REPETITION_SCORES = """WITH __p AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+__base AS (
+  SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_tokens,
+         CAST(GREATEST(len(parts) - 2, 0) AS BIGINT) AS n_kgrams
+  FROM __p
+),
+__tri AS (
+  SELECT doc_id, parts[i] || ' ' || parts[i+1] || ' ' || parts[i+2] AS kg
+  FROM (SELECT doc_id, parts, unnest(range(1, len(parts) - 1)) AS i FROM __p)
+),
+__dk AS (SELECT doc_id, count(DISTINCT kg) AS n_distinct_kg FROM __tri GROUP BY doc_id),
+__top AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(parts) AS w FROM __p) GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_kgrams,
+       CAST(10000 * (b.n_kgrams - COALESCE(d.n_distinct_kg, 0))
+            // GREATEST(b.n_kgrams, 1) AS BIGINT) AS rep_kgram_bp,
+       CAST(10000 * t.topc // GREATEST(b.n_tokens, 1) AS BIGINT) AS top_token_bp
+FROM __base b
+LEFT JOIN __dk d USING (doc_id)
+JOIN __top t USING (doc_id)"""
+
+# integer tf-idf surrogate (stages/textstats.tfidf_topk, top=3):
+# score_ppb = 10^9 * tf // (n_tokens * df), ties by token asc
+TFIDF_TOPK = """WITH __p AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+__tok AS (
+  SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_tokens, unnest(parts) AS w
+  FROM __p
+),
+__tf AS (
+  SELECT doc_id, w AS token, any_value(n_tokens) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM __tok GROUP BY doc_id, w
+),
+__df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, w AS token FROM __tok) GROUP BY token
+),
+__s AS (
+  SELECT t.doc_id, t.token, t.tf,
+         CAST(1000000000 * t.tf // (t.n_tokens * d.df) AS BIGINT) AS score_ppb
+  FROM __tf t JOIN __df d USING (token)
+),
+__r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_ppb DESC, token) AS rn
+  FROM __s
+)
+SELECT doc_id, token, tf, score_ppb, CAST(rn AS BIGINT) AS rank
+FROM __r WHERE rn <= 3"""
+
+# truncated-postings inverted index (stages/textstats.inverted_index,
+# max_postings=8): full df, first 8 doc_ids ascending
+INVERTED_INDEX = """WITH __tok AS (
+  SELECT DISTINCT doc_id, w AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+__r AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM __tok
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY rn) AS postings
+FROM __r GROUP BY token"""
+
 CURATE = f"""WITH {_CORPUS},
 __q AS (
   SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,

@@ -341,3 +341,206 @@ def vocab_topk(docs, k: int = 50, num_buckets: int = 16):
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     top["cnt"] = top["cnt"].astype("int64")
     return top
+
+
+def _max_run_per_row(n_rows: int, row_idx: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Per-row maximum token multiplicity: sort (row, code) once, measure
+    run lengths at C level, then a grouped max per row."""
+    out = np.zeros(n_rows, dtype=np.int64)
+    if len(codes) == 0:
+        return out
+    order = np.lexsort((codes, row_idx))
+    r, c = row_idx[order], codes[order]
+    change = np.empty(len(r), dtype=bool)
+    change[0] = True
+    change[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(change)
+    runs = np.diff(np.append(starts, len(r)))
+    run_row = r[starts]
+    row_change = np.empty(len(run_row), dtype=bool)
+    row_change[0] = True
+    row_change[1:] = run_row[1:] != run_row[:-1]
+    row_starts = np.flatnonzero(row_change)
+    out[run_row[row_starts]] = np.maximum.reduceat(runs, row_starts)
+    return out
+
+
+def repetition_scores(docs, k: int = 3):
+    """Gopher-style repetition quality signals per document:
+    (doc_id, n_tokens, n_kgrams, rep_kgram_bp, top_token_bp).
+
+    ``rep_kgram_bp`` = 10000 * (n_kgrams - n_distinct_kgrams) // n_kgrams
+    — the fraction of token k-grams that are repeats of an earlier k-gram
+    (boilerplate / template text scores high). ``top_token_bp`` = 10000 *
+    max token multiplicity // n_tokens — a single token dominating the
+    document (spam / keyword stuffing). Both integer basis points so the
+    DuckDB oracle matches bit-for-bit.
+
+    Fully vectorized narrow map: the k-gram identity is the integer-code
+    k-tuple from the shared dictionary-encoded token kernel (no k-gram
+    strings are ever built), distinct counts are one lexsort over the
+    (row, c0..c_{k-1}) columns, no shuffle. These are the per-document
+    repetition rules of Rae et al. 2021 (Gopher) §A1.1, recast as
+    streaming batch kernels."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, _ = _flat_token_codes(batch["text"])
+        n = len(n_tok)
+        n_kg = np.maximum(n_tok - k + 1, 0)
+        # valid k-gram start j: all k member tokens belong to row j's row
+        if len(codes) >= k:
+            valid = row_idx[: len(codes) - k + 1] == row_idx[k - 1 :]
+            cols = [codes[i : len(codes) - k + 1 + i][valid] for i in range(k)]
+            kg_row = row_idx[: len(codes) - k + 1][valid]
+            order = np.lexsort((*reversed(cols), kg_row))
+            sr = kg_row[order]
+            new = np.ones(len(sr), dtype=bool)
+            new[1:] = sr[1:] != sr[:-1]
+            for col in cols:
+                sc = col[order]
+                new[1:] |= sc[1:] != sc[:-1]
+            n_distinct_kg = np.bincount(sr[new], minlength=n).astype(np.int64)
+        else:
+            n_distinct_kg = np.zeros(n, dtype=np.int64)
+        top = _max_run_per_row(n, row_idx, codes)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tok,
+                "n_kgrams": n_kg,
+                "rep_kgram_bp": 10000 * (n_kg - n_distinct_kg) // np.maximum(n_kg, 1),
+                "top_token_bp": 10000 * top // np.maximum(n_tok, 1),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def tfidf_topk(docs, top: int = 3, num_buckets: int = 16):
+    """Per-document top-``top`` terms by an integer tf-idf surrogate:
+    (doc_id, token, tf, score_ppb, rank) with
+    ``score_ppb = 10**9 * tf // (n_tokens * df)`` (term frequency
+    normalized by document length, damped by corpus document frequency —
+    all-integer so the SQL oracle agrees exactly). Ties by token asc.
+
+    Scale shape: pass 1 computes the (token, df) table with a per-block
+    distinct-(doc, token) combiner and a token-keyed hash merge — df rows
+    are bounded by VOCABULARY size, not corpus size, so the table is
+    broadcast (``ray.put`` once, mapped per batch via a C-level
+    ``Series.map``). Pass 2 is a narrow map: per-doc tf from the
+    dictionary codes, score, partial sort, top rows. For open-vocabulary
+    corpora cap the broadcast with ``min_df`` (tokens below it can never
+    score high enough to matter at sane ``top``)."""
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def local_df(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        n = len(n_tok)
+        order = np.lexsort((codes, row_idx))
+        r, c = row_idx[order], codes[order]
+        new = np.ones(len(r), dtype=bool)
+        new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        cnt = np.bincount(c[new], minlength=len(vocab)).astype(np.int64)
+        return pd.DataFrame({"token": vocab.astype(str), "df": cnt})
+
+    partials = docs.map_batches(local_df, batch_format="pandas", batch_size=None)
+
+    def merge_df(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby("token", as_index=False)["df"].sum()
+
+    df_tab = bucketed_group_apply(partials, "token", merge_df, num_buckets).to_pandas()
+    df_map = ray.put(pd.Series(df_tab["df"].to_numpy(), index=df_tab["token"]))
+
+    class Score:
+        def __init__(self, df_ref):
+            self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+            order = np.lexsort((codes, row_idx))
+            r, c = row_idx[order], codes[order]
+            change = np.empty(len(r), dtype=bool)
+            if len(r):
+                change[0] = True
+                change[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+            starts = np.flatnonzero(change)
+            tf = np.diff(np.append(starts, len(r)))
+            g_row, g_code = r[starts], c[starts]
+            toks = vocab[g_code].astype(str)
+            dfv = (
+                pd.Series(toks).map(self.df).fillna(1).to_numpy().astype(np.int64)
+            )
+            score = 10**9 * tf // (n_tok[g_row] * dfv)
+            out = pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy()[g_row],
+                    "token": toks,
+                    "tf": tf.astype(np.int64),
+                    "score_ppb": score.astype(np.int64),
+                }
+            )
+            out = out.sort_values(
+                ["doc_id", "score_ppb", "token"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+            out = out[out["rank"] <= top]
+            out["rank"] = out["rank"].astype("int64")
+            return out
+
+    return docs.map_batches(
+        Score,
+        fn_constructor_args=(df_map,),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+def inverted_index(docs, max_postings: int = 8, num_buckets: int = 16):
+    """Token -> postings inverted index: (token, df, postings) where
+    ``postings`` is the ','-joined first ``max_postings`` doc_ids
+    (ascending) containing the token and ``df`` the full document count.
+
+    Scale shape: per-block distinct-(token, doc_id) combiner (so the
+    exchange ships one row per token-doc incidence, no text), then ONE
+    hash exchange keyed by token; each bucket sorts its postings and cuts
+    to ``max_postings`` vectorized. A hot token's postings are capped, so
+    no task ever holds an unbounded list — the standard truncated-postings
+    contract of search indexes."""
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        order = np.lexsort((codes, row_idx))
+        r, c = row_idx[order], codes[order]
+        new = np.ones(len(r), dtype=bool)
+        if len(r):
+            new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        return pd.DataFrame(
+            {
+                "token": vocab[c[new]].astype(str),
+                "doc_id": batch["doc_id"].to_numpy()[r[new]],
+            }
+        )
+
+    partials = docs.map_batches(local, batch_format="pandas", batch_size=None)
+
+    def build(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["token", "doc_id"], kind="mergesort")
+        g = b.groupby("token", sort=False)
+        df_cnt = g.size().rename("df")
+        head = b[g.cumcount() < max_postings]
+        postings = (
+            head.astype({"doc_id": str})
+            .groupby("token", sort=False)["doc_id"]
+            .agg(",".join)
+            .rename("postings")
+        )
+        out = pd.concat([df_cnt, postings], axis=1).reset_index()
+        out["df"] = out["df"].astype("int64")
+        return out[["token", "df", "postings"]]
+
+    return bucketed_group_apply(partials, "token", build, num_buckets)

@@ -1,0 +1,81 @@
+"""Round-3 text-analysis operators: repetition scores, tf-idf top-k,
+inverted index — each pinned to a brute-force single-process reference
+on randomized corpora (the oracle harness covers the SQL mirror; these
+pin the *vectorized kernels* to naive Python semantics)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from bio_re_with_entity_embeddings_ray.stages import textstats
+
+
+def _random_docs(seed: int, n: int = 60) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    vocab = ["a", "b", "cc", "dd", "the", "spam"]
+    texts = []
+    for _ in range(n):
+        L = rng.randint(0, 12)
+        texts.append(" ".join(rng.choice(vocab, size=L)) if L else "")
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def test_repetition_scores_match_brute_force(ray_session):
+    df = _random_docs(11)
+    out = (
+        textstats.repetition_scores(rd.from_pandas(df), k=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for _, row in df.iterrows():
+        toks = row["text"].split(" ")
+        kgs = [tuple(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        n_kg = len(kgs)
+        rep = 10000 * (n_kg - len(set(kgs))) // max(n_kg, 1)
+        top = 10000 * max(toks.count(t) for t in set(toks)) // len(toks)
+        got = out.loc[row["doc_id"]]
+        assert got["n_tokens"] == len(toks)
+        assert got["n_kgrams"] == n_kg
+        assert got["rep_kgram_bp"] == rep, row["text"]
+        assert got["top_token_bp"] == top, row["text"]
+
+
+def test_tfidf_topk_matches_brute_force(ray_session):
+    df = _random_docs(7, n=40)
+    out = textstats.tfidf_topk(rd.from_pandas(df), top=3, num_buckets=4).to_pandas()
+    # brute df
+    dfreq: dict[str, int] = {}
+    for t in df["text"]:
+        for w in set(t.split(" ")):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    for _, row in df.iterrows():
+        toks = row["text"].split(" ")
+        scored = sorted(
+            (
+                (-(10**9 * toks.count(w) // (len(toks) * dfreq[w])), w)
+                for w in set(toks)
+            )
+        )[:3]
+        got = out[out["doc_id"] == row["doc_id"]].sort_values("rank")
+        assert list(got["token"]) == [w for _, w in scored], row["text"]
+        assert list(got["score_ppb"]) == [-s for s, _ in scored]
+        assert list(got["rank"]) == list(range(1, len(scored) + 1))
+
+
+def test_inverted_index_postings_truncated_and_df_full(ray_session):
+    df = _random_docs(3, n=50)
+    out = (
+        textstats.inverted_index(rd.from_pandas(df), max_postings=4, num_buckets=4)
+        .to_pandas()
+        .set_index("token")
+    )
+    post: dict[str, list[int]] = {}
+    for _, row in df.iterrows():
+        for w in set(row["text"].split(" ")):
+            post.setdefault(w, []).append(int(row["doc_id"]))
+    assert set(out.index) == set(post)
+    for tok, ids in post.items():
+        ids = sorted(ids)
+        assert out.loc[tok, "df"] == len(ids)
+        assert out.loc[tok, "postings"] == ",".join(str(i) for i in ids[:4])

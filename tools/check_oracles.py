@@ -53,6 +53,8 @@ PATHO_QUERIES = {
     "token_quantiles", "hash_sample", "corpus_mix", "vocab_topk",
     "hash_split_train", "hash_split_val",
     "token_quantiles_by_lang", "cap_per_group",
+    # round-3: text-analysis additions
+    "repetition_scores", "tfidf_topk", "inverted_index",
 }
 
 
