@@ -289,6 +289,53 @@ def _q_inverted_index(sf_dir: str):
     return textstats.inverted_index(_docs(sf_dir), max_postings=8)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: docs with doc_id % 19 == 0 play
+    the held-out eval suite; the corpus is scanned for shingle overlap
+    against their broadcast hash set."""
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.stages import safety
+
+    quiet_ray_data()
+    docs = _docs(sf_dir)
+
+    def bench_only(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % 19 == 0]
+
+    bench = docs.map_batches(bench_only, batch_format="pandas")
+    return safety.decontaminate(docs, bench, k=3, threshold_bp=1000)
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII count + redaction over a deterministically PII-injected copy
+    of the corpus (the synthetic documents contain none); the oracle SQL
+    injects identically."""
+    import numpy as np
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.stages import safety
+
+    quiet_ray_data()
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"]
+        email = " contact user" + did.astype(str) + "@mail.example.com now"
+        phone = " call 555-" + (1000 + did % 9000).astype(str) + " today"
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "text": batch["text"]
+                + np.where(did % 7 == 0, email, "")
+                + np.where(did % 11 == 0, phone, ""),
+            }
+        )
+
+    return safety.pii_scrub(
+        _docs(sf_dir).map_batches(inject, batch_format="pandas")
+    )
+
+
 def _q_vocab_topk(sf_dir: str):
     """Global top-50 tokens (combiner + token-keyed merge + partial
     top-k per bucket)."""
@@ -779,6 +826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _q_repetition_scores,
         "tfidf_topk": _q_tfidf_topk,
         "inverted_index": _q_inverted_index,
+        "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -882,6 +931,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": oracles.REPETITION_SCORES,
         "tfidf_topk": oracles.TFIDF_TOPK,
         "inverted_index": oracles.INVERTED_INDEX,
+        "decontaminate": oracles.DECONTAMINATE,
+        "pii_scrub": oracles.PII_SCRUB,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,
         "cap_per_group": oracles.CAP_PER_GROUP,

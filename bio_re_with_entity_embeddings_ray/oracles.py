@@ -439,6 +439,57 @@ CROSS JOIN __n n
 JOIN __r r ON r.pred_lang = n.pred_lang
           AND r.rn = GREATEST(1, (q.q_bp * n.n + 9999) // 10000)"""
 
+# benchmark n-gram decontamination (stages/safety.decontaminate, k=3,
+# threshold_bp=1000): benchmark = documents with doc_id % 19 = 0; both
+# sides match shingles by md5int8 so engine and SQL agree by construction
+DECONTAMINATE = """WITH __p AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+__sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(parts[i] || ' ' || parts[i+1] || ' ' || parts[i+2]), 1, 8))
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, parts, unnest(range(1, len(parts) - 1)) AS i FROM __p)
+),
+__bs AS (SELECT DISTINCT h FROM __sh WHERE doc_id % 19 = 0),
+__cnt AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+  FROM __sh s LEFT JOIN __bs b USING (h) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.n_shingles, 0) AS n_shingles,
+       COALESCE(c.n_overlap, 0) AS n_overlap,
+       CAST(10000 * COALESCE(c.n_overlap, 0)
+            // GREATEST(COALESCE(c.n_shingles, 0), 1) AS BIGINT) AS contam_bp,
+       CAST(CASE WHEN 10000 * COALESCE(c.n_overlap, 0)
+                      // GREATEST(COALESCE(c.n_shingles, 0), 1) >= 1000
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN __cnt c USING (doc_id)"""
+
+# PII count + redaction (stages/safety.pii_scrub) over a deterministic
+# PII-injected corpus (the synthetic documents contain no PII, so the
+# query wrapper and this SQL inject identical emails/phones first)
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+"
+_PII_PHONE = r"\b[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]\b"
+PII_SCRUB = f"""WITH __in AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM __in"""
+
 # Gopher-style repetition signals (stages/textstats.repetition_scores, k=3):
 # fraction of repeated token trigrams + dominant-token fraction, integer bp
 REPETITION_SCORES = """WITH __p AS (

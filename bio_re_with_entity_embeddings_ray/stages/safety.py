@@ -1,0 +1,184 @@
+"""Training-data safety operators: benchmark decontamination and PII
+scrubbing.
+
+Both are first-class needs of an LLM pretraining pipeline the reference
+(a KG-extraction engine) has no analog for:
+
+- :func:`decontaminate` flags documents whose k-gram shingles overlap a
+  held-out benchmark/eval suite (the standard n-gram decontamination of
+  GPT-3 appendix C / PaLM §7), so eval data never leaks into training.
+- :func:`pii_scrub` counts and redacts personally-identifying substrings
+  (emails, phone-like numbers) with RE2 regexes that DuckDB evaluates
+  identically, so the scrub is oracle-checkable bit-for-bit.
+
+Scale shapes:
+- The benchmark side of decontamination is SMALL by contract (eval
+  suites are 10^3-10^5 documents, so ≤ ~10^7 distinct shingle hashes ≈
+  80 MB) — the classic broadcast side: distinct-hashed once, ``ray.put``
+  once, read in every task. The corpus side stays a narrow map: shingle
+  hashes are md5'd once per DISTINCT shingle per batch (same trick as
+  textstats.fingerprints) and membership is a sorted ``searchsorted``.
+  If a benchmark ever outgrows broadcast, the same output is a hash
+  semi-join of shingle tables (relational.key_semi_anti_join's plan).
+- pii_scrub is a pure narrow map over Arrow string kernels
+  (``count_substring_regex`` / ``replace_substring_regex``) — zero
+  Python per row, no shuffle, streams at full scan speed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+
+
+def _distinct_shingle_hashes_per_row(texts, k: int):
+    """-> (n_rows, sh_row, sh_hash): for each row, its DISTINCT k-token
+    shingle md5int8 hashes (sh_row[i] owns sh_hash[i]). Shingle identity
+    is resolved on integer token codes (one lexsort); md5 runs once per
+    distinct shingle STRING in the batch, then fans out by code."""
+    from bio_re_with_entity_embeddings_ray.stages.textstats import _flat_token_codes
+
+    n_tok, row_idx, codes, vocab = _flat_token_codes(texts)
+    n = len(n_tok)
+    if len(codes) < k:
+        return n, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    L = len(codes) - k + 1
+    valid = row_idx[:L] == row_idx[k - 1 :]
+    cols = [codes[i : L + i][valid] for i in range(k)]
+    kg_row = row_idx[:L][valid]
+    if len(kg_row) == 0:
+        return n, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    # distinct (row, tuple): lexsort once, keep group heads
+    order = np.lexsort((*reversed(cols), kg_row))
+    sr = kg_row[order]
+    new = np.ones(len(sr), dtype=bool)
+    new[1:] = sr[1:] != sr[:-1]
+    scols = []
+    for col in cols:
+        sc = col[order]
+        new[1:] |= sc[1:] != sc[:-1]
+        scols.append(sc)
+    heads = np.flatnonzero(new)
+    h_row = sr[heads]
+    h_cols = [sc[heads] for sc in scols]
+    # md5 once per distinct shingle string across the whole batch: unique
+    # the code-tuples globally, build strings only for those
+    tup_order = np.lexsort(tuple(reversed(h_cols)))
+    t_cols = [c[tup_order] for c in h_cols]
+    t_new = np.zeros(len(tup_order), dtype=bool)
+    t_new[0] = True
+    for c in t_cols:
+        t_new[1:] |= c[1:] != c[:-1]
+    uniq_idx = np.flatnonzero(t_new)
+    gid_sorted = np.cumsum(t_new) - 1  # group id per sorted tuple
+    gid = np.empty(len(tup_order), dtype=np.int64)
+    gid[tup_order] = gid_sorted
+    vocab_obj = vocab.astype(object)
+    parts = [vocab_obj[c[uniq_idx]] for c in t_cols]
+    uniq_strings = parts[0]
+    for p in parts[1:]:
+        uniq_strings = uniq_strings + " " + p
+    uniq_hash = md5int8_array(uniq_strings.tolist())
+    return n, h_row, uniq_hash[gid]
+
+
+def benchmark_shingle_hashes(bench_docs, k: int = 3) -> np.ndarray:
+    """Sorted distinct md5int8 shingle hashes of the benchmark corpus —
+    the broadcast side of :func:`decontaminate`. Per-batch distinct via
+    the vectorized kernel, global distinct on the (small) union."""
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        _, _, h = _distinct_shingle_hashes_per_row(batch["text"], k)
+        return pd.DataFrame({"h": np.unique(h)})
+
+    tab = bench_docs.map_batches(
+        local, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if "h" not in tab.columns:  # every batch empty (no doc reaches k tokens)
+        return np.empty(0, dtype=np.int64)
+    return np.unique(tab["h"].to_numpy())
+
+
+def decontaminate(docs, bench_docs, k: int = 3, threshold_bp: int = 1000):
+    """Per-document benchmark-overlap report:
+    (doc_id, n_shingles, n_overlap, contam_bp, contaminated) where
+    ``n_shingles`` counts DISTINCT k-token shingles, ``n_overlap`` those
+    also present anywhere in ``bench_docs``, ``contam_bp`` = 10000 *
+    n_overlap // max(n_shingles, 1), and ``contaminated`` = 1 iff
+    contam_bp >= threshold_bp. Documents with < k tokens have no
+    shingles and report all-zero (never contaminated).
+
+    A curation pipeline drops (or quarantines) rows with
+    ``contaminated = 1`` before training. Engine and oracle both match
+    shingles by md5int8 hash, so they agree bit-for-bit by construction
+    (including on the astronomically-unlikely 32-bit collision)."""
+    import ray
+
+    bench_ref = ray.put(benchmark_shingle_hashes(bench_docs, k))
+
+    class Overlap:
+        def __init__(self, bref):
+            self.bench = ray.get(bref)  # sorted int64
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n, sh_row, sh_hash = _distinct_shingle_hashes_per_row(batch["text"], k)
+            n_sh = np.bincount(sh_row, minlength=n).astype(np.int64)
+            if len(self.bench):
+                pos = np.clip(
+                    np.searchsorted(self.bench, sh_hash), 0, len(self.bench) - 1
+                )
+                hit = self.bench[pos] == sh_hash
+            else:
+                hit = np.zeros(len(sh_hash), dtype=bool)
+            n_ov = np.bincount(sh_row[hit], minlength=n).astype(np.int64)
+            bp = 10000 * n_ov // np.maximum(n_sh, 1)
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_shingles": n_sh,
+                    "n_overlap": n_ov,
+                    "contam_bp": bp,
+                    "contaminated": (bp >= threshold_bp).astype(np.int64),
+                }
+            )
+
+    return docs.map_batches(
+        Overlap,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+# RE2 syntax, evaluated identically by pyarrow (RE2) and DuckDB (RE2).
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PHONE_RE = r"\b[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]\b"
+
+
+def pii_scrub(docs):
+    """(doc_id, n_emails, n_phones, clean_text): count PII matches and
+    redact them to ``<EMAIL>`` / ``<PHONE>`` placeholders. Emails are
+    replaced first so a phone-like digit run inside an address can't be
+    double-redacted. Pure Arrow kernels — no Python per row."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(batch["text"], type=pa.string())
+        n_email = pc.count_substring_regex(arr, EMAIL_RE).to_numpy().astype(np.int64)
+        n_phone = pc.count_substring_regex(arr, PHONE_RE).to_numpy().astype(np.int64)
+        clean = pc.replace_substring_regex(arr, EMAIL_RE, "<EMAIL>")
+        clean = pc.replace_substring_regex(clean, PHONE_RE, "<PHONE>")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": n_email,
+                "n_phones": n_phone,
+                "clean_text": clean.to_numpy(zero_copy_only=False),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")

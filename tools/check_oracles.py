@@ -53,8 +53,9 @@ PATHO_QUERIES = {
     "token_quantiles", "hash_sample", "corpus_mix", "vocab_topk",
     "hash_split_train", "hash_split_val",
     "token_quantiles_by_lang", "cap_per_group",
-    # round-3: text-analysis additions
+    # round-3: text-analysis + safety additions
     "repetition_scores", "tfidf_topk", "inverted_index",
+    "decontaminate", "pii_scrub",
 }
 
 
