@@ -336,6 +336,26 @@ def _q_pii_scrub(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concatenate-and-chunk sequence packing manifest (distributed
+    prefix scan over token counts, budget 512)."""
+    from bio_re_with_entity_embeddings_ray.stages import ordered
+
+    quiet_ray_data()
+    return ordered.pack_sequences(_docs(sf_dir), budget=512, num_ranges=8)
+
+
+def _q_deterministic_shuffle(sf_dir: str):
+    """Reproducible salted-hash global shuffle rank (prefix count through
+    the same ranged scan)."""
+    from bio_re_with_entity_embeddings_ray.stages import ordered
+
+    quiet_ray_data()
+    return ordered.deterministic_shuffle(
+        _docs(sf_dir), key="doc_id", salt="shuffle", num_ranges=8
+    )
+
+
 def _q_vocab_topk(sf_dir: str):
     """Global top-50 tokens (combiner + token-keyed merge + partial
     top-k per bucket)."""
@@ -828,6 +848,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
+        "pack_sequences": _q_pack_sequences,
+        "deterministic_shuffle": _q_deterministic_shuffle,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -933,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": oracles.INVERTED_INDEX,
         "decontaminate": oracles.DECONTAMINATE,
         "pii_scrub": oracles.PII_SCRUB,
+        "pack_sequences": oracles.PACK_SEQUENCES,
+        "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,
         "cap_per_group": oracles.CAP_PER_GROUP,

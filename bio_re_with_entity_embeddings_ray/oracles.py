@@ -439,6 +439,34 @@ CROSS JOIN __n n
 JOIN __r r ON r.pred_lang = n.pred_lang
           AND r.rn = GREATEST(1, (q.q_bp * n.n + 9999) // 10000)"""
 
+# GPT-style sequence packing (stages/ordered.pack_sequences, budget=512):
+# docs laid out in doc_id order; each doc assigned the sequence its first
+# token falls in
+PACK_SEQUENCES = """WITH __t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+__s AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM __t
+)
+SELECT doc_id, n_tokens,
+       CAST(start // 512 AS BIGINT) AS seq_id,
+       CAST(start % 512 AS BIGINT) AS offset_in_seq
+FROM __s"""
+
+# reproducible global shuffle (stages/ordered.deterministic_shuffle,
+# salt='shuffle'): rank under (md5int8('shuffle:'||key), key)
+DETERMINISTIC_SHUFFLE = """SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT),
+                  doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM documents"""
+
 # benchmark n-gram decontamination (stages/safety.decontaminate, k=3,
 # threshold_bp=1000): benchmark = documents with doc_id % 19 = 0; both
 # sides match shingles by md5int8 so engine and SQL agree by construction

@@ -55,7 +55,7 @@ PATHO_QUERIES = {
     "token_quantiles_by_lang", "cap_per_group",
     # round-3: text-analysis + safety additions
     "repetition_scores", "tfidf_topk", "inverted_index",
-    "decontaminate", "pii_scrub",
+    "decontaminate", "pii_scrub", "pack_sequences", "deterministic_shuffle",
 }
 
 
