@@ -234,7 +234,8 @@ _SIG_CACHE_MAX = 200_000
 
 def _signature_of(text: str, k: int) -> np.ndarray | None:
     """Signature, or None when the doc yields no shingles (< k tokens) —
-    matching the oracle, which emits no rows for such docs."""
+    matching the oracle, which emits no rows for such docs. Single-doc
+    path kept for tests; the hot path is :func:`_signatures_for_batch`."""
     import hashlib
 
     ck = (k, hashlib.md5(text.encode("utf-8")).digest())
@@ -249,6 +250,66 @@ def _signature_of(text: str, k: int) -> np.ndarray | None:
     return sig
 
 
+def _signatures_for_batch(texts, k: int) -> list:
+    """MinHash signatures for a whole batch, vectorized: cache hits are
+    looked up by content digest; all misses run through ONE call of the
+    shared distinct-shingle kernel (md5 once per DISTINCT shingle in the
+    batch — textstats.distinct_shingle_hashes_per_row), then a single
+    (P x shingles) permutation matrix + grouped ``np.minimum.reduceat``
+    yields every miss's signature at C speed. The only remaining per-row
+    Python is the content digest the cache is keyed by. Entries are
+    ``None`` for sub-k-token docs (no shingles -> no bands)."""
+    import hashlib
+
+    from bio_re_with_entity_embeddings_ray.stages.textstats import (
+        distinct_shingle_hashes_per_row,
+    )
+    from bio_re_with_entity_embeddings_ray.functions.textfns import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PRIME,
+    )
+
+    texts = list(texts)
+    res: list = [None] * len(texts)
+    keys = []
+    miss_idx = []
+    for i, t in enumerate(texts):
+        ck = (k, hashlib.md5(t.encode("utf-8")).digest())
+        keys.append(ck)
+        sig = _SIG_CACHE.get(ck)
+        if sig is not None:
+            res[i] = sig
+        else:
+            miss_idx.append(i)
+    if not miss_idx:
+        return res
+    _, sh_row, _, uniq_hash, gid = distinct_shingle_hashes_per_row(
+        [texts[i] for i in miss_idx], k, return_codes=True
+    )
+    if len(sh_row) == 0:
+        return res
+    # permute only the UNIQUE shingle hashes (the expensive int64 modulo
+    # runs once per distinct shingle, not per incidence), then fan out to
+    # the incidence stream by gather — pure memory traffic, no division
+    xu = uniq_hash % MINHASH_PRIME
+    hu = (MINHASH_A[:, None] * xu[None, :] + MINHASH_B[:, None]) % MINHASH_PRIME
+    hmat = hu[:, gid]  # (P, incidences)
+    starts_mask = np.ones(len(sh_row), dtype=bool)
+    starts_mask[1:] = sh_row[1:] != sh_row[:-1]
+    starts = np.flatnonzero(starts_mask)
+    mins = np.ascontiguousarray(
+        np.minimum.reduceat(hmat, starts, axis=1).T
+    )  # (groups, P)
+    for g, local_row in enumerate(sh_row[starts]):
+        gi = miss_idx[local_row]
+        sig = mins[g]
+        res[gi] = sig
+        if len(_SIG_CACHE) < _SIG_CACHE_MAX:
+            _SIG_CACHE[keys[gi]] = sig
+    return res
+
+
 def minhash_bands(docs, k: int = 3):
     """(doc_id, band_id, k0..k3) — LSH banding of MinHash signatures.
 
@@ -260,13 +321,9 @@ def minhash_bands(docs, k: int = 3):
     n_bands = MINHASH_NUM_PERMS // MINHASH_BAND_ROWS
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
-        pairs = [
-            (i, s)
-            for i, s in (
-                (i, _signature_of(t, k)) for i, t in enumerate(batch["text"])
-            )
-            if s is not None  # sub-k-token docs emit no bands (oracle semantics)
-        ]
+        sigs = _signatures_for_batch(batch["text"], k)
+        # sub-k-token docs emit no bands (oracle semantics)
+        pairs = [(i, s) for i, s in enumerate(sigs) if s is not None]
         ids = batch["doc_id"].to_numpy()[[i for i, _ in pairs]]
         if not pairs:
             return pd.DataFrame(
@@ -548,13 +605,34 @@ def embedding_near_dup_ivf(emb, n_centroids: int = 8, threshold: float = 0.4):
 
 def simhash_fingerprints(docs):
     """(doc_id, simhash) — 32-bit SimHash per document, multiset token
-    semantics; pure per-batch map (no shuffle)."""
+    semantics; pure per-batch map (no shuffle). Vectorized over the whole
+    batch: md5 runs once per DISTINCT token (dictionary codes fan it back
+    out), bit votes are one (tokens x 32) matrix summed per row by
+    ``np.add.reduceat`` — identical bit-for-bit to per-doc
+    textfns.simhash32 (property-tested)."""
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(batch), dtype=np.int64)
-        for j, txt in enumerate(batch["text"]):
-            toks = txt.split(" ")
-            out[j] = simhash32(md5int8_array(toks))
+        from bio_re_with_entity_embeddings_ray.stages.textstats import (
+            _flat_token_codes,
+        )
+
+        n_tok, _, codes, vocab = _flat_token_codes(batch["text"])
+        n = len(n_tok)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "simhash": pd.Series([], dtype="int64"),
+                }
+            )
+        h = md5int8_array(vocab.tolist())[codes]
+        contrib = (
+            2 * ((h[:, None] >> np.arange(32)[None, :]) & 1) - 1
+        ).astype(np.int32)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(n_tok[:-1], out=starts[1:])
+        votes = np.add.reduceat(contrib, starts, axis=0)  # (n, 32)
+        out = ((votes > 0).astype(np.int64) << np.arange(32)).sum(axis=1)
         return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out})
 
     return docs.map_batches(fp, batch_format="pandas")

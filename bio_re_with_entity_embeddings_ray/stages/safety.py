@@ -30,58 +30,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
-
-
-def _distinct_shingle_hashes_per_row(texts, k: int):
-    """-> (n_rows, sh_row, sh_hash): for each row, its DISTINCT k-token
-    shingle md5int8 hashes (sh_row[i] owns sh_hash[i]). Shingle identity
-    is resolved on integer token codes (one lexsort); md5 runs once per
-    distinct shingle STRING in the batch, then fans out by code."""
-    from bio_re_with_entity_embeddings_ray.stages.textstats import _flat_token_codes
-
-    n_tok, row_idx, codes, vocab = _flat_token_codes(texts)
-    n = len(n_tok)
-    if len(codes) < k:
-        return n, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    L = len(codes) - k + 1
-    valid = row_idx[:L] == row_idx[k - 1 :]
-    cols = [codes[i : L + i][valid] for i in range(k)]
-    kg_row = row_idx[:L][valid]
-    if len(kg_row) == 0:
-        return n, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    # distinct (row, tuple): lexsort once, keep group heads
-    order = np.lexsort((*reversed(cols), kg_row))
-    sr = kg_row[order]
-    new = np.ones(len(sr), dtype=bool)
-    new[1:] = sr[1:] != sr[:-1]
-    scols = []
-    for col in cols:
-        sc = col[order]
-        new[1:] |= sc[1:] != sc[:-1]
-        scols.append(sc)
-    heads = np.flatnonzero(new)
-    h_row = sr[heads]
-    h_cols = [sc[heads] for sc in scols]
-    # md5 once per distinct shingle string across the whole batch: unique
-    # the code-tuples globally, build strings only for those
-    tup_order = np.lexsort(tuple(reversed(h_cols)))
-    t_cols = [c[tup_order] for c in h_cols]
-    t_new = np.zeros(len(tup_order), dtype=bool)
-    t_new[0] = True
-    for c in t_cols:
-        t_new[1:] |= c[1:] != c[:-1]
-    uniq_idx = np.flatnonzero(t_new)
-    gid_sorted = np.cumsum(t_new) - 1  # group id per sorted tuple
-    gid = np.empty(len(tup_order), dtype=np.int64)
-    gid[tup_order] = gid_sorted
-    vocab_obj = vocab.astype(object)
-    parts = [vocab_obj[c[uniq_idx]] for c in t_cols]
-    uniq_strings = parts[0]
-    for p in parts[1:]:
-        uniq_strings = uniq_strings + " " + p
-    uniq_hash = md5int8_array(uniq_strings.tolist())
-    return n, h_row, uniq_hash[gid]
+from bio_re_with_entity_embeddings_ray.stages.textstats import (
+    distinct_shingle_hashes_per_row as _distinct_shingle_hashes_per_row,
+)
 
 
 def benchmark_shingle_hashes(bench_docs, k: int = 3) -> np.ndarray:

@@ -343,6 +343,73 @@ def vocab_topk(docs, k: int = 50, num_buckets: int = 16):
     return top
 
 
+def distinct_shingle_hashes_per_row(texts, k: int, return_codes: bool = False):
+    """texts -> (n_rows, sh_row, sh_hash): for each row, its DISTINCT
+    k-token shingle md5int8 hashes (``sh_row[i]`` owns ``sh_hash[i]``,
+    non-decreasing). Shingle identity is resolved on integer token codes
+    (one lexsort); md5 runs once per distinct shingle STRING in the
+    batch, then fans out by code — the shared hot kernel behind MinHash
+    signatures (stages/dedup) and benchmark decontamination
+    (stages/safety).
+
+    With ``return_codes=True`` the return is
+    (n_rows, sh_row, sh_hash, uniq_hash, gid) where ``uniq_hash`` holds
+    each distinct shingle's hash ONCE and ``gid`` maps every (row,
+    shingle) incidence to its index — so callers can run per-shingle
+    arithmetic on the (much smaller) unique set and fan results out by
+    gather instead of recomputing per incidence."""
+    from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+
+    def _empty(n):
+        e = np.empty(0, dtype=np.int64)
+        return (n, e, e, e, e) if return_codes else (n, e, e)
+
+    n_tok, row_idx, codes, vocab = _flat_token_codes(texts)
+    n = len(n_tok)
+    if len(codes) < k:
+        return _empty(n)
+    L = len(codes) - k + 1
+    valid = row_idx[:L] == row_idx[k - 1 :]
+    cols = [codes[i : L + i][valid] for i in range(k)]
+    kg_row = row_idx[:L][valid]
+    if len(kg_row) == 0:
+        return _empty(n)
+    # distinct (row, tuple): lexsort once, keep group heads
+    order = np.lexsort((*reversed(cols), kg_row))
+    sr = kg_row[order]
+    new = np.ones(len(sr), dtype=bool)
+    new[1:] = sr[1:] != sr[:-1]
+    scols = []
+    for col in cols:
+        sc = col[order]
+        new[1:] |= sc[1:] != sc[:-1]
+        scols.append(sc)
+    heads = np.flatnonzero(new)
+    h_row = sr[heads]
+    h_cols = [sc[heads] for sc in scols]
+    # md5 once per distinct shingle string across the whole batch: unique
+    # the code-tuples globally, build strings only for those
+    tup_order = np.lexsort(tuple(reversed(h_cols)))
+    t_cols = [c[tup_order] for c in h_cols]
+    t_new = np.zeros(len(tup_order), dtype=bool)
+    t_new[0] = True
+    for c in t_cols:
+        t_new[1:] |= c[1:] != c[:-1]
+    uniq_idx = np.flatnonzero(t_new)
+    gid_sorted = np.cumsum(t_new) - 1  # group id per sorted tuple
+    gid = np.empty(len(tup_order), dtype=np.int64)
+    gid[tup_order] = gid_sorted
+    vocab_obj = vocab.astype(object)
+    parts = [vocab_obj[c[uniq_idx]] for c in t_cols]
+    uniq_strings = parts[0]
+    for p in parts[1:]:
+        uniq_strings = uniq_strings + " " + p
+    uniq_hash = md5int8_array(uniq_strings.tolist())
+    if return_codes:
+        return n, h_row, uniq_hash[gid], uniq_hash, gid
+    return n, h_row, uniq_hash[gid]
+
+
 def _max_run_per_row(n_rows: int, row_idx: np.ndarray, codes: np.ndarray) -> np.ndarray:
     """Per-row maximum token multiplicity: sort (row, code) once, measure
     run lengths at C level, then a grouped max per row."""
