@@ -336,6 +336,23 @@ def _q_pii_scrub(sf_dir: str):
     )
 
 
+def _q_curate_decontam(sf_dir: str):
+    """Full training-prep composition: quality filter -> benchmark
+    decontamination (docs with doc_id % 19 == 0 as the eval suite) ->
+    exact dedup keep-min-id."""
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.pipelines import curate as cur
+
+    quiet_ray_data()
+
+    def bench_only(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % 19 == 0]
+
+    bench = _docs(sf_dir).map_batches(bench_only, batch_format="pandas")
+    return cur.curate_decontam(_corpus(sf_dir), bench, num_buckets=_NB)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concatenate-and-chunk sequence packing manifest (distributed
     prefix scan over token counts, budget 512)."""
@@ -848,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
+        "curate_decontam": _q_curate_decontam,
         "pack_sequences": _q_pack_sequences,
         "deterministic_shuffle": _q_deterministic_shuffle,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
@@ -955,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": oracles.INVERTED_INDEX,
         "decontaminate": oracles.DECONTAMINATE,
         "pii_scrub": oracles.PII_SCRUB,
+        "curate_decontam": oracles.CURATE_DECONTAM,
         "pack_sequences": oracles.PACK_SEQUENCES,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,

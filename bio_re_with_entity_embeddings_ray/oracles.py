@@ -609,6 +609,48 @@ SELECT doc_id, text, n_tokens FROM (
          row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
   FROM __f) WHERE rn = 1"""
 
+# full training-prep composition (pipelines/curate.curate_decontam):
+# quality filter -> benchmark decontamination (benchmark = documents with
+# doc_id % 19 = 0, threshold 1000 bp) -> exact dedup keep-min-id
+CURATE_DECONTAM = f"""WITH {_CORPUS},
+__q AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM __corpus
+),
+__f AS (
+  SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens FROM __q
+  WHERE n_tokens >= 5 AND 10000 * n_distinct // n_tokens >= 3000
+),
+__shf AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(parts[i] || ' ' || parts[i+1] || ' ' || parts[i+2]), 1, 8))
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM __f) p,
+       LATERAL (SELECT unnest(range(1, len(parts) - 1)) AS i) ix
+),
+__bs AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(parts[i] || ' ' || parts[i+1] || ' ' || parts[i+2]), 1, 8))
+              AS BIGINT) AS h
+  FROM (SELECT string_split(text, ' ') AS parts FROM documents WHERE doc_id % 19 = 0) p,
+       LATERAL (SELECT unnest(range(1, len(parts) - 1)) AS i) ix
+),
+__cnt AS (
+  SELECT s.doc_id, count(*) AS n_sh,
+         SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+  FROM __shf s LEFT JOIN __bs b USING (h) GROUP BY s.doc_id
+),
+__keep AS (
+  SELECT f.doc_id, f.text, f.n_tokens
+  FROM __f f LEFT JOIN __cnt c USING (doc_id)
+  WHERE COALESCE(10000 * c.n_ov // GREATEST(c.n_sh, 1), 0) < 1000
+)
+SELECT doc_id, text, n_tokens FROM (
+  SELECT doc_id, text, n_tokens,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM __keep) WHERE rn = 1"""
+
 DEDUP_CLUSTERS = f"""WITH RECURSIVE __pairs AS ({MINHASH_LSH_STAR}),
 {_cc_closure_cte("__pairs")}
 SELECT node AS doc_id, r AS cluster_id FROM __cc"""

@@ -192,6 +192,56 @@ def curate_neardup(
     )
 
 
+def curate_decontam(
+    docs,
+    bench_docs,
+    min_tokens: int = 5,
+    min_distinct_bp: int = 3000,
+    k: int = 3,
+    threshold_bp: int = 1000,
+    num_buckets: int = 64,
+    cache: str = "auto",
+    join_plan: str = "auto",
+    broadcast_max_keys: int = BROADCAST_MAX_KEYS,
+):
+    """The full training-prep composition: quality filter -> benchmark
+    decontamination -> exact dedup. Returns (doc_id, text, n_tokens) —
+    a corpus that is clean (quality heuristics), leak-free (no document
+    overlapping the held-out eval suite past ``threshold_bp``), and
+    deduplicated (min doc_id per content).
+
+    Scale shape: decontamination is an extra NARROW stage between the
+    quality filter and the dedup exchange — the benchmark hash set is
+    broadcast once (small by contract; stages/safety.py), membership is
+    a sorted searchsorted per batch, so the composition's exchange
+    volume is identical to :func:`curate` (digest-only). The final
+    keep-set pass uses the same measured broadcast/hash semi-join."""
+    from bio_re_with_entity_embeddings_ray.stages import dedup
+    from bio_re_with_entity_embeddings_ray.stages.safety import decontaminate_filter
+
+    filtered = _maybe_cache(
+        decontaminate_filter(
+            quality_filter(docs, min_tokens, min_distinct_bp),
+            bench_docs,
+            k=k,
+            threshold_bp=threshold_bp,
+        ),
+        docs,
+        cache,
+    )
+    keep = dedup.exact_dedup_hashed(filtered, num_buckets)
+    return key_semi_anti_join(
+        filtered,
+        keep,
+        "doc_id",
+        anti=False,
+        plan=join_plan,
+        num_buckets=num_buckets,
+        broadcast_max_keys=broadcast_max_keys,
+        other_cols=_CURATED_COLS,
+    )
+
+
 def token_budget(curated):
     """One-row accounting of the curated corpus: docs + total tokens (the
     number a pretraining run budgets against)."""

@@ -103,6 +103,44 @@ def decontaminate(docs, bench_docs, k: int = 3, threshold_bp: int = 1000):
     )
 
 
+def decontaminate_filter(ds, bench_docs, k: int = 3, threshold_bp: int = 1000):
+    """Drop rows whose benchmark shingle overlap reaches ``threshold_bp``
+    (same contamination definition as :func:`decontaminate`), keeping all
+    input columns — the inline curation form used by
+    pipelines.curate.curate_decontam. A pure narrow map against the
+    broadcast benchmark hash set: no join, no exchange, text never
+    moves."""
+    import ray
+
+    bench_ref = ray.put(benchmark_shingle_hashes(bench_docs, k))
+
+    class Keep:
+        def __init__(self, bref):
+            self.bench = ray.get(bref)  # sorted int64
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n, sh_row, sh_hash = _distinct_shingle_hashes_per_row(batch["text"], k)
+            n_sh = np.bincount(sh_row, minlength=n).astype(np.int64)
+            if len(self.bench):
+                pos = np.clip(
+                    np.searchsorted(self.bench, sh_hash), 0, len(self.bench) - 1
+                )
+                hit = self.bench[pos] == sh_hash
+            else:
+                hit = np.zeros(len(sh_hash), dtype=bool)
+            n_ov = np.bincount(sh_row[hit], minlength=n).astype(np.int64)
+            bp = 10000 * n_ov // np.maximum(n_sh, 1)
+            return batch[bp < threshold_bp]
+
+    return ds.map_batches(
+        Keep,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pandas",
+        batch_size=None,
+        concurrency=(1, 8),
+    )
+
+
 # RE2 syntax, evaluated identically by pyarrow (RE2) and DuckDB (RE2).
 EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+"
 PHONE_RE = r"\b[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]\b"

@@ -79,3 +79,31 @@ def test_pii_scrub_counts_and_redacts(ray_session):
     assert out.loc[1, "clean_text"] == "two mails <EMAIL> and <EMAIL> plus <PHONE>"
     assert out.loc[3, "clean_text"] == "call <PHONE> or <PHONE>"
     assert out.loc[4, "clean_text"] == df.loc[4, "text"]
+
+
+def test_curate_decontam_drops_overlap_then_dedups(ray_session):
+    from bio_re_with_entity_embeddings_ray.pipelines import curate as cur
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "alpha beta gamma delta epsilon zeta",   # benchmark member
+                "alpha beta gamma delta epsilon zeta",   # dup of benchmark: contaminated
+                "one two three four five six",           # clean
+                "one two three four five six",           # exact dup of clean -> deduped
+                "totally different clean document here", # clean
+                "x y",                                   # fails min_tokens
+            ],
+        }
+    )
+    bench = docs.iloc[[0]]
+    out = (
+        cur.curate_decontam(
+            rd.from_pandas(docs), rd.from_pandas(bench), num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # contaminated (0, 1) gone, short (5) gone, dup (3) deduped to 2
+    assert list(out["doc_id"]) == [2, 4]
