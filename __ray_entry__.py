@@ -373,6 +373,45 @@ def _q_deterministic_shuffle(sf_dir: str):
     )
 
 
+def _q_pack_sequences_shuffled(sf_dir: str):
+    """Shuffled-then-packed training layout (prefix scan ordered by the
+    salted hash — the per-epoch dataloader manifest)."""
+    from bio_re_with_entity_embeddings_ray.stages import ordered
+
+    quiet_ray_data()
+    return ordered.pack_sequences_shuffled(
+        _docs(sf_dir), budget=512, salt="shuffle", num_ranges=8
+    )
+
+
+def _q_normalize_text(sf_dir: str):
+    """C4-style normalization over a deterministically-messied copy of
+    the corpus (lower / collapse whitespace / trim; oracle injects
+    identically)."""
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.stages import safety
+
+    quiet_ray_data()
+
+    def messy(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "text": batch["text"]
+                + np.where(
+                    batch["doc_id"] % 5 == 0, "  MIXED   Case\tTab\nEnd  ", ""
+                ),
+            }
+        )
+
+    return safety.normalize_text(
+        _docs(sf_dir).map_batches(messy, batch_format="pandas")
+    )
+
+
 def _q_vocab_topk(sf_dir: str):
     """Global top-50 tokens (combiner + token-keyed merge + partial
     top-k per bucket)."""
@@ -867,7 +906,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "curate_decontam": _q_curate_decontam,
         "pack_sequences": _q_pack_sequences,
+        "pack_sequences_shuffled": _q_pack_sequences_shuffled,
         "deterministic_shuffle": _q_deterministic_shuffle,
+        "normalize_text": _q_normalize_text,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -975,6 +1016,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracles.PII_SCRUB,
         "curate_decontam": oracles.CURATE_DECONTAM,
         "pack_sequences": oracles.PACK_SEQUENCES,
+        "pack_sequences_shuffled": oracles.PACK_SEQUENCES_SHUFFLED,
+        "normalize_text": oracles.NORMALIZE_TEXT,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,

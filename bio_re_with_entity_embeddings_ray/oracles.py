@@ -458,6 +458,37 @@ SELECT doc_id, n_tokens,
        CAST(start % 512 AS BIGINT) AS offset_in_seq
 FROM __s"""
 
+# shuffled-then-packed layout (stages/ordered.pack_sequences_shuffled,
+# budget=512, salt='shuffle'): pack in deterministic-shuffle order
+PACK_SEQUENCES_SHUFFLED = """WITH __t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+),
+__s AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM __t
+)
+SELECT doc_id, n_tokens,
+       CAST(start // 512 AS BIGINT) AS seq_id,
+       CAST(start % 512 AS BIGINT) AS offset_in_seq
+FROM __s"""
+
+# C4-style normalization (stages/safety.normalize_text) over a corpus
+# with deterministically-injected messy suffixes (the synthetic text is
+# already clean; wrapper and SQL inject identically)
+NORMALIZE_TEXT = """SELECT doc_id,
+       trim(regexp_replace(lower(
+         CASE WHEN doc_id % 5 = 0
+              THEN text || '  MIXED   Case' || chr(9) || 'Tab' || chr(10) || 'End  '
+              ELSE text END
+       ), '[ \t\n]+', ' ', 'g')) AS norm_text
+FROM documents"""
+
 # reproducible global shuffle (stages/ordered.deterministic_shuffle,
 # salt='shuffle'): rank under (md5int8('shuffle:'||key), key)
 DETERMINISTIC_SHUFFLE = """SELECT doc_id,

@@ -144,6 +144,58 @@ def pack_sequences(docs, budget: int = 512, num_ranges: int = 16):
     return scanned.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+def pack_sequences_shuffled(
+    docs, budget: int = 512, salt: str = "shuffle", num_ranges: int = 16
+):
+    """Shuffled-then-packed training layout — the composition a real
+    pretraining dataloader consumes: documents are laid out in
+    DETERMINISTIC-SHUFFLE order (rank under (md5int8(salt:doc_id),
+    doc_id)) and then concatenate-and-chunk packed exactly like
+    :func:`pack_sequences`. Returns (doc_id, n_tokens, seq_id,
+    offset_in_seq); a new ``salt`` re-shuffles the layout per epoch.
+
+    One narrow map (token counts + salted hash) and one prefix scan
+    ordered by the hash — same O(num_ranges) driver state, and the
+    hash order key makes the range partition uniform by construction."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(batch["text"], type=pa.string())
+        n_tok = (
+            pc.list_value_length(pc.split_pattern(arr, " "))
+            .to_numpy()
+            .astype(np.int64)
+        )
+        tagged = [f"{salt}:{k}" for k in batch["doc_id"].astype(str)]
+        return pd.DataFrame(
+            {
+                "__h": md5int8_array(tagged),
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tok,
+            }
+        )
+
+    tok = docs.map_batches(counts, batch_format="pandas", batch_size=None)
+    scanned = ranged_prefix_scan(tok, ["__h", "doc_id"], "n_tokens", num_ranges)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        start = batch["prefix_excl"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "seq_id": (start // budget).astype(np.int64),
+                "offset_in_seq": (start % budget).astype(np.int64),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
 def deterministic_shuffle(ds, key: str = "doc_id", salt: str = "shuffle", num_ranges: int = 16):
     """Reproducible global shuffle: (key, shuffle_pos) where
     ``shuffle_pos`` is the 0-based rank of the row under the order

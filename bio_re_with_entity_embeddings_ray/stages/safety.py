@@ -146,6 +146,32 @@ EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+"
 PHONE_RE = r"\b[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]\b"
 
 
+def normalize_text(docs):
+    """C4-style text normalization: (doc_id, norm_text) = lowercase,
+    collapse whitespace runs (space/tab/newline) to single spaces, trim.
+    Pure Arrow kernels (``utf8_lower`` + RE2 ``replace_substring_regex``
+    + ``utf8_trim_whitespace``) mirrored exactly by DuckDB
+    lower/regexp_replace/trim — the canonicalization pass that runs
+    before exact dedup so formatting variants collapse."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(batch["text"], type=pa.string())
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(arr), "[ \t\n]+", " ")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": norm.to_numpy(zero_copy_only=False),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
 def pii_scrub(docs):
     """(doc_id, n_emails, n_phones, clean_text): count PII matches and
     redact them to ``<EMAIL>`` / ``<PHONE>`` placeholders. Emails are

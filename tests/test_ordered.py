@@ -86,3 +86,24 @@ def test_deterministic_shuffle_is_a_permutation_and_stable(ray_session):
         .sort_values("doc_id")
     )
     assert list(c["shuffle_pos"]) != list(a["shuffle_pos"])
+
+
+def test_pack_sequences_shuffled_matches_shuffle_order(ray_session):
+    texts = ["a b c", "d e", "f g h i j", "k", "l m n o"]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64), "text": texts})
+    out = (
+        ordered.pack_sequences_shuffled(
+            rd.from_pandas(df), budget=4, salt="e1", num_ranges=2
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # brute force: order docs by (hash, id), cumsum
+    h = md5int8_array([f"e1:{i}" for i in range(5)])
+    order = np.lexsort((np.arange(5), h))
+    n_tok = np.array([3, 2, 5, 1, 4])
+    start = 0
+    for i in order:
+        assert out.loc[i, "seq_id"] == start // 4, i
+        assert out.loc[i, "offset_in_seq"] == start % 4, i
+        start += n_tok[i]

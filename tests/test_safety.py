@@ -107,3 +107,16 @@ def test_curate_decontam_drops_overlap_then_dedups(ray_session):
     )
     # contaminated (0, 1) gone, short (5) gone, dup (3) deduped to 2
     assert list(out["doc_id"]) == [2, 4]
+
+
+def test_normalize_text_lowers_collapses_trims(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["  Hello\t\tWORLD \n x ", "already clean", "A\nB\tC"],
+        }
+    )
+    out = safety.normalize_text(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "norm_text"] == "hello world x"
+    assert out.loc[1, "norm_text"] == "already clean"
+    assert out.loc[2, "norm_text"] == "a b c"
