@@ -353,6 +353,16 @@ def _q_curate_decontam(sf_dir: str):
     return cur.curate_decontam(_corpus(sf_dir), bench, num_buckets=_NB)
 
 
+def _q_hll_registers(sf_dir: str):
+    """HyperLogLog register table over the dup-heavy corpus text column
+    (constant-size mergeable sketch; registers oracle-checked as exact
+    integers)."""
+    from bio_re_with_entity_embeddings_ray.stages import sketches
+
+    quiet_ray_data()
+    return sketches.hll_registers(_corpus(sf_dir), "text", p=8)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concatenate-and-chunk sequence packing manifest (distributed
     prefix scan over token counts, budget 512)."""
@@ -909,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_shuffled": _q_pack_sequences_shuffled,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "normalize_text": _q_normalize_text,
+        "hll_registers": _q_hll_registers,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -1018,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles.PACK_SEQUENCES,
         "pack_sequences_shuffled": oracles.PACK_SEQUENCES_SHUFFLED,
         "normalize_text": oracles.NORMALIZE_TEXT,
+        "hll_registers": oracles.HLL_REGISTERS,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,

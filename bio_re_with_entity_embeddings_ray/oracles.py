@@ -439,6 +439,27 @@ CROSS JOIN __n n
 JOIN __r r ON r.pred_lang = n.pred_lang
           AND r.rn = GREATEST(1, (q.q_bp * n.n + 9999) // 10000)"""
 
+# HyperLogLog registers (stages/sketches.hll_registers, p=8, salt='hll',
+# over the dup-heavy __corpus text column): the registers are exact
+# integers, so the sketch state itself is oracle-checked; bit_length is
+# mirrored with generated integer CASE arithmetic (no float log)
+def _hll_rank_case() -> str:
+    terms = " ".join(f"WHEN rem >= {1 << (b - 1)} THEN {b}" for b in range(24, 0, -1))
+    return f"CASE WHEN rem = 0 THEN 25 ELSE 25 - (CASE {terms} END) END"
+
+
+HLL_REGISTERS = f"""WITH {_CORPUS},
+__h AS (
+  SELECT CAST(('0x' || substr(md5('hll:' || text), 1, 8)) AS BIGINT) AS h
+  FROM __corpus
+),
+__r AS (SELECT h >> 24 AS register, h & 16777215 AS rem FROM __h),
+__k AS (SELECT register, {_hll_rank_case()} AS rank FROM __r),
+__m AS (SELECT register, max(rank) AS max_rank FROM __k GROUP BY register),
+__all AS (SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS register)
+SELECT a.register, CAST(COALESCE(m.max_rank, 0) AS BIGINT) AS max_rank
+FROM __all a LEFT JOIN __m m USING (register)"""
+
 # GPT-style sequence packing (stages/ordered.pack_sequences, budget=512):
 # docs laid out in doc_id order; each doc assigned the sequence its first
 # token falls in

@@ -1,0 +1,97 @@
+"""Mergeable cardinality sketches (HyperLogLog).
+
+A 100 TB pipeline constantly needs approximate COUNT DISTINCT (unique
+documents per source, unique tokens, unique users per window) without
+paying a global distinct shuffle. HyperLogLog (Flajolet et al. 2007) is
+the standard answer and is a perfect two-phase Ray aggregate: each block
+folds its rows into a fixed 2^p-register array (a combiner output of
+constant size), registers merge by elementwise max (associative and
+commutative), and the estimate is a closed-form function of the final
+registers.
+
+Everything is DETERMINISTIC — the hash is the repo-wide md5int8 (no RNG,
+no seeds) — so the registers themselves are oracle-checkable in SQL as
+exact integers (`oracles.HLL_REGISTERS` mirrors the register/rank math
+with integer CASE arithmetic); the float estimate stays engine-side,
+pytest-pinned against exact counts. Exchange volume: 2^p ints per block,
+independent of row count — the whole point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+
+HLL_P = 8  # 2^8 = 256 registers; ~6.5% relative error (1.04/sqrt(m))
+_HLL_BITS = 32  # md5int8 yields 32-bit hashes
+
+
+def _fold_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """hashes (uint-valued int64, < 2^32) -> register array (2^p,) of max
+    ranks. register = top p bits; rank = 1 + leading zeros of the
+    remaining (32-p) bits (capped at 32-p+1 for rem == 0)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    if len(hashes) == 0:
+        return regs
+    h = hashes.astype(np.int64)
+    reg = h >> (_HLL_BITS - p)
+    rem = h & ((1 << (_HLL_BITS - p)) - 1)
+    # rank = (32 - p) - floor(log2(rem)) for rem > 0, else (32 - p) + 1
+    nbits = np.zeros(len(rem), dtype=np.int64)
+    nz = rem > 0
+    # bit_length via float log2 is unsafe at exact powers; use frexp's
+    # exact binary exponent instead
+    _, exp = np.frexp(rem[nz].astype(np.float64))
+    nbits[nz] = exp  # frexp exponent IS bit_length for positive ints
+    rank = (_HLL_BITS - p) - nbits + 1
+    np.maximum.at(regs, reg, rank)
+    return regs
+
+
+def hll_registers(ds, col: str, p: int = HLL_P, salt: str = "hll"):
+    """Distributed HLL register table: (register, max_rank) with 2^p
+    rows (zero-rank registers included). Per-block fold -> one
+    ``repartition(1)``-free tree merge via elementwise max (the partial
+    is CONSTANT-size, so the merge is a trivial reduction)."""
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        tagged = [f"{salt}:{v}" for v in batch[col].astype(str)]
+        regs = _fold_registers(md5int8_array(tagged), p)
+        return pd.DataFrame(
+            {
+                "register": np.arange(1 << p, dtype=np.int64),
+                "max_rank": regs,
+            }
+        )
+
+    parts = ds.map_batches(fold, batch_format="pandas", batch_size=None)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("register", as_index=False)["max_rank"].max()
+        g["register"] = g["register"].astype("int64")
+        g["max_rank"] = g["max_rank"].astype("int64")
+        return g
+
+    # constant-size partials: a repartition tree (split/coalesce, no hash
+    # exchange) reduces them; two levels suffice at any block count
+    merged = parts.repartition(8).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    ).repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
+    return merged
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = HLL_P) -> float:
+    """Closed-form HLL estimate from a (register, max_rank) table, with
+    the standard small-range (linear counting) correction."""
+    m = 1 << p
+    ranks = np.zeros(m, dtype=np.int64)
+    ranks[registers["register"].to_numpy()] = registers["max_rank"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-ranks.astype(np.float64)))
+    zeros = int((ranks == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)

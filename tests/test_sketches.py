@@ -1,0 +1,50 @@
+"""HyperLogLog sketch: register fold pinned to brute force, merge
+associativity, and estimate accuracy against exact counts."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+from bio_re_with_entity_embeddings_ray.stages import sketches
+
+
+def _brute_registers(values, p=8, salt="hll"):
+    regs = np.zeros(1 << p, dtype=np.int64)
+    for v in values:
+        h = int(md5int8_array([f"{salt}:{v}"])[0])
+        reg = h >> (32 - p)
+        rem = h & ((1 << (32 - p)) - 1)
+        rank = (32 - p) - rem.bit_length() + 1
+        regs[reg] = max(regs[reg], rank)
+    return regs
+
+
+def test_fold_matches_brute_force():
+    rng = np.random.RandomState(7)
+    vals = [str(v) for v in rng.randint(0, 10**9, size=2000)]
+    tagged = md5int8_array([f"hll:{v}" for v in vals])
+    got = sketches._fold_registers(tagged, 8)
+    assert np.array_equal(got, _brute_registers(vals))
+
+
+def test_merge_is_elementwise_max():
+    rng = np.random.RandomState(3)
+    a = [str(v) for v in rng.randint(0, 10**6, size=500)]
+    b = [str(v) for v in rng.randint(0, 10**6, size=500)]
+    ra = _brute_registers(a)
+    rb = _brute_registers(b)
+    assert np.array_equal(np.maximum(ra, rb), _brute_registers(a + b))
+
+
+def test_distributed_registers_and_estimate(ray_session):
+    n_distinct = 5000
+    df = pd.DataFrame({"v": [str(i % n_distinct) for i in range(20000)]})
+    regs = sketches.hll_registers(rd.from_pandas(df), "v", p=8).to_pandas()
+    assert len(regs) == 256
+    assert np.array_equal(
+        regs.sort_values("register")["max_rank"].to_numpy(),
+        _brute_registers([str(i) for i in range(n_distinct)]),
+    )
+    est = sketches.hll_estimate(regs, p=8)
+    assert abs(est - n_distinct) / n_distinct < 0.2  # ~6.5% expected error
