@@ -363,6 +363,19 @@ def _q_hll_registers(sf_dir: str):
     return sketches.hll_registers(_corpus(sf_dir), "text", p=8)
 
 
+def _q_windowed_hll(sf_dir: str):
+    """Approximate distinct users per tumbling hour over events — the
+    sketch-composition replacement for a (window, user) distinct
+    shuffle."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import sketches
+
+    quiet_ray_data()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return sketches.windowed_hll(ev, width_s=3600, key_col="user_id", p=8)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concatenate-and-chunk sequence packing manifest (distributed
     prefix scan over token counts, budget 512)."""
@@ -920,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": _q_deterministic_shuffle,
         "normalize_text": _q_normalize_text,
         "hll_registers": _q_hll_registers,
+        "windowed_hll": _q_windowed_hll,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -1030,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_shuffled": oracles.PACK_SEQUENCES_SHUFFLED,
         "normalize_text": oracles.NORMALIZE_TEXT,
         "hll_registers": oracles.HLL_REGISTERS,
+        "windowed_hll": oracles.WINDOWED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,

@@ -460,6 +460,20 @@ __all AS (SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS register)
 SELECT a.register, CAST(COALESCE(m.max_rank, 0) AS BIGINT) AS max_rank
 FROM __all a LEFT JOIN __m m USING (register)"""
 
+# windowed HLL (stages/sketches.windowed_hll, width=3600s, p=8, over
+# events.user_id): sparse (window, register, max_rank) rows — only
+# touched registers, exactly what the engine ships
+WINDOWED_HLL = f"""WITH __h AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+         CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+),
+__r AS (SELECT window_start, h >> 24 AS register, h & 16777215 AS rem FROM __h),
+__k AS (SELECT window_start, register, {_hll_rank_case()} AS rank FROM __r)
+SELECT window_start, register, CAST(max(rank) AS BIGINT) AS max_rank
+FROM __k GROUP BY window_start, register"""
+
 # GPT-style sequence packing (stages/ordered.pack_sequences, budget=512):
 # docs laid out in doc_id order; each doc assigned the sequence its first
 # token falls in

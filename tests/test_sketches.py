@@ -48,3 +48,19 @@ def test_distributed_registers_and_estimate(ray_session):
     )
     est = sketches.hll_estimate(regs, p=8)
     assert abs(est - n_distinct) / n_distinct < 0.2  # ~6.5% expected error
+
+
+def test_windowed_hll_estimates_close_to_exact(ray_session):
+    rng = np.random.RandomState(11)
+    n = 20000
+    ts = pd.to_datetime(rng.randint(0, 4 * 3600, size=n), unit="s")
+    users = rng.randint(0, 800, size=n)
+    df = pd.DataFrame({"ts": ts, "user_id": users})
+    regs = sketches.windowed_hll(
+        rd.from_pandas(df), width_s=3600, key_col="user_id", p=8
+    ).to_pandas()
+    est = sketches.windowed_hll_estimates(regs, p=8).set_index("window_start")
+    epoch = ts.astype("datetime64[s]").astype("int64")
+    for w in sorted(set((epoch // 3600) * 3600)):
+        exact = len(set(users[(epoch // 3600) * 3600 == w]))
+        assert abs(est.loc[w, "est"] - exact) / exact < 0.25, (w, exact)
