@@ -363,6 +363,15 @@ def _q_hll_registers(sf_dir: str):
     return sketches.hll_registers(_corpus(sf_dir), "text", p=8)
 
 
+def _q_kmeans_centroids(sf_dir: str):
+    """Distributed k-means (2 Lloyd iterations): broadcast centroids,
+    per-batch (cluster, count, sum) combiners, O(k x d) driver update."""
+    from bio_re_with_entity_embeddings_ray.stages import clustering
+
+    quiet_ray_data()
+    return clustering.kmeans_centroids_bp(_emb(sf_dir), k=8, iters=2)
+
+
 def _q_windowed_hll(sf_dir: str):
     """Approximate distinct users per tumbling hour over events — the
     sketch-composition replacement for a (window, user) distinct
@@ -934,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "hll_registers": _q_hll_registers,
         "windowed_hll": _q_windowed_hll,
+        "kmeans_centroids": _q_kmeans_centroids,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -1045,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": oracles.NORMALIZE_TEXT,
         "hll_registers": oracles.HLL_REGISTERS,
         "windowed_hll": oracles.WINDOWED_HLL,
+        "kmeans_centroids": oracles.KMEANS_CENTROIDS,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,

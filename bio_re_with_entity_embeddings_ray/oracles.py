@@ -460,6 +460,40 @@ __all AS (SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS register)
 SELECT a.register, CAST(COALESCE(m.max_rank, 0) AS BIGINT) AS max_rank
 FROM __all a LEFT JOIN __m m USING (register)"""
 
+# distributed k-means (stages/clustering.kmeans_centroids_bp, k=8,
+# iters=2): Lloyd iterations unrolled as CTE pairs; init = vec_id < 8,
+# assignment ties -> lowest centroid id, empty clusters keep the previous
+# centroid; compared via the floor(v*10000) integer projection
+def _kmeans_iter_cte(i: int, prev: str) -> str:
+    return f"""a{i} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding, c.ce), c.cid) AS rn
+    FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cid, i, AVG(v) AS v FROM (
+    SELECT cid, unnest(embedding) AS v,
+           unnest(range(1, 1 + len(embedding))) AS i FROM a{i})
+  GROUP BY cid, i
+),
+c{i} AS (
+  SELECT p.cid, COALESCE(l.ce, p.ce) AS ce
+  FROM {prev} p LEFT JOIN (SELECT cid, list(v ORDER BY i) AS ce FROM m{i} GROUP BY cid) l
+  USING (cid)
+)"""
+
+
+KMEANS_CENTROIDS = f"""WITH c0 AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+{_kmeans_iter_cte(1, "c0")},
+{_kmeans_iter_cte(2, "c1")}
+SELECT cid AS centroid_id, CAST(i AS BIGINT) AS dim_idx,
+       CAST(floor(v * 10000) AS BIGINT) AS value_bp
+FROM (SELECT cid, unnest(ce) AS v, unnest(range(1, 1 + len(ce))) AS i FROM c2)"""
+
 # windowed HLL (stages/sketches.windowed_hll, width=3600s, p=8, over
 # events.user_id): sparse (window, register, max_rank) rows — only
 # touched registers, exactly what the engine ships

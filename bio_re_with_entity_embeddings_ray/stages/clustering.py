@@ -1,0 +1,93 @@
+"""Distributed k-means (Lloyd iterations) over an embedding column.
+
+The iterative-algorithm family: each iteration is one streaming pass —
+broadcast centroids (``ray.put`` once per iteration), per-batch partial
+(cluster, count, per-dim sum) combiners, and an O(k x d) driver update.
+Nothing but k x d floats ever sits on the driver; the corpus is read
+``iters`` times and never shuffled (assignment is a pure narrow map).
+This is the canonical Ray shape for EM-style iterations — the Dataset
+API cannot hold mutable centroid state across passes, so the loop lives
+in the caller while each pass stays a streaming aggregate.
+
+Determinism contract (what the DuckDB oracle mirrors, 2 unrolled
+iterations): init centroids = embeddings of ``vec_id < k`` (ascending);
+assignment = argmin euclidean distance with ties to the lowest centroid
+id; update = per-dim mean of assigned vectors; an empty cluster keeps
+its previous centroid. Float math is float64 on both sides; the oracle
+compares the exploded (centroid_id, dim_idx, value_bp) integer
+projection (same discipline as scored_triples).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _assign(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row, squared euclidean, ties -> lowest index
+    (argmin keeps the first minimum)."""
+    d2 = (
+        (M * M).sum(axis=1, keepdims=True)
+        - 2.0 * (M @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    return d2.argmin(axis=1)
+
+
+def kmeans_fit(emb, k: int = 8, iters: int = 2):
+    """Lloyd's algorithm; returns the final (k, d) centroid matrix as a
+    pandas DataFrame (centroid_id, dim_idx, value) in float64."""
+    import ray
+
+    init = (
+        emb.filter(expr=f"vec_id < {k}").to_pandas().sort_values("vec_id")
+    )
+    if len(init) == 0:
+        raise ValueError(f"kmeans_fit: no rows with vec_id < {k} for init")
+    C = np.array(init["embedding"].tolist(), dtype=np.float64)
+    k, d = C.shape
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            Cb = ray.get(cref)
+            M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            a = _assign(M, Cb)
+            cols = {"cid": np.arange(len(Cb), dtype=np.int64)}
+            cols["cnt"] = np.bincount(a, minlength=len(Cb)).astype(np.int64)
+            for j in range(M.shape[1]):
+                cols[f"s{j}"] = np.bincount(
+                    a, weights=M[:, j], minlength=len(Cb)
+                )
+            return pd.DataFrame(cols)
+
+        parts = (
+            emb.map_batches(partial, batch_format="pandas", batch_size=None)
+            .to_pandas()  # k x blocks rows — bounded by k, not corpus size
+            .groupby("cid")
+            .sum()
+            .sort_index()
+        )
+        cnt = parts["cnt"].to_numpy()
+        sums = parts[[f"s{j}" for j in range(d)]].to_numpy()
+        nz = cnt > 0
+        C = C.copy()
+        C[nz] = sums[nz] / cnt[nz, None]  # empty clusters keep old centroid
+
+    rows = {
+        "centroid_id": np.repeat(np.arange(k, dtype=np.int64), d),
+        "dim_idx": np.tile(np.arange(1, d + 1, dtype=np.int64), k),
+        "value": C.reshape(-1),
+    }
+    return pd.DataFrame(rows)
+
+
+def kmeans_centroids_bp(emb, k: int = 8, iters: int = 2):
+    """(centroid_id, dim_idx, value_bp) — the integer projection the
+    oracle compares (value_bp = floor(value * 10000), float64 both
+    sides)."""
+    out = kmeans_fit(emb, k, iters)
+    out["value_bp"] = np.floor(out["value"].to_numpy() * 10000).astype(np.int64)
+    return out[["centroid_id", "dim_idx", "value_bp"]]

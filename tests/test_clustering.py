@@ -1,0 +1,47 @@
+"""Distributed k-means pinned to a single-process Lloyd reference."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from bio_re_with_entity_embeddings_ray.stages import clustering
+
+
+def _brute_kmeans(X, k, iters):
+    C = X[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    return C
+
+
+def test_kmeans_matches_brute_force(ray_session):
+    rng = np.random.RandomState(17)
+    X = rng.randn(300, 6)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": [list(map(float, r)) for r in X],
+        }
+    )
+    out = clustering.kmeans_fit(rd.from_pandas(df), k=5, iters=3)
+    C = _brute_kmeans(X, 5, 3)
+    got = out.pivot(index="centroid_id", columns="dim_idx", values="value").to_numpy()
+    assert np.allclose(got, C, atol=1e-9)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    # an isolated far point is its own cluster; the near mass never
+    # migrates the far centroid
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(X), dtype=np.int64),
+            "embedding": [list(map(float, r)) for r in X],
+        }
+    )
+    out = clustering.kmeans_fit(rd.from_pandas(df), k=2, iters=2)
+    far = out[out["centroid_id"] == 1].sort_values("dim_idx")["value"].to_numpy()
+    assert np.allclose(far, [100.0, 100.0])
