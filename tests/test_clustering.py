@@ -36,6 +36,9 @@ def test_kmeans_matches_brute_force(ray_session):
 def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     # an isolated far point is its own cluster; the near mass never
     # migrates the far centroid
+    X = np.vstack(
+        [np.zeros((1, 2)), np.full((1, 2), 100.0), np.zeros((20, 2)) + 0.01]
+    )
     df = pd.DataFrame(
         {
             "vec_id": np.arange(len(X), dtype=np.int64),
