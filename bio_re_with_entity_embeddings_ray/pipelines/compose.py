@@ -200,6 +200,74 @@ def _dedup_exact(num_buckets: int = 64):
     return apply
 
 
+def _normalize_text(out_col: str = "text"):
+    """C4-style lower/collapse/trim; defaults to out_col='text' so the
+    normalized corpus chains into quality_filter / dedup steps"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import safety
+
+        return safety.normalize_text(ds, out_col=out_col)
+
+    return apply
+
+
+def _pii_scrub_step():
+    """redact emails/phones; re-emits (doc_id, text) with clean text"""
+
+    def apply(ds):
+        import pandas as pd
+
+        from bio_re_with_entity_embeddings_ray.stages import safety
+
+        def rename(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"doc_id": batch["doc_id"], "text": batch["clean_text"]}
+            )
+
+        return safety.pii_scrub(ds).map_batches(
+            rename, batch_format="pandas", batch_size=None
+        )
+
+    return apply
+
+
+def _decontaminate(bench_path: str, k: int = 3, threshold_bp: int = 1000):
+    """drop rows overlapping the benchmark parquet at bench_path"""
+
+    def apply(ds):
+        import ray.data as rd
+
+        from bio_re_with_entity_embeddings_ray.stages import safety
+
+        bench = rd.read_parquet(bench_path, columns=["doc_id", "text"])
+        return safety.decontaminate_filter(ds, bench, k=k, threshold_bp=threshold_bp)
+
+    return apply
+
+
+def _pack_sequences(budget: int = 512, num_ranges: int = 16):
+    """concatenate-and-chunk packing manifest (stages/ordered.py)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import ordered
+
+        return ordered.pack_sequences(ds, budget=budget, num_ranges=num_ranges)
+
+    return apply
+
+
+def _deterministic_shuffle(key: str = "doc_id", salt: str = "shuffle", num_ranges: int = 16):
+    """reproducible salted-hash global shuffle rank (stages/ordered.py)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import ordered
+
+        return ordered.deterministic_shuffle(ds, key=key, salt=salt, num_ranges=num_ranges)
+
+    return apply
+
+
 for _name, _factory in {
     "not_null": _not_null,
     "map_column": _map_column,
@@ -213,6 +281,11 @@ for _name, _factory in {
     "hash_sample": _hash_sample,
     "cap_per_group": _cap_per_group,
     "dedup_exact": _dedup_exact,
+    "normalize_text": _normalize_text,
+    "pii_scrub": _pii_scrub_step,
+    "decontaminate": _decontaminate,
+    "pack_sequences": _pack_sequences,
+    "deterministic_shuffle": _deterministic_shuffle,
 }.items():
     register_step(_name, _factory)
 

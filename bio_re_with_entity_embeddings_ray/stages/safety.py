@@ -146,13 +146,14 @@ EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+"
 PHONE_RE = r"\b[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]\b"
 
 
-def normalize_text(docs):
-    """C4-style text normalization: (doc_id, norm_text) = lowercase,
+def normalize_text(docs, out_col: str = "norm_text"):
+    """C4-style text normalization: (doc_id, <out_col>) = lowercase,
     collapse whitespace runs (space/tab/newline) to single spaces, trim.
     Pure Arrow kernels (``utf8_lower`` + RE2 ``replace_substring_regex``
     + ``utf8_trim_whitespace``) mirrored exactly by DuckDB
     lower/regexp_replace/trim — the canonicalization pass that runs
-    before exact dedup so formatting variants collapse."""
+    before exact dedup so formatting variants collapse. Pass
+    ``out_col="text"`` to chain into downstream text operators."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -165,7 +166,7 @@ def normalize_text(docs):
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "norm_text": norm.to_numpy(zero_copy_only=False),
+                out_col: norm.to_numpy(zero_copy_only=False),
             }
         )
 

@@ -147,3 +147,47 @@ def test_jsonl_roundtrip_unicode(ray_session, tmp_path):
     jsonl.write_jsonl(rd.from_pandas(df), out)
     back = jsonl.read_jsonl(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(back[["doc_id", "text"]], df)
+
+
+def test_round3_steps_chain_config(ray_session, tmp_path):
+    """normalize -> pii_scrub -> quality -> dedup -> shuffle as one
+    config-driven chain over a messy corpus."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bio_re_with_entity_embeddings_ray.pipelines import compose
+
+    texts = [
+        "Hello   WORLD this is a Fine document",
+        "hello world this is a fine document",   # dup after normalize
+        "ping me at x@y.org about the big launch plan",
+        "a a a",                                  # fails quality
+        "another perfectly reasonable clean document here",
+    ]
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        p,
+    )
+    out = compose.run_config(
+        {
+            "input": {"path": p, "columns": ["doc_id", "text"]},
+            "steps": [
+                {"step": "normalize_text"},
+                {"step": "pii_scrub"},
+                {"step": "quality_filter", "min_tokens": 5},
+                {"step": "dedup_exact", "num_buckets": 4},
+                {"step": "deterministic_shuffle", "key": "doc_id", "num_ranges": 2},
+            ],
+        }
+    ).to_pandas()
+    # docs 0/1 collapse to one, 3 dropped; shuffle ranks are a permutation
+    assert len(out) == 3
+    assert sorted(out["shuffle_pos"]) == [0, 1, 2]
