@@ -207,6 +207,32 @@ def bench_neardup(sf_dir: str, replicas: int, num_buckets: int) -> float:
     return time.perf_counter() - t0
 
 
+def bench_pack(sf_dir: str, replicas: int) -> float:
+    """Shuffled-then-packed layout manifest over the replicated corpus —
+    exercises the distributed prefix scan (range exchange + O(ranges)
+    driver scan) at bench scale."""
+    from bio_re_with_entity_embeddings_ray.stages.ordered import (
+        pack_sequences_shuffled,
+    )
+
+    t0 = time.perf_counter()
+    pack_sequences_shuffled(_corpus(sf_dir, replicas), budget=2048).count()
+    return time.perf_counter() - t0
+
+
+def _host_probe() -> float:
+    """Single-threaded-ish 2k matmul wall time: a shared-host
+    memory-bandwidth contention canary recorded alongside every bench
+    sample (quiet box: ~0.2-0.4 s; a contended host measures 2-5x that
+    and inflates every pipeline number with it)."""
+    import numpy as np
+
+    a = np.random.rand(2000, 2000)
+    t0 = time.perf_counter()
+    a @ a
+    return round(time.perf_counter() - t0, 3)
+
+
 def bench_knn(sf_dir: str) -> float:
     import ray.data as rd
 
@@ -267,9 +293,11 @@ def run_once() -> dict:
                 "curate_neardup": round(bench_neardup(sf_dir, replicas, num_buckets), 3),
                 "knn_topk": round(bench_knn(sf_dir), 3),
                 "tumbling_window": round(bench_window(sf_dir), 3),
+                "pack_shuffled": round(bench_pack(sf_dir, replicas), 3),
             }
         )
     result = {
+        "host_probe_matmul_sec": _host_probe(),
         "metric": "kg_e2e_sec",
         "value": queries["kg_e2e"],
         "unit": "sec",
