@@ -363,6 +363,38 @@ def _q_hll_registers(sf_dir: str):
     return sketches.hll_registers(_corpus(sf_dir), "text", p=8)
 
 
+def _q_curate_incremental(sf_dir: str):
+    """Incremental-crawl curation: today's shard (the replicated corpus)
+    curated against yesterday's digest table (docs with doc_id % 3 == 0)
+    — the accumulated corpus enters as ~16 B/doc digests only."""
+    import hashlib
+
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.pipelines import curate as cur
+
+    quiet_ray_data()
+
+    def prior_digests(batch: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        sel = batch[batch["doc_id"] % 3 == 0]
+        return pd.DataFrame(
+            {"content_md5": [md5(t.encode("utf-8")).hexdigest() for t in sel["text"]]}
+        )
+
+    prior = _docs(sf_dir).map_batches(prior_digests, batch_format="pandas")
+    return cur.curate_incremental(_corpus(sf_dir), prior, num_buckets=_NB)
+
+
+def _q_top_values(sf_dir: str):
+    """Hot-key histogram over events.user_id (skew diagnostics)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return relational.top_values(ev, "user_id", k=20)
+
+
 def _q_kmeans_centroids(sf_dir: str):
     """Distributed k-means (2 Lloyd iterations): broadcast centroids,
     per-batch (cluster, count, sum) combiners, O(k x d) driver update."""
@@ -944,6 +976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": _q_hll_registers,
         "windowed_hll": _q_windowed_hll,
         "kmeans_centroids": _q_kmeans_centroids,
+        "curate_incremental": _q_curate_incremental,
+        "top_values": _q_top_values,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -1056,6 +1090,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": oracles.HLL_REGISTERS,
         "windowed_hll": oracles.WINDOWED_HLL,
         "kmeans_centroids": oracles.KMEANS_CENTROIDS,
+        "curate_incremental": oracles.CURATE_INCREMENTAL,
+        "top_values": oracles.TOP_VALUES,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,

@@ -751,6 +751,39 @@ SELECT doc_id, text, n_tokens FROM (
          row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
   FROM __keep) WHERE rn = 1"""
 
+# incremental-crawl curation (pipelines/curate.curate_incremental):
+# today's shard = __corpus; yesterday's digests = md5(text) of documents
+# with doc_id % 3 = 0; content already in the prior corpus is dropped
+CURATE_INCREMENTAL = f"""WITH {_CORPUS},
+__q AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM __corpus
+),
+__f AS (
+  SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens FROM __q
+  WHERE n_tokens >= 5 AND 10000 * n_distinct // n_tokens >= 3000
+),
+__keep AS (
+  SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
+  FROM __f GROUP BY md5(text)
+),
+__prior AS (
+  SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id % 3 = 0
+),
+__fresh AS (
+  SELECT k.doc_id FROM __keep k
+  LEFT JOIN __prior p USING (content_md5) WHERE p.content_md5 IS NULL
+)
+SELECT f.doc_id, f.text, f.n_tokens FROM __f f JOIN __fresh USING (doc_id)"""
+
+# generic hot-key histogram (stages/relational.top_values over
+# events.user_id, k=20): skew diagnostics for partitioning decisions
+TOP_VALUES = """SELECT value, cnt, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT user_id AS value, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY user_id) WHERE rn <= 20"""
+
 DEDUP_CLUSTERS = f"""WITH RECURSIVE __pairs AS ({MINHASH_LSH_STAR}),
 {_cc_closure_cte("__pairs")}
 SELECT node AS doc_id, r AS cluster_id FROM __cc"""

@@ -242,6 +242,61 @@ def curate_decontam(
     )
 
 
+def curate_incremental(
+    docs,
+    prior_digests,
+    min_tokens: int = 5,
+    min_distinct_bp: int = 3000,
+    num_buckets: int = 64,
+    cache: str = "auto",
+    join_plan: str = "auto",
+    broadcast_max_keys: int = BROADCAST_MAX_KEYS,
+):
+    """Incremental-crawl curation: curate TODAY'S shard against
+    YESTERDAY'S accumulated corpus without ever touching yesterday's
+    text. ``prior_digests`` is a Dataset with a ``content_md5`` column
+    (the digest table `curate`'s dedup pass already produces — persist it
+    per increment and feed it back). Returns (doc_id, text, n_tokens):
+    quality-filtered, deduped within the increment, and with every doc
+    whose content already exists in the prior corpus dropped.
+
+    Scale shape: the prior corpus enters as ~16 B/doc digests (read with
+    column pruning from its Parquet manifest), flows through the same
+    measured broadcast/hash anti-join as every keep/drop set, and the
+    increment's own dedup exchange is digest-only — the accumulated
+    corpus is NEVER rescanned. This is the daily-increment shape of a
+    continuously-crawled 100 TB corpus."""
+    from bio_re_with_entity_embeddings_ray.stages import dedup
+
+    filtered = _maybe_cache(quality_filter(docs, min_tokens, min_distinct_bp), docs, cache)
+    keep = dedup.exact_dedup_hashed(filtered, num_buckets)
+
+    def keep_new(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "content_md5"]]
+
+    # drop keep-set entries whose content exists in the prior corpus
+    keep_fresh = key_semi_anti_join(
+        keep.map_batches(keep_new, batch_format="pandas", batch_size=None),
+        prior_digests,
+        "content_md5",
+        anti=True,
+        plan=join_plan,
+        num_buckets=num_buckets,
+        broadcast_max_keys=broadcast_max_keys,
+        other_cols={"doc_id": 0},
+    )
+    return key_semi_anti_join(
+        filtered,
+        keep_fresh,
+        "doc_id",
+        anti=False,
+        plan=join_plan,
+        num_buckets=num_buckets,
+        broadcast_max_keys=broadcast_max_keys,
+        other_cols=_CURATED_COLS,
+    )
+
+
 def token_budget(curated):
     """One-row accounting of the curated corpus: docs + total tokens (the
     number a pretraining run budgets against)."""

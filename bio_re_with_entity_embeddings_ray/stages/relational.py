@@ -624,3 +624,40 @@ def describe_cents(ds, col: str):
     return parts.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+def top_values(ds, col: str, k: int = 20, num_buckets: int = 16):
+    """Generic hot-key histogram: (value, cnt, rank) — the top-``k`` most
+    frequent values of any column, ties by value ascending. The skew
+    diagnostic behind partitioning decisions (salt-or-not, bucket
+    count): per-block ``value_counts`` combiner -> value-keyed hash merge
+    with a per-bucket partial top-k -> ``num_buckets * k`` rows on the
+    driver. Same shape as textstats.vocab_topk, for arbitrary columns."""
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts()
+        return pd.DataFrame(
+            {"value": vc.index.to_numpy(), "cnt": vc.to_numpy().astype("int64")}
+        )
+
+    partials = ds.map_batches(local, batch_format="pandas", batch_size=None)
+
+    def merge_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("value", as_index=False)["cnt"].sum()
+        return g.sort_values(
+            ["cnt", "value"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    per_bucket = bucketed_group_apply(partials, "value", merge_top, num_buckets)
+    top = (
+        per_bucket.to_pandas()
+        .sort_values(["cnt", "value"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["cnt"] = top["cnt"].astype("int64")
+    return top

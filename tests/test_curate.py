@@ -3,6 +3,8 @@ dup), keep-min-id dedup, and budget consistency."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -115,3 +117,39 @@ def test_curate_auto_flips_to_hash_past_key_cap():
         .sort_values("doc_id")
     )
     assert list(out["doc_id"]) == [3, 5]
+
+
+def test_curate_incremental_drops_prior_content(ray_session):
+    import hashlib
+
+    from bio_re_with_entity_embeddings_ray.pipelines import curate as cur
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "brand new document with fresh content here",
+                "seen yesterday exact same content as before",
+                "another brand new one with different words",
+                "seen yesterday exact same content as before",  # in-batch dup of prior
+                "x",                                             # fails quality
+            ],
+        }
+    )
+    prior = pd.DataFrame(
+        {
+            "content_md5": [
+                hashlib.md5(
+                    b"seen yesterday exact same content as before"
+                ).hexdigest()
+            ]
+        }
+    )
+    out = (
+        cur.curate_incremental(
+            rd.from_pandas(docs), rd.from_pandas(prior), num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["doc_id"]) == [0, 2]

@@ -56,7 +56,7 @@ PATHO_QUERIES = {
     # round-3: text-analysis + safety additions
     "repetition_scores", "tfidf_topk", "inverted_index",
     "decontaminate", "pii_scrub", "pack_sequences", "deterministic_shuffle",
-    "curate_decontam", "pack_sequences_shuffled", "normalize_text", "hll_registers", "kmeans_centroids",
+    "curate_decontam", "pack_sequences_shuffled", "normalize_text", "hll_registers", "kmeans_centroids", "curate_incremental",
 }
 
 
