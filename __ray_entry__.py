@@ -404,6 +404,35 @@ def _q_kmeans_centroids(sf_dir: str):
     return clustering.kmeans_centroids_bp(_emb(sf_dir), k=8, iters=2)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means clusters, then keep-lowest-id within each
+    cluster's cosine-similar neighborhoods (Abbas et al. 2023)."""
+    from bio_re_with_entity_embeddings_ray.stages import clustering
+
+    quiet_ray_data()
+    return clustering.semantic_dedup(
+        _emb(sf_dir), k=8, iters=2, threshold=0.4, num_buckets=_NB
+    )
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 top-10 for a fixed query: query-bounded stats pass +
+    broadcast-scored narrow map with per-block top-k combiners."""
+    from bio_re_with_entity_embeddings_ray.stages import textstats
+
+    quiet_ray_data()
+    return textstats.bm25_topk(_docs(sf_dir), query="join sort window", k=10)
+
+
+def _q_curate_percentile(sf_dir: str):
+    """Adaptive quality gate: keep docs at/above the global exact p25
+    token count (histogram-combiner threshold pass + narrow filter)."""
+    from bio_re_with_entity_embeddings_ray.pipelines import curate as cur
+
+    quiet_ray_data()
+    return cur.curate_percentile(_docs(sf_dir), q_bp=2500, num_buckets=_NB)
+
+
 def _q_windowed_hll(sf_dir: str):
     """Approximate distinct users per tumbling hour over events — the
     sketch-composition replacement for a (window, user) distinct
@@ -635,6 +664,17 @@ def _q_media_features(sf_dir: str):
 
     quiet_ray_data()
     return multimodal.featurize_media(_media(sf_dir))
+
+
+def _q_audio_features(sf_dir: str):
+    """Real-WAV audio decode + features: the actor pool parses actual
+    RIFF/PCM16 containers; the oracle recomputes from the generation
+    formula, so a hash match proves the decode."""
+    from bio_re_with_entity_embeddings_ray.stages import multimodal
+
+    quiet_ray_data()
+    audio = multimodal.attach_audio(_docs(sf_dir))
+    return multimodal.featurize_audio(audio)
 
 
 def _q_media_frames(sf_dir: str):
@@ -978,6 +1018,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_centroids": _q_kmeans_centroids,
         "curate_incremental": _q_curate_incremental,
         "top_values": _q_top_values,
+        "semantic_dedup": _q_semantic_dedup,
+        "bm25_topk": _q_bm25_topk,
+        "curate_percentile": _q_curate_percentile,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -1028,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal (binary columns; actor-pool decode stages) ---
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "audio_features": _q_audio_features,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "drop_duplicates": _q_drop_duplicates,
@@ -1092,6 +1136,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": oracles.KMEANS_CENTROIDS,
         "curate_incremental": oracles.CURATE_INCREMENTAL,
         "top_values": oracles.TOP_VALUES,
+        "semantic_dedup": oracles.SEMANTIC_DEDUP,
+        "bm25_topk": oracles.BM25_TOPK,
+        "curate_percentile": oracles.CURATE_PERCENTILE,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,
@@ -1100,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split_val": oracles.HASH_SPLIT_VAL,
         "media_stats": oracles.MEDIA_STATS,
         "media_features": oracles.MEDIA_FEATURES,
+        "audio_features": oracles.AUDIO_FEATURES,
         "media_frames": oracles.MEDIA_FRAMES,
         "media_resize": oracles.MEDIA_RESIZE,
         "drop_duplicates": oracles.DROP_DUPLICATES,

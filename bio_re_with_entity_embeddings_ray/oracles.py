@@ -1152,3 +1152,114 @@ DROP_DUPLICATES = """SELECT o_custkey, o_orderkey, price_cents FROM (
 ) WHERE rn = 1"""
 
 SIMHASH_NEAR_DUP = _simhash_near_dup_sql()
+
+# ------------------------------------------------- round-3 tail additions
+
+# SemDeDup semantic dedup (stages/clustering.semantic_dedup, k=8, iters=2,
+# threshold=0.4): final assignment = one more kmeans-CTE step against the
+# 2-iteration centroids (only its a3 member is referenced); a vector is
+# dropped iff a lower-vec_id member of ITS cluster is cosine-similar above
+# the threshold (keep-lowest-id representative)
+SEMANTIC_DEDUP = f"""WITH c0 AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+{_kmeans_iter_cte(1, "c0")},
+{_kmeans_iter_cte(2, "c1")},
+{_kmeans_iter_cte(3, "c2")},
+__p AS (
+  SELECT b.vec_id AS vb
+  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+)
+SELECT g.vec_id, g.cid AS cluster_id,
+       CAST(CASE WHEN g.vec_id IN (SELECT vb FROM __p) THEN 0 ELSE 1 END
+            AS BIGINT) AS keep
+FROM a3 g"""
+
+# BM25 top-k (stages/textstats.bm25_topk, query='join sort window', k=10,
+# k1=1.2, b=0.75, Lucene non-negative idf): each (doc, term) contribution
+# is floored to integer micro-units BEFORE the sum so the unordered SQL
+# SUM and the engine's per-term accumulation agree exactly
+BM25_TOPK = """WITH __t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+__g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM __t
+),
+__q AS (SELECT unnest(['join', 'sort', 'window']) AS qt),
+__df AS (
+  SELECT q.qt,
+         (SELECT CAST(count(*) AS DOUBLE) FROM __t
+          WHERE list_contains(toks, q.qt)) AS df
+  FROM __q q
+),
+__tf AS (
+  SELECT t.doc_id, q.qt, t.dl,
+         CAST(len(list_filter(t.toks, x -> x = q.qt)) AS DOUBLE) AS tf
+  FROM __t t CROSS JOIN __q q
+),
+__c AS (
+  SELECT f.doc_id,
+         CAST(floor(
+           ln(1 + ((SELECT n FROM __g) - d.df + 0.5) / (d.df + 0.5))
+           * f.tf * (1.2 + 1)
+           / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / (SELECT avgdl FROM __g)))
+           * 1000000) AS BIGINT) AS contrib_fp
+  FROM __tf f JOIN __df d USING (qt)
+  WHERE f.tf > 0
+),
+__s AS (
+  SELECT doc_id, SUM(contrib_fp) AS score_fp FROM __c GROUP BY doc_id
+  HAVING SUM(contrib_fp) > 0
+)
+SELECT doc_id, CAST(score_fp AS BIGINT) AS score_fp, CAST(rn AS BIGINT) AS rank
+FROM (SELECT doc_id, score_fp,
+             row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rn
+      FROM __s)
+WHERE rn <= 10"""
+
+# percentile-threshold quality gate (pipelines/curate.curate_percentile,
+# q_bp=2500): threshold = value at 1-based position ceil(q*n/10000) of the
+# ascending token counts (the exact_quantiles rule); survivors keep their
+# counts
+CURATE_PERCENTILE = """WITH __t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+__n AS (SELECT count(*) AS n FROM __t),
+__r AS (SELECT n_tokens AS v, row_number() OVER (ORDER BY n_tokens) AS rn
+        FROM __t),
+__thr AS (SELECT v FROM __r
+          WHERE rn = GREATEST(1, (2500 * (SELECT n FROM __n) + 9999) // 10000))
+SELECT doc_id, n_tokens FROM __t
+WHERE n_tokens >= (SELECT v FROM __thr)"""
+
+# real-WAV audio features (stages/multimodal.attach_audio +
+# AudioFeaturizer): the oracle recomputes from the PCM generation formula
+# — it never sees the RIFF container — so a hash match proves the
+# engine's actual header parse + int16 decode; rms uses an exact int64
+# sum of squares with only the final sqrt in float
+AUDIO_FEATURES = """WITH __p AS (
+  SELECT doc_id, 256 + (doc_id % 16) * 32 AS n,
+         8000 + (doc_id % 3) * 4000 AS sr
+  FROM documents
+),
+__v AS (
+  SELECT doc_id, n, sr,
+         ((doc_id * 31 + unnest(range(0, n)) * 7) % 65536) - 32768 AS x
+  FROM __p
+),
+__a AS (
+  SELECT doc_id, any_value(n) AS n, any_value(sr) AS sr,
+         SUM(x * x) AS ss, MAX(ABS(x)) AS peak
+  FROM __v GROUP BY doc_id
+)
+SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(floor(sqrt(CAST(ss AS DOUBLE) / n) * 1000) AS BIGINT) AS rms_milli,
+       CAST(peak AS BIGINT) AS peak
+FROM __a"""

@@ -330,3 +330,36 @@ def token_budget(curated):
     return parts.union(seed).repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+def curate_percentile(docs, q_bp: int = 2500, num_buckets: int = 16):
+    """Percentile-threshold quality gate: keep documents whose token
+    count is >= the corpus-global exact ``q_bp`` quantile (1-based
+    position ``ceil(q*n/10000)`` ascending — the
+    :func:`~bio_re_with_entity_embeddings_ray.stages.textstats.exact_quantiles`
+    position rule). Returns (doc_id, n_tokens) of the survivors.
+
+    Scale shape: two streaming passes, which is inherent to any
+    global-percentile gate — pass 1 reduces the corpus to a (distinct
+    token count, frequency) histogram via per-block combiners (the
+    histogram is bounded by the token-count domain, not corpus size) and
+    yields ONE scalar threshold; pass 2 is a pure narrow filter against
+    the broadcast scalar. Reference analog: the static min-length
+    thresholds in extract_articles.py:49-55; the percentile form makes
+    the cut adaptive to the corpus instead of hand-tuned."""
+    from bio_re_with_entity_embeddings_ray.stages.textstats import (
+        exact_quantiles,
+        token_quality_arrays,
+    )
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, _, _ = token_quality_arrays(batch["text"])
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "n_tokens": n_tok.astype("int64")}
+        )
+
+    with_counts = docs.map_batches(counts, batch_format="pandas")
+    thr_df = exact_quantiles(with_counts, "n_tokens", [q_bp], num_buckets)
+    thr = int(thr_df["value"].iloc[0])
+
+    return with_counts.filter(expr=f"n_tokens >= {thr}")

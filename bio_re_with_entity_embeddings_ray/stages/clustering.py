@@ -91,3 +91,99 @@ def kmeans_centroids_bp(emb, k: int = 8, iters: int = 2):
     out = kmeans_fit(emb, k, iters)
     out["value_bp"] = np.floor(out["value"].to_numpy() * 10000).astype(np.int64)
     return out[["centroid_id", "dim_idx", "value_bp"]]
+
+
+def kmeans_matrix(emb, k: int = 8, iters: int = 2) -> np.ndarray:
+    """Final (k, d) centroid matrix as float64 numpy (same fit as
+    :func:`kmeans_fit`, reshaped from the long frame)."""
+    long = kmeans_fit(emb, k, iters)
+    return (
+        long.pivot(index="centroid_id", columns="dim_idx", values="value")
+        .sort_index()
+        .to_numpy()
+        .astype(np.float64)
+    )
+
+
+def semantic_dedup(emb, k: int = 8, iters: int = 2, threshold: float = 0.4,
+                   num_buckets: int = 16):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, then WITHIN each
+    cluster mark as duplicate every vector that has cosine similarity >=
+    ``threshold`` with a lower-``vec_id`` member of the same cluster
+    (deterministic keep-lowest-id representative per duplicate
+    neighborhood). Returns (vec_id, cluster_id, keep) for every input
+    vector, keep in {0, 1}.
+
+    Scale shape: the O(m^2) pairwise cosine runs only within a cluster —
+    the whole point of SemDeDup is that k grows with corpus size so the
+    per-cluster member count m stays bounded (the paper uses k ~ 100k on
+    LAION). Centroids come from the streaming :func:`kmeans_fit` passes
+    (driver holds k x d floats only), assignment is a narrow broadcast
+    map, and clusters are co-located with ONE hash exchange keyed by
+    cluster_id; each bucket resolves its clusters with a single normalized
+    matmul. Nothing corpus-sized ever reaches the driver. No reference
+    analog (the reference has no embedding-space dedup); the kmeans
+    determinism contract above carries over verbatim.
+    """
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+    )
+
+    C = kmeans_matrix(emb, k, iters)
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self, cref):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            a = _assign(M, self.C)
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(),
+                    "cluster_id": a.astype(np.int64),
+                    "embedding": batch["embedding"],
+                }
+            )
+
+    assigned = emb.map_batches(
+        Assign,
+        fn_constructor_args=(cref,),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+
+    def resolve(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cid, g in bucket.groupby("cluster_id", sort=False):
+            g = g.sort_values("vec_id")
+            M = np.array(g["embedding"].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            S = M @ M.T
+            dup = (np.tril(S, -1) >= threshold).any(axis=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": g["vec_id"].to_numpy(),
+                        "cluster_id": np.full(len(g), cid, dtype=np.int64),
+                        "keep": (~dup).astype(np.int64),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster_id": pd.Series([], dtype="int64"),
+                    "keep": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(assigned, "cluster_id", resolve, num_buckets)

@@ -319,3 +319,129 @@ def media_stats(media):
         )
 
     return media.map_batches(project, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ WAV codec
+# Pure-numpy RIFF/WAVE PCM16 mono: the no-dependency real AUDIO decoder.
+# WAV is the simplest real audio container; the same actor seam swaps in
+# soundfile/librosa when present (neither is in this sandbox).
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> RIFF/WAVE (PCM16 LE) bytes."""
+    import struct
+
+    if pcm.dtype != np.int16:
+        raise ValueError(f"encode_wav expects int16, got {pcm.dtype}")
+    data = pcm.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE (PCM16 LE mono) bytes -> (sample_rate, int16 samples).
+    A real header parse — bad magic, compression, or truncation raise."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    fmt_size, audio_fmt, channels, sample_rate = struct.unpack(
+        "<IHHI", payload[16:28]
+    )
+    bits = struct.unpack("<H", payload[34:36])[0]
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 mono supported (fmt={audio_fmt}, ch={channels}, bits={bits})"
+        )
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    n_bytes = struct.unpack("<I", payload[40:44])[0]
+    raw = payload[44 : 44 + n_bytes]
+    if len(raw) < n_bytes:
+        raise ValueError("truncated WAV raster")
+    return sample_rate, np.frombuffer(raw, dtype="<i2")
+
+
+def _is_wav(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def attach_audio(docs) -> "object":
+    """documents(doc_id, ...) -> audio(doc_id, payload) with REAL WAV bytes.
+
+    Deterministic synthetic PCM (mirrored arithmetically by the SQL
+    oracle, which cannot parse WAV): ``n = 256 + (doc_id % 16) * 32``
+    samples at ``sr = 8000 + (doc_id % 3) * 4000`` Hz, sample
+    ``x[i] = ((doc_id * 31 + i * 7) % 65536) - 32768``. Because the
+    oracle recomputes features from this formula while the ENGINE only
+    sees the encoded container, the comparison validates the actual
+    header parse + PCM decode end to end."""
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        payloads = []
+        for did in ids:
+            n = 256 + (int(did) % 16) * 32
+            sr = 8000 + (int(did) % 3) * 4000
+            i = np.arange(n, dtype=np.int64)
+            x = ((int(did) * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+            payloads.append(encode_wav(x, sr))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(build, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: audio(doc_id, payload) -> per-clip feature row
+    (sample_rate, n_samples, duration_ms, rms_milli, peak) from the
+    DECODED samples. ``rms_milli = floor(sqrt(sum(x^2)/n) * 1000)`` —
+    the sum of squares is exact int64, only the final sqrt is float, so
+    the SQL oracle agrees (same discipline as the bp projections)."""
+
+    def __init__(self):
+        self.decode = decode_wav  # the once-per-actor codec load seam
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        out = {k: [] for k in ("sample_rate", "n_samples", "duration_ms",
+                               "rms_milli", "peak")}
+        for payload in batch["payload"].to_pylist():
+            sr, x = self.decode(payload)
+            xi = x.astype(np.int64)
+            n = len(xi)
+            ss = int((xi * xi).sum())
+            out["sample_rate"].append(sr)
+            out["n_samples"].append(n)
+            out["duration_ms"].append(n * 1000 // sr)
+            out["rms_milli"].append(
+                int(np.floor(np.sqrt(ss / n) * 1000)) if n else 0
+            )
+            out["peak"].append(int(np.abs(xi).max()) if n else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+            }
+        )
+
+
+def featurize_audio(audio, concurrency: int = 4):
+    """audio -> features via an AudioFeaturizer actor pool."""
+    return audio.map_batches(
+        AudioFeaturizer,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )

@@ -611,3 +611,120 @@ def inverted_index(docs, max_postings: int = 8, num_buckets: int = 16):
         return out[["token", "df", "postings"]]
 
     return bucketed_group_apply(partials, "token", build, num_buckets)
+
+
+def bm25_topk(docs, query: str = "join sort window", k: int = 10,
+              k1: float = 1.2, b: float = 0.75):
+    """Top-``k`` documents for a fixed ``query`` under BM25 (Robertson et
+    al., Okapi; Lucene's non-negative idf variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``). Returns
+    (doc_id, score_fp, rank) with rank 1..k, ties by doc_id asc.
+
+    Determinism contract (mirrored by the SQL oracle): each (doc, term)
+    contribution ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` is
+    floored to integer micro-units FIRST (``floor(contrib * 1e6)``), then
+    summed — integer addition is order-independent, so the engine's
+    per-token accumulation and the oracle's unordered SUM agree exactly
+    (float SUM order would not). Ranking is by the integer score.
+
+    Scale shape: pass 1 streams one tiny per-block partial — (df per
+    QUERY term, block doc count, block token count); the merged stats
+    table is bounded by the query length, not the vocabulary, so it lives
+    on the driver like the kmeans k x d update. Pass 2 is a pure narrow
+    map scoring each doc against the broadcast stats, with a per-block
+    top-k combiner; only blocks x k candidate rows reach the final merge.
+    No shuffle anywhere."""
+    import ray
+
+    q_terms = query.split(" ")
+
+    def local_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        rows = {"term": [], "df": []}
+        vl = {t: i for i, t in enumerate(vocab)}
+        for t in q_terms:
+            code = vl.get(t)
+            if code is None:
+                rows["term"].append(t)
+                rows["df"].append(0)
+            else:
+                mask = codes == code
+                rows["term"].append(t)
+                rows["df"].append(int(np.unique(row_idx[mask]).size))
+        out = pd.DataFrame(rows)
+        out["docs"] = np.int64(len(n_tok))
+        out["toks"] = np.int64(n_tok.sum())
+        return out
+
+    stats = (
+        docs.map_batches(local_stats, batch_format="pandas", batch_size=None)
+        .to_pandas()  # len(q_terms) x blocks rows — query-bounded, not corpus
+    )
+    df_map = stats.groupby("term")["df"].sum()
+    # per-block scalars repeat on every term row; take one term's rows
+    one = stats[stats["term"] == q_terms[0]]
+    n_docs = int(one["docs"].sum())
+    n_toks = int(one["toks"].sum())
+    avgdl = n_toks / n_docs
+    idf = {
+        t: float(np.log(1.0 + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5)))
+        for t in q_terms
+    }
+    sref = ray.put((idf, avgdl))
+
+    class Score:
+        def __init__(self, sref):
+            self.idf, self.avgdl = ray.get(sref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+            n = len(n_tok)
+            score_fp = np.zeros(n, dtype=np.int64)
+            vl = {t: i for i, t in enumerate(vocab)}
+            dl = n_tok.astype(np.float64)
+            for t in q_terms:
+                code = vl.get(t)
+                if code is None:
+                    continue
+                tf = np.bincount(row_idx[codes == code], minlength=n).astype(
+                    np.float64
+                )
+                contrib = (
+                    self.idf[t]
+                    * tf
+                    * (k1 + 1)
+                    / (tf + k1 * (1 - b + b * dl / self.avgdl))
+                )
+                score_fp += np.floor(contrib * 1e6).astype(np.int64)
+            keep = score_fp > 0
+            out = pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy()[keep],
+                    "score_fp": score_fp[keep],
+                }
+            )
+            # per-block top-k combiner: only k candidates leave the block
+            out = out.sort_values(
+                ["score_fp", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            return out
+
+    cand = docs.map_batches(
+        Score,
+        fn_constructor_args=(sref,),
+        batch_format="pandas",
+        batch_size=None,
+        concurrency=(1, 8),
+    ).to_pandas()  # blocks x k rows
+    if len(cand) == 0:
+        cand = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "score_fp": pd.Series([], dtype="int64"),
+            }
+        )
+    cand = cand.sort_values(
+        ["score_fp", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand.reset_index(drop=True)

@@ -48,3 +48,44 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     out = clustering.kmeans_fit(rd.from_pandas(df), k=2, iters=2)
     far = out[out["centroid_id"] == 1].sort_values("dim_idx")["value"].to_numpy()
     assert np.allclose(far, [100.0, 100.0])
+
+
+def _brute_semantic_dedup(X, k, iters, threshold):
+    C = _brute_kmeans(X, k, iters)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    M = X / np.linalg.norm(X, axis=1, keepdims=True)
+    keep = np.ones(len(X), dtype=bool)
+    for j in range(len(X)):
+        for i in range(j):
+            if a[i] == a[j] and float(M[i] @ M[j]) >= threshold:
+                keep[j] = False
+                break
+    return a, keep
+
+
+def test_semantic_dedup_matches_brute_force(ray_session):
+    rng = np.random.RandomState(23)
+    # planted near-dups: pairs of almost-identical vectors
+    base = rng.randn(80, 8)
+    dups = base[:20] + rng.randn(20, 8) * 0.01
+    X = np.vstack([base, dups])
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(X), dtype=np.int64),
+            "embedding": [list(map(float, r)) for r in X],
+        }
+    )
+    out = (
+        clustering.semantic_dedup(
+            rd.from_pandas(df), k=4, iters=2, threshold=0.95, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    a, keep = _brute_semantic_dedup(X, 4, 2, 0.95)
+    assert len(out) == len(X)
+    assert (out["cluster_id"].to_numpy() == a).all()
+    assert (out["keep"].to_numpy().astype(bool) == keep).all()
+    assert (~keep).sum() >= 15  # the planted dups are actually dropped

@@ -144,3 +144,50 @@ def test_resize_fits_bounding_box_and_truncates_payload():
     assert (rows[5]["width"], rows[5]["height"]) == (20, 20)
     assert rows[5]["n_bytes"] == min(300, 20 * 20)
     assert len(rows[5]["payload"]) == rows[5]["n_bytes"]
+
+
+def test_wav_roundtrip_and_validation():
+    import numpy as np
+    import pytest
+
+    from bio_re_with_entity_embeddings_ray.stages.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    x = ((np.arange(512) * 7 + 42 * 31) % 65536 - 32768).astype(np.int16)
+    payload = encode_wav(x, 12000)
+    sr, y = decode_wav(payload)
+    assert sr == 12000 and (x == y).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"OGGS" + payload[4:])  # bad magic
+    with pytest.raises(ValueError):
+        decode_wav(payload[:50])  # truncated raster
+
+
+def test_audio_features_from_decoded_samples(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import multimodal
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64), "text": [""] * 20})
+    )
+    out = (
+        multimodal.featurize_audio(multimodal.attach_audio(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for did in (0, 7, 19):
+        n = 256 + (did % 16) * 32
+        sr = 8000 + (did % 3) * 4000
+        i = np.arange(n, dtype=np.int64)
+        x = (did * 31 + i * 7) % 65536 - 32768
+        row = out[out["doc_id"] == did].iloc[0]
+        assert row["n_samples"] == n and row["sample_rate"] == sr
+        assert row["duration_ms"] == n * 1000 // sr
+        assert row["peak"] == np.abs(x).max()
+        assert row["rms_milli"] == int(np.floor(np.sqrt((x * x).sum() / n) * 1000))

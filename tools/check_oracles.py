@@ -57,6 +57,7 @@ PATHO_QUERIES = {
     "repetition_scores", "tfidf_topk", "inverted_index",
     "decontaminate", "pii_scrub", "pack_sequences", "deterministic_shuffle",
     "curate_decontam", "pack_sequences_shuffled", "normalize_text", "hll_registers", "kmeans_centroids", "curate_incremental",
+    "semantic_dedup", "bm25_topk", "curate_percentile", "audio_features",
 }
 
 
