@@ -174,6 +174,13 @@ def _q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_corpus(sf_dir), _NB)
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Exact-substring duplication coverage (Lee et al. 2022 recast):
+    per-doc fraction of k-gram positions shared with another doc."""
+    quiet_ray_data()
+    return dedup.duplicate_spans(_docs(sf_dir), k=3, num_buckets=_NB)
+
+
 def _q_dedup_exact_hashed(sf_dir: str):
     quiet_ray_data()
     return dedup.exact_dedup_hashed(_corpus(sf_dir), _NB)
@@ -402,6 +409,15 @@ def _q_kmeans_centroids(sf_dir: str):
 
     quiet_ray_data()
     return clustering.kmeans_centroids_bp(_emb(sf_dir), k=8, iters=2)
+
+
+def _q_bigram_nll(sf_dir: str):
+    """CCNet-style LM quality scoring: per-doc NLL under a corpus bigram
+    LM (vocabulary^2-bounded broadcast table, narrow scoring map)."""
+    from bio_re_with_entity_embeddings_ray.stages import textstats
+
+    quiet_ray_data()
+    return textstats.bigram_nll(_docs(sf_dir), num_buckets=_NB)
 
 
 def _q_semantic_dedup(sf_dir: str):
@@ -1019,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_incremental": _q_curate_incremental,
         "top_values": _q_top_values,
         "semantic_dedup": _q_semantic_dedup,
+        "bigram_nll": _q_bigram_nll,
         "bm25_topk": _q_bm25_topk,
         "curate_percentile": _q_curate_percentile,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
@@ -1037,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_ids": _q_conv_ids,
         # --- dedup family ---
         "dedup_exact": _q_dedup_exact,
+        "duplicate_spans": _q_duplicate_spans,
         "dedup_exact_hashed": _q_dedup_exact_hashed,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -1096,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "doc2vec_input": oracles.DOC2VEC_INPUT,
         "conv_ids": oracles.CONV_IDS,
         "dedup_exact": oracles.DEDUP_EXACT,
+        "duplicate_spans": oracles.DUPLICATE_SPANS,
         "dedup_exact_hashed": oracles.DEDUP_EXACT_HASHED,
         "dedup_ngram_jaccard": oracles.NGRAM_JACCARD,
         "dedup_minhash_lsh": oracles.MINHASH_LSH,
@@ -1137,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_incremental": oracles.CURATE_INCREMENTAL,
         "top_values": oracles.TOP_VALUES,
         "semantic_dedup": oracles.SEMANTIC_DEDUP,
+        "bigram_nll": oracles.BIGRAM_NLL,
         "bm25_topk": oracles.BM25_TOPK,
         "curate_percentile": oracles.CURATE_PERCENTILE,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

@@ -1263,3 +1263,53 @@ SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples
        CAST(floor(sqrt(CAST(ss AS DOUBLE) / n) * 1000) AS BIGINT) AS rms_milli,
        CAST(peak AS BIGINT) AS peak
 FROM __a"""
+
+# exact-substring duplication coverage (stages/dedup.duplicate_spans,
+# k=3): fraction of a doc's k-gram positions whose gram occurs in >= 2
+# distinct docs; gram identity = md5int8 of the ' '-joined gram (the
+# repo-standard 32-bit digest — engine and oracle share any collisions)
+DUPLICATE_SPANS = """WITH __t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+__i AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks) - 3 + 1)) AS i FROM __t
+),
+__g AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(toks[i + 1:i + 3], ' ')), 1, 8))
+              AS BIGINT) AS g
+  FROM __i
+),
+__df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM __g GROUP BY g),
+__d AS (
+  SELECT gr.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (WHERE df.nd >= 2) AS BIGINT) AS dup_grams
+  FROM __g gr JOIN __df df USING (g) GROUP BY gr.doc_id
+)
+SELECT doc_id, n_grams, dup_grams,
+       CAST(10000 * dup_grams // n_grams AS BIGINT) AS dup_bp
+FROM __d"""
+
+# corpus bigram-LM NLL (stages/textstats.bigram_nll, Laplace smoothing):
+# per-position contribution floored to integer micro-nats before the sum
+# so the unordered SQL SUM matches the engine's accumulation; V counts
+# distinct tokens over ALL positions (incl. doc-final)
+BIGRAM_NLL = """WITH __t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+__i AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i FROM __t),
+__p AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2 FROM __i),
+__b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM __p GROUP BY w1, w2),
+__c AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cc FROM __b GROUP BY w1),
+__v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS w FROM __t)),
+__s AS (
+  SELECT p.doc_id,
+         CAST(floor(-ln((b.cb + 1.0) / (c.cc + (SELECT v FROM __v))) * 1000000)
+              AS BIGINT) AS nfp
+  FROM __p p JOIN __b b USING (w1, w2) JOIN __c c USING (w1)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nfp) AS BIGINT) AS nll_fp
+FROM __s GROUP BY doc_id"""

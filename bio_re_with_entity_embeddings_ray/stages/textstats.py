@@ -728,3 +728,113 @@ def bm25_topk(docs, query: str = "join sort window", k: int = 10,
     ).head(k)
     cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     return cand.reset_index(drop=True)
+
+
+def bigram_nll(docs, num_buckets: int = 16):
+    """Per-document negative log-likelihood under a corpus bigram LM with
+    Laplace smoothing — the quality-scoring idea of CCNet (Wenzek et al.
+    2020: perplexity under a reference LM separates clean text from
+    boilerplate/gibberish), with the corpus itself as the reference.
+    Returns (doc_id, n_bigrams, nll_fp) for docs with >= 2 tokens, where
+    ``nll_fp = sum over bigram positions of
+    floor(-ln((c(w1,w2) + 1) / (c_ctx(w1) + V)) * 1e6)`` — each position's
+    contribution is floored to integer micro-nats BEFORE the sum, so the
+    oracle's unordered SQL SUM agrees exactly. Perplexity is
+    ``exp(nll_fp / (1e6 * n_bigrams))`` for the caller.
+
+    Scale shape: the bigram table is VOCABULARY^2-bounded (not corpus-
+    bounded) — per-block (w1, w2, count) combiners, one token-keyed hash
+    merge, then ONE broadcast (``ray.put``); context counts are row sums
+    of that same table and V comes from a distinct-token merge whose
+    exchange volume is vocabulary-bounded. Scoring is a pure narrow map
+    (C-level Series.map lookups on joined keys). For open vocabularies
+    cap the table by min count and bucket the tail into an <unk> row —
+    the standard LM-table discipline."""
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    SEP = "\x01"
+
+    def local_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        if len(codes) < 2:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype="object"),
+                    "w2": pd.Series([], dtype="object"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        same = row_idx[:-1] == row_idx[1:]
+        c1, c2 = codes[:-1][same], codes[1:][same]
+        df = pd.DataFrame({"w1": vocab[c1], "w2": vocab[c2]})
+        out = df.groupby(["w1", "w2"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    bparts = docs.map_batches(local_bigrams, batch_format="pandas", batch_size=None)
+
+    def merge_b(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
+
+    btab = bucketed_group_apply(bparts, ["w1", "w2"], merge_b, num_buckets).to_pandas()
+
+    def local_vocab(batch: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, vocab = _flat_token_codes(batch["text"])
+        return pd.DataFrame({"token": vocab.astype(str)})
+
+    vparts = docs.map_batches(local_vocab, batch_format="pandas", batch_size=None)
+    V = int(
+        bucketed_group_apply(
+            vparts, "token", lambda b: b.drop_duplicates(), num_buckets
+        ).count()
+    )
+
+    bser = pd.Series(
+        btab["cnt"].to_numpy(),
+        index=btab["w1"].astype(str) + SEP + btab["w2"].astype(str),
+    )
+    cser = btab.groupby("w1")["cnt"].sum()
+    ref = ray.put((bser, cser, V))
+
+    class Score:
+        def __init__(self, ref):
+            self.b, self.c, self.V = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+            n = len(n_tok)
+            if len(codes) < 2:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_bigrams": pd.Series([], dtype="int64"),
+                        "nll_fp": pd.Series([], dtype="int64"),
+                    }
+                )
+            same = row_idx[:-1] == row_idx[1:]
+            r = row_idx[:-1][same]
+            w1 = pd.Series(vocab[codes[:-1][same]].astype(str))
+            w2 = pd.Series(vocab[codes[1:][same]].astype(str))
+            cb = (w1 + SEP + w2).map(self.b).to_numpy(dtype=np.float64)
+            cc = w1.map(self.c).to_numpy(dtype=np.float64)
+            nfp = np.floor(
+                -np.log((cb + 1.0) / (cc + self.V)) * 1e6
+            ).astype(np.int64)
+            nll = np.bincount(r, weights=nfp, minlength=n).astype(np.int64)
+            n_big = np.bincount(r, minlength=n).astype(np.int64)
+            keep = n_big > 0
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy()[keep],
+                    "n_bigrams": n_big[keep],
+                    "nll_fp": nll[keep],
+                }
+            )
+
+    return docs.map_batches(
+        Score,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
