@@ -411,6 +411,47 @@ def _q_kmeans_centroids(sf_dir: str):
     return clustering.kmeans_centroids_bp(_emb(sf_dir), k=8, iters=2)
 
 
+def _rel_hash_join(sf_dir: str, plan: str):
+    import ray.data as rd
+
+    quiet_ray_data()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    joined = relational.hash_join(
+        orders, cust, "o_custkey", "c_custkey", plan=plan, num_buckets=_NB
+    )
+
+    def finish(b):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "c_custkey": b["o_custkey"].astype("int64"),
+                "c_name": b["c_name"],
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "price_cents": (b["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def _q_rel_hash_join(sf_dir: str):
+    """Generic row-level inner join, broadcast (dimension-side) plan."""
+    return _rel_hash_join(sf_dir, "broadcast")
+
+
+def _q_rel_hash_join_shuffle(sf_dir: str):
+    """Same join forced through Ray Data's native co-partitioned shuffle
+    join — the both-sides-fact-scale plan."""
+    return _rel_hash_join(sf_dir, "hash")
+
+
 def _q_bigram_nll(sf_dir: str):
     """CCNet-style LM quality scoring: per-doc NLL under a corpus bigram
     LM (vocabulary^2-bounded broadcast table, narrow scoring map)."""
@@ -1003,6 +1044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_anti_join": _q_rel_anti_join,
         "rel_top_n_per_group": _q_rel_top_n_per_group,
         "rel_rekey_union": _q_rel_rekey_union,
+        "rel_hash_join": _q_rel_hash_join,
+        "rel_hash_join_shuffle": _q_rel_hash_join_shuffle,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "orders_describe": _q_orders_describe,
@@ -1183,6 +1226,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_anti_join": oracles.REL_ANTI_JOIN,
         "rel_top_n_per_group": oracles.REL_TOP_N_PER_GROUP,
         "rel_rekey_union": oracles.REL_REKEY_UNION,
+        "rel_hash_join": oracles.REL_HASH_JOIN,
+        "rel_hash_join_shuffle": oracles.REL_HASH_JOIN,
         "asof_join": oracles.ASOF_JOIN,
         "range_join": oracles.RANGE_JOIN,
         "orders_describe": oracles.ORDERS_DESCRIBE,

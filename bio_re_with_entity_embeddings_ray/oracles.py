@@ -1313,3 +1313,10 @@ __s AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(nfp) AS BIGINT) AS nll_fp
 FROM __s GROUP BY doc_id"""
+
+# generic row-level inner equi-join (stages/relational.hash_join):
+# customer dimension x orders fact; same result for the broadcast and
+# the native shuffle plan
+REL_HASH_JOIN = """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"""

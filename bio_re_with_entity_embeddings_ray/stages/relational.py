@@ -661,3 +661,60 @@ def top_values(ds, col: str, k: int = 20, num_buckets: int = 16):
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     top["cnt"] = top["cnt"].astype("int64")
     return top
+
+
+def hash_join(
+    left,
+    right,
+    key_col: str,
+    right_key_col: str | None = None,
+    plan: str = "auto",
+    num_buckets: int = 64,
+    broadcast_max_rows: int = 5_000_000,
+):
+    """Generic row-level inner equi-join, through the same measured plan
+    choice as :func:`key_semi_anti_join` (J3 discipline):
+
+    - ``broadcast``: collect the RIGHT side once (it is the dimension
+      side by contract), ``ray.put`` the frame, per-batch C-level
+      ``pd.merge`` — ZERO shuffle of the left side. Right while the
+      right side fits the object store (~10^8 rows).
+    - ``hash``: Ray Data's native shuffle join (`Dataset.join`) —
+      co-partitions both sides by hash(key); the plan when BOTH sides
+      are fact-scale. Costs one exchange of each side.
+    - ``auto``: measured right-side count picks the plan.
+
+    Output: left columns + right columns (the join key once, under the
+    left name). Skewed keys: a hot key's rows land in one partition —
+    pre-aggregate or salt before joining two fact tables on a power-law
+    key (same blast-radius note as bucketed_group_apply)."""
+    import ray
+
+    rk = right_key_col or key_col
+    if plan == "auto":
+        right = right.materialize()
+        plan = "broadcast" if right.count() <= broadcast_max_rows else "hash"
+    if plan == "broadcast":
+        rdf_ref = ray.put(right.to_pandas())
+
+        def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+            rdf = ray.get(rdf_ref)  # per-worker cached deserialization
+            out = batch.merge(rdf, left_on=key_col, right_on=rk, how="inner")
+            if rk != key_col:
+                out = out.drop(columns=[rk])
+            return out
+
+        return left.map_batches(join_batch, batch_format="pandas")
+    if plan != "hash":
+        raise ValueError(f"unknown plan {plan!r}")
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_buckets,
+        on=(key_col,),
+        right_on=(rk,),
+    )
+    if rk != key_col:
+        cols = [c for c in joined.columns() if c != rk]
+        joined = joined.select_columns(cols)
+    return joined

@@ -120,3 +120,46 @@ def test_range_join_boundaries(ray_session):
     assert out[2] == 0       # 49999.99 floors to 49999 -> band 0
     assert out[3] == 1       # hi exclusive: 50000 starts band 1
     assert out[4] == 2
+
+
+def test_hash_join_plans_agree(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import hash_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 40, size=500).astype(np.int64),
+            "a": rng.randint(0, 1000, size=500).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.arange(0, 50, dtype=np.int64),  # some keys unmatched
+            "b": np.arange(100, 150, dtype=np.int64),
+        }
+    )
+    outs = {}
+    for plan in ("broadcast", "hash"):
+        outs[plan] = (
+            hash_join(
+                rd.from_pandas(left).repartition(4),
+                rd.from_pandas(right).repartition(2),
+                "k",
+                "rk",
+                plan=plan,
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "a", "b"])
+            .reset_index(drop=True)
+        )
+        assert sorted(outs[plan].columns) == ["a", "b", "k"]
+    pd.testing.assert_frame_equal(
+        outs["broadcast"][["k", "a", "b"]], outs["hash"][["k", "a", "b"]]
+    )
+    # inner semantics: every row's key is a right-side key
+    assert outs["broadcast"]["k"].isin(right["rk"]).all()
