@@ -452,6 +452,15 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_token_counts_regex(sf_dir: str):
+    """Whitespace + BPE-ish regex pre-token counts in one zero-copy
+    Arrow map (RE2 kernels only)."""
+    from bio_re_with_entity_embeddings_ray.stages import textstats
+
+    quiet_ray_data()
+    return textstats.token_counts_regex(_docs(sf_dir))
+
+
 def _q_bigram_nll(sf_dir: str):
     """CCNet-style LM quality scoring: per-doc NLL under a corpus bigram
     LM (vocabulary^2-bounded broadcast table, narrow scoring map)."""
@@ -1079,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_values": _q_top_values,
         "semantic_dedup": _q_semantic_dedup,
         "bigram_nll": _q_bigram_nll,
+        "token_counts_regex": _q_token_counts_regex,
         "bm25_topk": _q_bm25_topk,
         "curate_percentile": _q_curate_percentile,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
@@ -1200,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         "top_values": oracles.TOP_VALUES,
         "semantic_dedup": oracles.SEMANTIC_DEDUP,
         "bigram_nll": oracles.BIGRAM_NLL,
+        "token_counts_regex": oracles.TOKEN_COUNTS_REGEX,
         "bm25_topk": oracles.BM25_TOPK,
         "curate_percentile": oracles.CURATE_PERCENTILE,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

@@ -1320,3 +1320,11 @@ FROM __s GROUP BY doc_id"""
 REL_HASH_JOIN = """SELECT c.c_custkey, c.c_name, o.o_orderkey,
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"""
+
+# BPE-ish regex pre-token counts (stages/textstats.token_counts_regex):
+# RE2 pattern shared verbatim with the engine
+TOKEN_COUNTS_REGEX = """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents"""

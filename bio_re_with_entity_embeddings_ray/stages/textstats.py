@@ -838,3 +838,29 @@ def bigram_nll(docs, num_buckets: int = 16):
         batch_format="pandas",
         concurrency=(1, 8),
     )
+
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single
+# non-alphanumeric marks (the GPT-2 pre-tokenizer's shape without the
+# byte-level vocab). RE2 both sides: Arrow count_substring_regex in the
+# engine, DuckDB regexp_extract_all in the oracle.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts_regex(docs):
+    """(doc_id, n_tokens, n_bpe_tokens) — whitespace token count next to
+    a BPE-ish regex pre-token count, one zero-copy Arrow map (both are
+    C-level RE2/split kernels; no Python per row)."""
+
+    def fn(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = batch["text"]
+        n_tok = pc.list_value_length(pc.split_pattern(arr, " ")).cast(pa.int64())
+        n_bpe = pc.count_substring_regex(arr, pattern=BPE_TOKEN_RE).cast(pa.int64())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": n_tok, "n_bpe_tokens": n_bpe}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
