@@ -360,6 +360,18 @@ def _q_curate_decontam(sf_dir: str):
     return cur.curate_decontam(_corpus(sf_dir), bench, num_buckets=_NB)
 
 
+def _q_cms_registers(sf_dir: str):
+    """Count-Min frequency sketch over events.user_id (constant-size
+    additive combiner; counters oracle-checked as exact integers)."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import sketches
+
+    quiet_ray_data()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return sketches.cms_registers(ev, "user_id", depth=4, width=256)
+
+
 def _q_hll_registers(sf_dir: str):
     """HyperLogLog register table over the dup-heavy corpus text column
     (constant-size mergeable sketch; registers oracle-checked as exact
@@ -1082,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": _q_deterministic_shuffle,
         "normalize_text": _q_normalize_text,
         "hll_registers": _q_hll_registers,
+        "cms_registers": _q_cms_registers,
         "windowed_hll": _q_windowed_hll,
         "kmeans_centroids": _q_kmeans_centroids,
         "curate_incremental": _q_curate_incremental,
@@ -1204,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_shuffled": oracles.PACK_SEQUENCES_SHUFFLED,
         "normalize_text": oracles.NORMALIZE_TEXT,
         "hll_registers": oracles.HLL_REGISTERS,
+        "cms_registers": oracles.CMS_REGISTERS,
         "windowed_hll": oracles.WINDOWED_HLL,
         "kmeans_centroids": oracles.KMEANS_CENTROIDS,
         "curate_incremental": oracles.CURATE_INCREMENTAL,

@@ -1328,3 +1328,21 @@ TOKEN_COUNTS_REGEX = """SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents"""
+
+# Count-Min sketch counters (stages/sketches.cms_registers over
+# events.user_id, depth=4, width=256): dense (row, register, cnt) —
+# exact integers, same md5 discipline as the HLL registers
+CMS_REGISTERS = """WITH __h AS (
+  SELECT t.j,
+         CAST(('0x' || substr(md5('cms' || CAST(t.j AS VARCHAR) || ':'
+                                  || CAST(e.user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS w
+  FROM events e CROSS JOIN range(0, 4) t(j)
+),
+__c AS (SELECT j, w, CAST(count(*) AS BIGINT) AS cnt FROM __h GROUP BY j, w),
+__all AS (
+  SELECT CAST(a.j AS BIGINT) AS j, CAST(b.w AS BIGINT) AS w
+  FROM range(0, 4) a(j) CROSS JOIN range(0, 256) b(w)
+)
+SELECT a.j AS row, a.w AS register, COALESCE(c.cnt, 0) AS cnt
+FROM __all a LEFT JOIN __c c ON a.j = c.j AND a.w = c.w"""

@@ -161,3 +161,71 @@ def windowed_hll_estimates(registers: pd.DataFrame, p: int = HLL_P) -> pd.DataFr
     for w, grp in registers.groupby("window_start"):
         rows.append((int(w), hll_estimate(grp, p)))
     return pd.DataFrame(rows, columns=["window_start", "est"])
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_registers(ds, col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                  salt: str = "cms"):
+    """Distributed Count-Min sketch (Cormode & Muthukrishnan 2005): a
+    depth x width counter table for approximate per-key frequencies
+    (point query: ``min_j regs[j][h_j(x)]``, an upper bound on the true
+    count) — heavy-hitter screening without the per-key groupby.
+
+    Same discipline as the HLL: deterministic repo-standard hashes
+    (``md5int8(f"{salt}{j}:{value}")`` % width), so the counter table is
+    oracle-checkable in SQL as EXACT integers; the sketch's approximation
+    guarantees stay engine-side, pytest-pinned. The combiner output is a
+    CONSTANT depth x width array per block (counts ADD, the cleanest
+    mergeable sketch there is), reduced by the same repartition tree —
+    exchange volume independent of row count.
+
+    Returns (row, register, cnt) — dense depth x width rows.
+    """
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        # hash once per DISTINCT value per depth row, weighted by its
+        # multiplicity — md5 cost is bounded by block cardinality
+        vc = batch[col].astype(str).value_counts()
+        vals, weights = vc.index.to_numpy(), vc.to_numpy().astype(np.int64)
+        regs = np.zeros((depth, width), dtype=np.int64)
+        for j in range(depth):
+            h = md5int8_array([f"{salt}{j}:{v}" for v in vals]) % width
+            np.add.at(regs[j], h, weights)
+        return pd.DataFrame(
+            {
+                "row": np.repeat(np.arange(depth, dtype=np.int64), width),
+                "register": np.tile(np.arange(width, dtype=np.int64), depth),
+                "cnt": regs.reshape(-1),
+            }
+        )
+
+    parts = ds.map_batches(fold, batch_format="pandas", batch_size=None)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["row", "register"], as_index=False)["cnt"].sum()
+        return g.astype({"row": "int64", "register": "int64", "cnt": "int64"})
+
+    return (
+        parts.repartition(8)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
+def cms_estimate(registers: pd.DataFrame, value, depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH, salt: str = "cms") -> int:
+    """Point-query a (row, register, cnt) CMS table: min over depth rows
+    of the value's counter — an UPPER bound on the true count."""
+    from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8
+
+    regs = np.zeros((depth, width), dtype=np.int64)
+    regs[registers["row"].to_numpy(), registers["register"].to_numpy()] = (
+        registers["cnt"].to_numpy()
+    )
+    return int(
+        min(regs[j][md5int8(f"{salt}{j}:{value}") % width] for j in range(depth))
+    )

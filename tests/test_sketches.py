@@ -64,3 +64,32 @@ def test_windowed_hll_estimates_close_to_exact(ray_session):
     for w in sorted(set((epoch // 3600) * 3600)):
         exact = len(set(users[(epoch // 3600) * 3600 == w]))
         assert abs(est.loc[w, "est"] - exact) / exact < 0.25, (w, exact)
+
+
+def test_cms_point_query_upper_bound(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.sketches import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    rng = np.random.RandomState(5)
+    # zipf-ish: key 0 is hot
+    keys = np.concatenate(
+        [np.zeros(400, dtype=np.int64), rng.randint(1, 200, size=600)]
+    )
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(5)
+    regs = cms_registers(ds, "k", depth=4, width=256).to_pandas()
+    assert regs.shape == (4 * 256, 3)
+    assert regs["cnt"].sum() == 4 * len(keys)  # each row counted per depth
+    true = pd.Series(keys).value_counts()
+    for key in (0, int(true.index[1]), 199):
+        t = int(true.get(key, 0))
+        est = cms_estimate(regs, key, depth=4, width=256)
+        assert est >= t  # CMS never underestimates
+        assert est <= t + len(keys) // 64  # epsilon*N slack at width 256
+    # the hot key's estimate is exact with overwhelming probability
+    assert cms_estimate(regs, 0, depth=4, width=256) == 400
