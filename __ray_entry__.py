@@ -458,6 +458,40 @@ def _q_rel_hash_join(sf_dir: str):
     return _rel_hash_join(sf_dir, "broadcast")
 
 
+def _q_rel_left_join(sf_dir: str):
+    """Row-level LEFT join: customers keep a null-coalesced row when they
+    have no orders (broadcast plan at this dimension scale)."""
+    import pandas as pd
+    import ray.data as rd
+
+    quiet_ray_data()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    joined = relational.hash_join(
+        cust, orders, "c_custkey", "o_custkey", plan="broadcast", how="left"
+    )
+
+    def finish(b):
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "c_name": b["c_name"],
+                "o_orderkey": b["o_orderkey"].fillna(-1).astype("int64"),
+                "price_cents": (b["o_totalprice"] * 100)
+                .round()
+                .fillna(-1)
+                .astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def _q_rel_hash_join_shuffle(sf_dir: str):
     """Same join forced through Ray Data's native co-partitioned shuffle
     join — the both-sides-fact-scale plan."""
@@ -1067,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rekey_union": _q_rel_rekey_union,
         "rel_hash_join": _q_rel_hash_join,
         "rel_hash_join_shuffle": _q_rel_hash_join_shuffle,
+        "rel_left_join": _q_rel_left_join,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "orders_describe": _q_orders_describe,
@@ -1253,6 +1288,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_rekey_union": oracles.REL_REKEY_UNION,
         "rel_hash_join": oracles.REL_HASH_JOIN,
         "rel_hash_join_shuffle": oracles.REL_HASH_JOIN,
+        "rel_left_join": oracles.REL_LEFT_JOIN,
         "asof_join": oracles.ASOF_JOIN,
         "range_join": oracles.RANGE_JOIN,
         "orders_describe": oracles.ORDERS_DESCRIBE,

@@ -1346,3 +1346,10 @@ __all AS (
 )
 SELECT a.j AS row, a.w AS register, COALESCE(c.cnt, 0) AS cnt
 FROM __all a LEFT JOIN __c c ON a.j = c.j AND a.w = c.w"""
+
+# row-level LEFT join (stages/relational.hash_join, how="left"):
+# orderless customers keep one null-coalesced row
+REL_LEFT_JOIN = """SELECT c.c_custkey, c.c_name,
+       COALESCE(o.o_orderkey, -1) AS o_orderkey,
+       COALESCE(CAST(round(o.o_totalprice * 100) AS BIGINT), -1) AS price_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey"""

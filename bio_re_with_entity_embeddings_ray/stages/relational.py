@@ -671,9 +671,11 @@ def hash_join(
     plan: str = "auto",
     num_buckets: int = 64,
     broadcast_max_rows: int = 5_000_000,
+    how: str = "inner",
 ):
-    """Generic row-level inner equi-join, through the same measured plan
-    choice as :func:`key_semi_anti_join` (J3 discipline):
+    """Generic row-level equi-join (``how`` in {"inner", "left"}),
+    through the same measured plan choice as :func:`key_semi_anti_join`
+    (J3 discipline):
 
     - ``broadcast``: collect the RIGHT side once (it is the dimension
       side by contract), ``ray.put`` the frame, per-batch C-level
@@ -685,11 +687,15 @@ def hash_join(
     - ``auto``: measured right-side count picks the plan.
 
     Output: left columns + right columns (the join key once, under the
-    left name). Skewed keys: a hot key's rows land in one partition —
-    pre-aggregate or salt before joining two fact tables on a power-law
-    key (same blast-radius note as bucketed_group_apply)."""
+    left name); under ``how="left"`` unmatched rows carry nulls in the
+    right columns (integer right columns therefore arrive as nullable —
+    coalesce downstream). Skewed keys: a hot key's rows land in one
+    partition — pre-aggregate or salt before joining two fact tables on
+    a power-law key (same blast-radius note as bucketed_group_apply)."""
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how {how!r}")
     rk = right_key_col or key_col
     if plan == "auto":
         right = right.materialize()
@@ -699,7 +705,7 @@ def hash_join(
 
         def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
             rdf = ray.get(rdf_ref)  # per-worker cached deserialization
-            out = batch.merge(rdf, left_on=key_col, right_on=rk, how="inner")
+            out = batch.merge(rdf, left_on=key_col, right_on=rk, how=how)
             if rk != key_col:
                 out = out.drop(columns=[rk])
             return out
@@ -709,7 +715,7 @@ def hash_join(
         raise ValueError(f"unknown plan {plan!r}")
     joined = left.join(
         right,
-        join_type="inner",
+        join_type={"inner": "inner", "left": "left_outer"}[how],
         num_partitions=num_buckets,
         on=(key_col,),
         right_on=(rk,),

@@ -163,3 +163,50 @@ def test_hash_join_plans_agree(ray_session):
     )
     # inner semantics: every row's key is a right-side key
     assert outs["broadcast"]["k"].isin(right["rk"]).all()
+
+
+def test_left_join_plans_agree_with_unmatched_rows(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import hash_join
+
+    rng = np.random.RandomState(9)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 40, size=300).astype(np.int64),
+            "a": np.arange(300, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(  # keys 20..39 are unmatched on the left side
+        {
+            "rk": np.arange(0, 20, dtype=np.int64),
+            "b": np.arange(500, 520, dtype=np.int64),
+        }
+    )
+    outs = {}
+    for plan in ("broadcast", "hash"):
+        df = (
+            hash_join(
+                rd.from_pandas(left).repartition(4),
+                rd.from_pandas(right).repartition(2),
+                "k",
+                "rk",
+                plan=plan,
+                num_buckets=4,
+                how="left",
+            )
+            .to_pandas()
+        )
+        df["b"] = df["b"].fillna(-1).astype("int64")
+        outs[plan] = df.sort_values(["k", "a"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        outs["broadcast"][["k", "a", "b"]], outs["hash"][["k", "a", "b"]]
+    )
+    # every left row survives exactly once (right side is unique-keyed)
+    assert len(outs["broadcast"]) == len(left)
+    unmatched = outs["broadcast"]["k"] >= 20
+    assert unmatched.any()
+    assert (outs["broadcast"].loc[unmatched, "b"] == -1).all()
+    assert (outs["broadcast"].loc[~unmatched, "b"] >= 500).all()
