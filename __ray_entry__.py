@@ -186,6 +186,13 @@ def _q_dedup_exact_hashed(sf_dir: str):
     return dedup.exact_dedup_hashed(_corpus(sf_dir), _NB)
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """C4/Dolma-style paragraph-level exact dedup: fixed 8-token chunks,
+    keep the global first occurrence, reassemble surviving docs."""
+    quiet_ray_data()
+    return dedup.paragraph_dedup(_corpus(sf_dir), para_tokens=8, num_buckets=_NB)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     quiet_ray_data()
     return dedup.ngram_jaccard_pairs(_corpus(sf_dir), k=3, threshold_bp=5000, num_buckets=_NB)
@@ -1139,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_regex": _q_token_counts_regex,
         "bm25_topk": _q_bm25_topk,
         "curate_percentile": _q_curate_percentile,
+        "paragraph_dedup": _q_paragraph_dedup,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -1262,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_regex": oracles.TOKEN_COUNTS_REGEX,
         "bm25_topk": oracles.BM25_TOPK,
         "curate_percentile": oracles.CURATE_PERCENTILE,
+        "paragraph_dedup": oracles.PARAGRAPH_DEDUP,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,

@@ -1353,3 +1353,41 @@ REL_LEFT_JOIN = """SELECT c.c_custkey, c.c_name,
        COALESCE(o.o_orderkey, -1) AS o_orderkey,
        COALESCE(CAST(round(o.o_totalprice * 100) AS BIGINT), -1) AS price_cents
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey"""
+
+# paragraph-level exact dedup (stages/dedup.paragraph_dedup): fixed
+# 8-token chunks of the doubled corpus; a chunk survives only at its
+# lexicographically-smallest (doc_id, pidx). The arithmetic winner rank
+# (doc_id * 2^20 + pidx) equals the engine's lexicographic min while
+# pidx < 2^20 (docs here are tens of tokens). Docs losing every chunk
+# stay with n_kept = 0 / ''; text = '' has no chunks (string_split('',
+# ' ') = [] matches the engine's empty-text guard).
+PARAGRAPH_DEDUP = f"""WITH {_CORPUS},
+__pd_cp AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM __corpus WHERE text <> ''
+),
+__pd_tok AS (
+  SELECT doc_id, unnest(parts) AS tok, generate_subscripts(parts, 1) AS ord
+  FROM __pd_cp
+),
+__pd_para AS (
+  SELECT doc_id, (ord - 1) // 8 AS pidx,
+         string_agg(tok, ' ' ORDER BY ord) AS para
+  FROM __pd_tok GROUP BY doc_id, pidx
+),
+__pd_win AS (
+  SELECT para, min(doc_id * 1048576 + pidx) AS w FROM __pd_para GROUP BY para
+),
+__pd_kept AS (
+  SELECT p.doc_id, p.pidx, p.para
+  FROM __pd_para p JOIN __pd_win w ON p.para = w.para
+  WHERE p.doc_id * 1048576 + p.pidx = w.w
+),
+__pd_n AS (SELECT doc_id, count(*) AS n_paras FROM __pd_para GROUP BY doc_id),
+__pd_k AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, ' ' ORDER BY pidx) AS text_dedup
+  FROM __pd_kept GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_paras, COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.text_dedup, '') AS text_dedup
+FROM __pd_n n LEFT JOIN __pd_k k ON n.doc_id = k.doc_id"""

@@ -27,13 +27,16 @@ from bio_re_with_entity_embeddings_ray.stages.common import (
 SET_SEP = ";;;"  # reference's set serialization separator
 
 
-def group_join(frame: pd.DataFrame, keys: list[str], col: str, out_col: str) -> pd.DataFrame:
-    """';;;'-join of string ``col`` per ``keys`` in the frame's CURRENT row
-    order — Arrow hash ``group_by('list')`` + ``binary_join``: one C call
-    per batch instead of one Python ``join`` per group (with millions of
-    small groups the interpreter overhead dominated the combiner).
-    Callers establish order / distinctness first; single-threaded group_by
-    keeps first-appearance key order and in-order list values."""
+def group_join(
+    frame: pd.DataFrame, keys: list[str], col: str, out_col: str, sep: str = SET_SEP
+) -> pd.DataFrame:
+    """``sep``-join (default ';;;') of string ``col`` per ``keys`` in the
+    frame's CURRENT row order — Arrow hash ``group_by('list')`` +
+    ``binary_join``: one C call per batch instead of one Python ``join``
+    per group (with millions of small groups the interpreter overhead
+    dominated the combiner). Callers establish order / distinctness first;
+    single-threaded group_by keeps first-appearance key order and in-order
+    list values."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -43,7 +46,7 @@ def group_join(frame: pd.DataFrame, keys: list[str], col: str, out_col: str) -> 
         return out
     t = pa.Table.from_pandas(frame[[*keys, col]], preserve_index=False)
     g = t.group_by(keys, use_threads=False).aggregate([(col, "list")])
-    packed = pc.binary_join(g[f"{col}_list"].combine_chunks(), SET_SEP)
+    packed = pc.binary_join(g[f"{col}_list"].combine_chunks(), sep)
     return g.remove_column(len(keys)).append_column(out_col, packed).to_pandas()
 
 

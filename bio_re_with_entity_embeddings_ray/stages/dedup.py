@@ -855,3 +855,143 @@ def duplicate_spans(docs, k: int = 3, num_buckets: int = 64):
         )
 
     return bucketed_group_apply(dups.union(tot), "doc_id", finish, num_buckets)
+
+
+def paragraph_dedup(
+    docs, para_tokens: int = 8, num_buckets: int = 64, plan: str = "auto"
+):
+    """Paragraph-level exact dedup, keep global first occurrence — the
+    C4 / Dolma line-level dedup (Raffel et al. 2020 drop repeated
+    three-sentence spans; Dolma dedupes at paragraph granularity). The
+    corpus here is single-line word streams, so a "paragraph" is a fixed
+    ``para_tokens``-token chunk of the whitespace token stream — the
+    boundary rule is deterministic and mirrored exactly by the SQL
+    oracle. A paragraph survives only in the lexicographically-smallest
+    (doc_id, pidx) that contains its text; every other occurrence is
+    dropped and the doc is reassembled from its surviving chunks.
+
+    Returns (doc_id, n_paras, n_kept, text_dedup) for every doc with a
+    non-empty token stream (text == '' has zero paragraphs, matching
+    DuckDB's string_split('', ' ') = []). Docs that lose every paragraph
+    stay in the output with n_kept = 0 and text_dedup = '' (exercised on
+    the standard doubled corpus: the shifted copy loses everything).
+
+    Scale shape: the paragraph table ships (doc_id, pidx, pkey) — 24
+    B/paragraph, never text — through ONE pkey-hash exchange
+    (first-occurrence winners) and one doc_id-keyed exchange packing each
+    doc's surviving chunk indices (~4 B/paragraph strings). Reassembly
+    joins that per-doc keep-list back to the corpus through the measured
+    broadcast/hash plan (:func:`relational.hash_join`, how='left'): small
+    surviving sets broadcast; past ``broadcast_max_rows`` the corpus makes
+    one co-partitioned exchange — the only point text ever crosses the
+    wire, inherent to reassembly. Paragraph identity is the repo-standard
+    ``md5int8`` of the chunk text (collision odds ~n²/2³², shared
+    bit-for-bit with the oracle's grouping).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bio_re_with_entity_embeddings_ray.stages.aggregate import group_join
+    from bio_re_with_entity_embeddings_ray.stages.relational import hash_join
+
+    def _chunks(batch: pd.DataFrame):
+        """(row local idx, pidx, para text) per non-empty doc — Arrow
+        split + one C-level group_join, no per-row Python."""
+        texts = pa.array(batch["text"], type=pa.string())
+        nonempty = pc.not_equal(texts, "").to_numpy(zero_copy_only=False)
+        rows = np.flatnonzero(nonempty)
+        if len(rows) == 0:
+            return pd.DataFrame(
+                {
+                    "r": pd.Series([], dtype="int64"),
+                    "pidx": pd.Series([], dtype="int64"),
+                    "para": pd.Series([], dtype="object"),
+                }
+            )
+        lists = pc.split_pattern(pc.take(texts, pa.array(rows)), " ")
+        par = pc.list_parent_indices(lists).to_numpy()
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        ords = np.arange(len(par), dtype=np.int64) - starts[par]
+        f = pd.DataFrame(
+            {
+                "r": rows[par],
+                "pidx": ords // para_tokens,
+                "tok": pc.list_flatten(lists).to_pandas(),
+            }
+        )
+        out = group_join(f, ["r", "pidx"], "tok", "para", sep=" ")
+        return out.astype({"r": "int64", "pidx": "int64"})
+
+    def para_table(batch: pd.DataFrame) -> pd.DataFrame:
+        c = _chunks(batch)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[c["r"].to_numpy()],
+                "pidx": c["pidx"].to_numpy(),
+                "pkey": md5int8_array(list(c["para"])) if len(c) else
+                    np.array([], dtype=np.int64),
+            }
+        )
+
+    paras = docs.map_batches(para_table, batch_format="pandas", batch_size=None)
+
+    def first_wins(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["pkey", "doc_id", "pidx"], kind="mergesort")
+        k = b["pkey"].to_numpy()
+        first = np.concatenate(([True], k[1:] != k[:-1])) if len(b) else \
+            np.array([], dtype=bool)
+        return b.loc[first, ["doc_id", "pidx"]]
+
+    kept = bucketed_group_apply(paras, "pkey", first_wins, num_buckets)
+
+    def pack(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["doc_id", "pidx"], kind="mergesort").copy(deep=False)
+        b["pidx_s"] = b["pidx"].astype(str)
+        return group_join(b, ["doc_id"], "pidx_s", "keep_pidx", sep=",")
+
+    # map_groups emits ZERO-COLUMN blocks for empty sort partitions, which
+    # the Arrow join rejects (and map_batches skips empty blocks, so they
+    # can't be re-typed in a map). A split/merge repartition coalesces
+    # them into typed blocks — cheap at this table's ~4 B/paragraph size.
+    keep_lists = bucketed_group_apply(kept, "doc_id", pack, num_buckets).repartition(
+        num_buckets
+    )
+    joined = hash_join(
+        docs, keep_lists, "doc_id", plan=plan, num_buckets=num_buckets, how="left"
+    )
+
+    def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
+        c = _chunks(batch)
+        r = c["r"].to_numpy()
+        n_paras = np.bincount(r, minlength=len(batch)).astype(np.int64)
+        # explode each row's keep-list into (r, pidx) pairs; inner merge
+        # marks surviving chunks (all C-level, no per-row parsing)
+        kl = pa.array(batch["keep_pidx"].fillna("").astype(str))
+        klists = pc.split_pattern(kl, ",")
+        kpar = pc.list_parent_indices(klists).to_numpy()
+        kflat = pc.list_flatten(klists).to_pandas()
+        ok = kflat != ""
+        keep_pairs = pd.DataFrame(
+            {"r": kpar[ok.to_numpy()], "pidx": kflat[ok].astype(np.int64).to_numpy()}
+        )
+        surv = c.merge(keep_pairs, on=["r", "pidx"], how="inner").sort_values(
+            ["r", "pidx"], kind="mergesort"
+        )
+        n_kept = np.bincount(surv["r"].to_numpy(), minlength=len(batch)).astype(
+            np.int64
+        )
+        texts = group_join(surv, ["r"], "para", "text_dedup", sep=" ")
+        text_out = np.full(len(batch), "", dtype=object)
+        text_out[texts["r"].to_numpy()] = texts["text_dedup"].to_numpy()
+        has_paras = n_paras > 0
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[has_paras],
+                "n_paras": n_paras[has_paras],
+                "n_kept": n_kept[has_paras],
+                "text_dedup": text_out[has_paras],
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pandas", batch_size=None)

@@ -713,12 +713,15 @@ def hash_join(
         return left.map_batches(join_batch, batch_format="pandas")
     if plan != "hash":
         raise ValueError(f"unknown plan {plan!r}")
+    # same-name keys: passing right_on triggers an ambiguous FieldRef in
+    # the Arrow join — omit it and let the shared name align both sides
+    kw = {"right_on": (rk,)} if rk != key_col else {}
     joined = left.join(
         right,
         join_type={"inner": "inner", "left": "left_outer"}[how],
         num_partitions=num_buckets,
         on=(key_col,),
-        right_on=(rk,),
+        **kw,
     )
     if rk != key_col:
         cols = [c for c in joined.columns() if c != rk]
