@@ -1037,6 +1037,32 @@ def _q_window_tumbling(sf_dir: str):
     return relational.tumbling_window(ev)
 
 
+def _q_rolling_window(sf_dir: str):
+    """Per-user rolling sum/count over the last 5 events (ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW), integer milli-units."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return relational.rolling_per_key(ev, k=4, num_buckets=_NB)
+
+
+def _q_global_rank(sf_dir: str):
+    """Distributed ROW_NUMBER + equi-depth decile over documents ordered
+    by (n_chars, doc_id) — the prefix-scan rank path."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import ordered
+
+    quiet_ray_data()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return ordered.global_rank(docs, ["n_chars", "doc_id"], num_ranges=16, tiles=10)
+
+
 def _q_window_hopping(sf_dir: str):
     import ray.data as rd
 
@@ -1147,6 +1173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "curate_percentile": _q_curate_percentile,
         "paragraph_dedup": _q_paragraph_dedup,
+        "rolling_window": _q_rolling_window,
+        "global_rank": _q_global_rank,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -1271,6 +1299,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": oracles.BM25_TOPK,
         "curate_percentile": oracles.CURATE_PERCENTILE,
         "paragraph_dedup": oracles.PARAGRAPH_DEDUP,
+        "rolling_window": oracles.ROLLING_WINDOW,
+        "global_rank": oracles.GLOBAL_RANK,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,

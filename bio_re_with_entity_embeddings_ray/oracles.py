@@ -1391,3 +1391,30 @@ __pd_k AS (
 SELECT n.doc_id, n.n_paras, COALESCE(k.n_kept, 0) AS n_kept,
        COALESCE(k.text_dedup, '') AS text_dedup
 FROM __pd_n n LEFT JOIN __pd_k k ON n.doc_id = k.doc_id"""
+
+# per-user rolling window (stages/relational.rolling_per_key): values
+# floored to integer milli-units BEFORE the windowed SUM so accumulation
+# order cannot matter; (ts, event_id) is the shared unique tiebreak
+ROLLING_WINDOW = """WITH __rv AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+       CAST(sum(v_milli) OVER w AS BIGINT) AS roll_sum_milli
+FROM __rv
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
+
+# distributed ROW_NUMBER + equi-depth decile (stages/ordered.global_rank):
+# tile = (rank-1) * 10 // total — exact equi-depth, NOT SQL NTILE (whose
+# remainder-balancing differs)
+GLOBAL_RANK = """WITH __gr AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+       CAST((rank - 1) * 10 // (SELECT count(*) FROM documents) AS BIGINT) AS tile
+FROM __gr"""

@@ -228,3 +228,43 @@ def deterministic_shuffle(ds, key: str = "doc_id", salt: str = "shuffle", num_ra
         )
 
     return scanned.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def global_rank(ds, order_cols: list[str], num_ranges: int = 16, tiles: int = 0):
+    """Distributed ROW_NUMBER: ``rank`` = 1-based position of each row in
+    the global ``order_cols`` lexicographic order (the leading order
+    column must be numeric; the full key must be unique per row —
+    SQL ``ROW_NUMBER() OVER (ORDER BY ...)``). With ``tiles`` > 0 also
+    assigns ``tile`` = (rank-1) * tiles // total — an equi-depth bucket
+    id (the deterministic cousin of NTILE, exact rather than
+    remainder-balanced).
+
+    Built on :func:`ranged_prefix_scan` over a constant 1 — O(num_ranges)
+    driver state, one ranged exchange; the only extra cost over the scan
+    is a count() pass for the tile denominator (skipped when tiles=0)."""
+    import pandas as pd
+
+    total = ds.count() if tiles else 0
+
+    def one(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["one"] = np.int64(1)
+        return batch
+
+    scanned = ranged_prefix_scan(
+        ds.map_batches(one, batch_format="pandas", batch_size=None),
+        order_cols,
+        "one",
+        num_ranges,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.drop(columns=["one"]).copy(deep=False)
+        rank = batch["prefix_excl"].to_numpy() + 1
+        out = out.drop(columns=["prefix_excl"])
+        out["rank"] = rank.astype(np.int64)
+        if tiles:
+            out["tile"] = ((rank - 1) * tiles // total).astype(np.int64)
+        return out
+
+    return scanned.map_batches(finish, batch_format="pandas", batch_size=None)

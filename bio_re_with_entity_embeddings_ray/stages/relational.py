@@ -727,3 +727,61 @@ def hash_join(
         cols = [c for c in joined.columns() if c != rk]
         joined = joined.select_columns(cols)
     return joined
+
+
+def rolling_per_key(
+    events, k: int = 4, num_buckets: int = 32
+):
+    """Per-user rolling aggregate over the last ``k`` preceding events
+    plus the current one (SQL ``ROWS BETWEEN k PRECEDING AND CURRENT
+    ROW``): (event_id, user_id, roll_n, roll_sum_milli). Values are
+    floored to integer milli-units BEFORE summation so the unordered SQL
+    SUM agrees exactly with the engine's accumulation (same discipline
+    as bm25/bigram_nll). Ordering inside a user is (ts, event_id) — the
+    unique tiebreak both sides share.
+
+    Scale shape: one narrow projection (4 int64 columns, never props),
+    one user-keyed hash exchange; the per-bucket kernel is a single
+    cumsum with per-user segment rebasing — no per-row Python, no global
+    sort. Partitioning assumption: a user's events fit one bucket's
+    worker, the same per-key envelope as sessionize/asof."""
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "ts": batch["ts"],
+                "event_id": batch["event_id"].astype("int64"),
+                "v_milli": np.round(batch["value"].to_numpy() * 1000).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v = b["v_milli"].to_numpy()
+        u = b["user_id"].to_numpy()
+        n = len(b)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.concatenate(([True], u[1:] != u[:-1])) if n else np.array([], bool)
+        starts = idx[new]
+        gstart = np.repeat(starts, np.diff(np.append(starts, n)))
+        lo = np.maximum(idx - (k + 1), gstart - 1)
+        cum = np.cumsum(v)
+        prev = np.where(lo >= 0, cum[np.clip(lo, 0, None)], 0)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": u.astype(np.int64),
+                "roll_n": (idx - lo).astype(np.int64),
+                "roll_sum_milli": (cum - prev).astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(ev, "user_id", per_user, num_buckets)

@@ -1,0 +1,111 @@
+"""rolling_per_key (ROWS BETWEEN k PRECEDING AND CURRENT ROW) and
+global_rank (distributed ROW_NUMBER / equi-depth tiles): brute-force
+property checks + parallelism invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events(n=300, users=15, seed=11):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, users, n).astype(np.int64),
+            "ts": pd.to_datetime("2025-01-01")
+            + pd.to_timedelta(rng.randint(0, 50_000, n), unit="s"),
+            "value": rng.randn(n) * 7,
+        }
+    )
+
+
+def _brute_rolling(ev: pd.DataFrame, k: int) -> pd.DataFrame:
+    b = ev.copy()
+    b["v_milli"] = np.round(b["value"].to_numpy() * 1000).astype(np.int64)
+    b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    g = b.groupby("user_id", sort=False)["v_milli"]
+    b["roll_sum_milli"] = g.rolling(k + 1, min_periods=1).sum().to_numpy().astype(
+        np.int64
+    )
+    b["roll_n"] = g.rolling(k + 1, min_periods=1).count().to_numpy().astype(np.int64)
+    return (
+        b[["event_id", "user_id", "roll_n", "roll_sum_milli"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("num_buckets", [4, 16])
+def test_rolling_matches_pandas_rolling(ray_session, num_buckets):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import rolling_per_key
+
+    ev = _events()
+    out = (
+        rolling_per_key(rd.from_pandas(ev).repartition(5), k=4, num_buckets=num_buckets)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, _brute_rolling(ev, 4))
+
+
+def test_rolling_duplicate_timestamps_tiebreak(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import rolling_per_key
+
+    # every event same user, same ts: order falls back to event_id
+    ev = pd.DataFrame(
+        {
+            "event_id": np.array([3, 1, 2, 0], dtype=np.int64),
+            "user_id": np.zeros(4, dtype=np.int64),
+            "ts": pd.to_datetime(["2025-01-01"] * 4),
+            "value": np.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    out = (
+        rolling_per_key(rd.from_pandas(ev), k=1, num_buckets=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event_id order: 0(v=4000), 1(v=2000), 2(v=3000), 3(v=1000); window=2
+    assert out["roll_sum_milli"].tolist() == [4000, 6000, 5000, 4000]
+    assert out["roll_n"].tolist() == [1, 2, 2, 2]
+
+
+@pytest.mark.parametrize("num_ranges", [3, 16])
+def test_global_rank_matches_argsort(ray_session, num_ranges):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.ordered import global_rank
+
+    rng = np.random.RandomState(5)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(120, dtype=np.int64),
+            "n_chars": rng.randint(0, 25, 120).astype(np.int64),
+        }
+    )
+    out = (
+        global_rank(
+            rd.from_pandas(docs).repartition(6),
+            ["n_chars", "doc_id"],
+            num_ranges=num_ranges,
+            tiles=10,
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    exp = docs.sort_values(["n_chars", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    assert out["rank"].tolist() == list(range(1, 121))
+    assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert out["tile"].tolist() == [(r - 1) * 10 // 120 for r in out["rank"]]
+    # equi-depth: every tile has exactly 12 rows
+    assert out["tile"].value_counts().tolist() == [12] * 10
