@@ -499,6 +499,53 @@ def _q_rel_left_join(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def _q_rel_full_join(sf_dir: str):
+    """Full outer join with planted unmatched keys on BOTH sides
+    (customers ≡ 2 mod 3 keep no orders; orders of customers ≡ 0 mod 3
+    keep no customer row) — hash plan only, differently-named keys
+    exercising the key-coalesce path."""
+    import pandas as pd
+    import ray.data as rd
+
+    quiet_ray_data()
+    import pyarrow.compute as pc
+
+    def _mod3_ne(col, r):
+        # x % 3 via x - (x // 3) * 3 (Arrow integer divide truncates;
+        # keys are positive) — pyarrow.compute has no modulo kernel
+        def f(t):
+            m = pc.subtract(t[col], pc.multiply(pc.divide(t[col], 3), 3))
+            return t.filter(pc.not_equal(m, r))
+
+        return f
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_mod3_ne("c_custkey", 0), batch_format="pyarrow", batch_size=None)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(_mod3_ne("o_custkey", 2), batch_format="pyarrow", batch_size=None)
+    joined = relational.hash_join(
+        cust, orders, "c_custkey", "o_custkey", plan="hash", how="outer"
+    )
+
+    def finish(b):
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "c_name": b["c_name"].fillna(""),
+                "o_orderkey": b["o_orderkey"].fillna(-1).astype("int64"),
+                "price_cents": (b["o_totalprice"] * 100)
+                .round()
+                .fillna(-1)
+                .astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def _q_rel_hash_join_shuffle(sf_dir: str):
     """Same join forced through Ray Data's native co-partitioned shuffle
     join — the both-sides-fact-scale plan."""
@@ -1135,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hash_join": _q_rel_hash_join,
         "rel_hash_join_shuffle": _q_rel_hash_join_shuffle,
         "rel_left_join": _q_rel_left_join,
+        "rel_full_join": _q_rel_full_join,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "orders_describe": _q_orders_describe,
@@ -1328,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_hash_join": oracles.REL_HASH_JOIN,
         "rel_hash_join_shuffle": oracles.REL_HASH_JOIN,
         "rel_left_join": oracles.REL_LEFT_JOIN,
+        "rel_full_join": oracles.REL_FULL_JOIN,
         "asof_join": oracles.ASOF_JOIN,
         "range_join": oracles.RANGE_JOIN,
         "orders_describe": oracles.ORDERS_DESCRIBE,

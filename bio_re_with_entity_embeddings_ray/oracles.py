@@ -1418,3 +1418,17 @@ GLOBAL_RANK = """WITH __gr AS (
 SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
        CAST((rank - 1) * 10 // (SELECT count(*) FROM documents) AS BIGINT) AS tile
 FROM __gr"""
+
+# full outer join (stages/relational.hash_join, how="outer"): planted
+# unmatched keys on both sides; key coalesced across sides
+REL_FULL_JOIN = """WITH __fl AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 != 0
+),
+__fr AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_custkey % 3 != 2
+)
+SELECT COALESCE(l.c_custkey, r.o_custkey) AS c_custkey,
+       COALESCE(l.c_name, '') AS c_name,
+       COALESCE(r.o_orderkey, -1) AS o_orderkey,
+       COALESCE(CAST(round(r.o_totalprice * 100) AS BIGINT), -1) AS price_cents
+FROM __fl l FULL OUTER JOIN __fr r ON l.c_custkey = r.o_custkey"""

@@ -673,9 +673,9 @@ def hash_join(
     broadcast_max_rows: int = 5_000_000,
     how: str = "inner",
 ):
-    """Generic row-level equi-join (``how`` in {"inner", "left"}),
-    through the same measured plan choice as :func:`key_semi_anti_join`
-    (J3 discipline):
+    """Generic row-level equi-join (``how`` in {"inner", "left",
+    "outer"}), through the same measured plan choice as
+    :func:`key_semi_anti_join` (J3 discipline):
 
     - ``broadcast``: collect the RIGHT side once (it is the dimension
       side by contract), ``ray.put`` the frame, per-batch C-level
@@ -686,17 +686,34 @@ def hash_join(
       are fact-scale. Costs one exchange of each side.
     - ``auto``: measured right-side count picks the plan.
 
+    ``how="outer"`` (full outer) runs ONLY on the hash plan: a
+    per-batch broadcast merge sees one left block at a time, so it
+    cannot know which right rows matched nowhere — emitting them per
+    batch would duplicate the unmatched right side. ``auto`` therefore
+    forces the hash plan for outer joins; ``plan="broadcast"`` raises.
+
     Output: left columns + right columns (the join key once, under the
-    left name); under ``how="left"`` unmatched rows carry nulls in the
-    right columns (integer right columns therefore arrive as nullable —
-    coalesce downstream). Skewed keys: a hot key's rows land in one
-    partition — pre-aggregate or salt before joining two fact tables on
-    a power-law key (same blast-radius note as bucketed_group_apply)."""
+    left name — for outer joins with differently-named keys the left
+    key column is null-coalesced with the right's so unmatched right
+    rows keep their key); under ``how="left"``/``"outer"`` unmatched
+    rows carry nulls in the other side's columns (integer columns
+    therefore arrive as nullable — coalesce downstream). Skewed keys: a
+    hot key's rows land in one partition — pre-aggregate or salt before
+    joining two fact tables on a power-law key (same blast-radius note
+    as bucketed_group_apply)."""
     import ray
 
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "outer"):
         raise ValueError(f"unsupported how {how!r}")
     rk = right_key_col or key_col
+    if how == "outer":
+        if plan == "broadcast":
+            raise ValueError(
+                "full outer join cannot run on the broadcast plan (per-batch "
+                "merge would duplicate unmatched right rows) — use plan="
+                "'hash' or 'auto'"
+            )
+        plan = "hash"
     if plan == "auto":
         right = right.materialize()
         plan = "broadcast" if right.count() <= broadcast_max_rows else "hash"
@@ -718,12 +735,26 @@ def hash_join(
     kw = {"right_on": (rk,)} if rk != key_col else {}
     joined = left.join(
         right,
-        join_type={"inner": "inner", "left": "left_outer"}[how],
+        join_type={"inner": "inner", "left": "left_outer", "outer": "full_outer"}[
+            how
+        ],
         num_partitions=num_buckets,
         on=(key_col,),
         **kw,
     )
     if rk != key_col:
+        if how == "outer":
+            # Ray's full_outer coalesces differently-named keys into the
+            # left name and drops the right key itself (observed on 2.49);
+            # guard for versions that keep the right column instead
+            def coalesce(batch: pd.DataFrame) -> pd.DataFrame:
+                if rk not in batch.columns:
+                    return batch
+                batch = batch.copy(deep=False)
+                batch[key_col] = batch[key_col].fillna(batch[rk])
+                return batch.drop(columns=[rk])
+
+            return joined.map_batches(coalesce, batch_format="pandas")
         cols = [c for c in joined.columns() if c != rk]
         joined = joined.select_columns(cols)
     return joined

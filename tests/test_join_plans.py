@@ -210,3 +210,63 @@ def test_left_join_plans_agree_with_unmatched_rows(ray_session):
     assert unmatched.any()
     assert (outs["broadcast"].loc[unmatched, "b"] == -1).all()
     assert (outs["broadcast"].loc[~unmatched, "b"] >= 500).all()
+
+
+def test_full_outer_join_unmatched_both_sides(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import hash_join
+
+    left = pd.DataFrame(
+        {
+            "k": np.array([0, 1, 2, 2, 5], dtype=np.int64),  # 5 unmatched
+            "a": np.arange(5, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.array([1, 2, 9], dtype=np.int64),  # 9 unmatched
+            "b": np.array([100, 200, 900], dtype=np.int64),
+        }
+    )
+    out = (
+        hash_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            "k",
+            "rk",
+            plan="auto",  # auto must force the hash plan for outer
+            num_buckets=4,
+            how="outer",
+        )
+        .to_pandas()
+    )
+    out["a"] = out["a"].fillna(-1).astype("int64")
+    out["b"] = out["b"].fillna(-1).astype("int64")
+    out = out.sort_values(["k", "a", "b"]).reset_index(drop=True)
+    exp = (
+        left.merge(right, left_on="k", right_on="rk", how="outer")
+        .assign(k=lambda d: d["k"].fillna(d["rk"]).astype("int64"))
+        .drop(columns=["rk"])
+        .fillna(-1)
+        .astype({"a": "int64", "b": "int64"})
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "a", "b"]], exp[["k", "a", "b"]])
+    # the unmatched-right row survived with its key coalesced
+    assert (out["k"] == 9).sum() == 1
+    assert out.loc[out["k"] == 9, "a"].item() == -1
+    # broadcast plan must refuse outer joins
+    with pytest.raises(ValueError, match="broadcast"):
+        hash_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            "k",
+            "rk",
+            plan="broadcast",
+            how="outer",
+        )
