@@ -207,6 +207,20 @@ def bench_neardup(sf_dir: str, replicas: int, num_buckets: int) -> float:
     return time.perf_counter() - t0
 
 
+def bench_paradedup(sf_dir: str, replicas: int, num_buckets: int) -> float:
+    """Paragraph-level exact dedup + doc reassembly over the replicated
+    corpus (every replica loses all its paragraphs to the first copy) —
+    exercises the pkey winner exchange, keep-list pack and the measured
+    rejoin plan at bench scale."""
+    from bio_re_with_entity_embeddings_ray.stages.dedup import paragraph_dedup
+
+    t0 = time.perf_counter()
+    paragraph_dedup(
+        _corpus(sf_dir, replicas), para_tokens=8, num_buckets=num_buckets
+    ).count()
+    return time.perf_counter() - t0
+
+
 def bench_pack(sf_dir: str, replicas: int) -> float:
     """Shuffled-then-packed layout manifest over the replicated corpus —
     exercises the distributed prefix scan (range exchange + O(ranges)
@@ -294,6 +308,9 @@ def run_once() -> dict:
                 "knn_topk": round(bench_knn(sf_dir), 3),
                 "tumbling_window": round(bench_window(sf_dir), 3),
                 "pack_shuffled": round(bench_pack(sf_dir, replicas), 3),
+                "paragraph_dedup": round(
+                    bench_paradedup(sf_dir, replicas, num_buckets), 3
+                ),
             }
         )
     result = {
