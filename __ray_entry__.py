@@ -1110,6 +1110,57 @@ def _q_global_rank(sf_dir: str):
     return ordered.global_rank(docs, ["n_chars", "doc_id"], num_ranges=16, tiles=10)
 
 
+# ------------------------------------------------------------ graph family
+
+
+def _cooc_edges(sf_dir: str):
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    return graph.cooccurrence_graph(_all_mentions(sf_dir), _NB)
+
+
+def _q_cooc_edges(sf_dir: str):
+    """Untyped symmetric entity co-occurrence edge list — the shared
+    input of the graph-analytics family (the typed KG edge tables are
+    bipartite, so closed-walk statistics need this projection)."""
+    quiet_ray_data()
+    return _cooc_edges(sf_dir)
+
+
+def _q_pagerank(sf_dir: str):
+    """Integer-exact PageRank (2 iterations, damping 85/100, scale
+    10^12) over the entity co-occurrence graph: every step is pinned
+    int64 floor arithmetic, so the unrolled SQL recurrence matches
+    bit-for-bit regardless of summation order."""
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    quiet_ray_data()
+    return graph.pagerank(_cooc_edges(sf_dir), iters=2, num_buckets=_NB)
+
+
+def _q_neighbor_sample(sf_dir: str):
+    """GraphSAGE-style deterministic per-node neighbor sampling (k=3,
+    salted-hash rank — reproducible and parallelism-invariant)."""
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    quiet_ray_data()
+    return graph.neighbor_sample(
+        _cooc_edges(sf_dir), k=3, src="src", dst="dst", num_buckets=_NB
+    )
+
+
+def _q_triangle_counts(sf_dir: str):
+    """Per-node triangle counts via degree-ordered wedge counting
+    (NodeIterator++): total wedge work O(E^1.5) independent of hot-node
+    degree."""
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    quiet_ray_data()
+    return graph.triangle_counts(
+        _cooc_edges(sf_dir), src="src", dst="dst", num_buckets=_NB
+    )
+
+
 def _q_window_hopping(sf_dir: str):
     import ray.data as rd
 
@@ -1223,6 +1274,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "rolling_window": _q_rolling_window,
         "global_rank": _q_global_rank,
+        "cooc_edges": _q_cooc_edges,
+        "pagerank": _q_pagerank,
+        "neighbor_sample": _q_neighbor_sample,
+        "triangle_counts": _q_triangle_counts,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -1349,6 +1404,10 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": oracles.PARAGRAPH_DEDUP,
         "rolling_window": oracles.ROLLING_WINDOW,
         "global_rank": oracles.GLOBAL_RANK,
+        "cooc_edges": oracles.COOC_EDGES,
+        "pagerank": oracles.PAGERANK,
+        "neighbor_sample": oracles.NEIGHBOR_SAMPLE,
+        "triangle_counts": oracles.TRIANGLE_COUNTS,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,

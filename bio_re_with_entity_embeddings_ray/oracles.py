@@ -1432,3 +1432,97 @@ SELECT COALESCE(l.c_custkey, r.o_custkey) AS c_custkey,
        COALESCE(r.o_orderkey, -1) AS o_orderkey,
        COALESCE(CAST(round(r.o_totalprice * 100) AS BIGINT), -1) AS price_cents
 FROM __fl l FULL OUTER JOIN __fr r ON l.c_custkey = r.o_custkey"""
+
+
+# ------------------------------------------------------------- graph family
+# Untyped entity co-occurrence graph (stages/graph.cooccurrence_graph):
+# symmetric distinct edges over ALL mention types — the shared input of
+# the pagerank / neighbor_sample / triangle_counts oracles. The typed
+# pair tables are bipartite; closed-walk statistics need this projection.
+_COOC_EDGES = f"""{kg_cte()},
+__dm AS (SELECT DISTINCT conv_id, entity_id FROM __mentions),
+__und AS (
+  SELECT DISTINCT a.entity_id AS lo, b.entity_id AS hi
+  FROM __dm a JOIN __dm b
+    ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
+),
+__e AS (
+  SELECT lo AS src, hi AS dst FROM __und
+  UNION ALL
+  SELECT hi AS src, lo AS dst FROM __und
+)"""
+
+COOC_EDGES = f"""WITH {_COOC_EDGES}
+SELECT src, dst FROM __e"""
+
+# Integer-exact PageRank (stages/graph.pagerank, iters=2, damping 85/100,
+# scale 10^12): the fixed-point recurrence is pinned to int64 floor
+# division on BOTH sides, so SUM order never matters.
+def _pagerank_iter_cte(i: int, prev: str) -> str:
+    return f"""r{i} AS (
+  SELECT n.node,
+         (SELECT b FROM __base) + COALESCE(s.c, 0) AS r
+  FROM __nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((85 * (p.r // d.deg)) // 100) AS c
+    FROM __e e
+    JOIN {prev} p ON e.src = p.node
+    JOIN __deg d ON e.src = d.node
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+
+
+PAGERANK = f"""WITH {_COOC_EDGES},
+__nodes AS (SELECT DISTINCT src AS node FROM __e),
+__n AS (SELECT count(*) AS n FROM __nodes),
+__deg AS (SELECT src AS node, count(*) AS deg FROM __e GROUP BY src),
+__base AS (SELECT (15 * (1000000000000 // n)) // 100 AS b FROM __n),
+r0 AS (SELECT node, (SELECT 1000000000000 // n FROM __n) AS r FROM __nodes),
+{_pagerank_iter_cte(1, "r0")},
+{_pagerank_iter_cte(2, "r1")}
+SELECT node, CAST(r AS BIGINT) AS rank_mu FROM r2"""
+
+# Deterministic neighbor sampling (stages/graph.neighbor_sample, k=3,
+# salt='nbr'): keep the k smallest (md5int8('nbr:'||src||'|'||dst), dst)
+NEIGHBOR_SAMPLE = f"""WITH {_COOC_EDGES},
+__h AS (
+  SELECT src, dst,
+         CAST(('0x' || substr(md5('nbr:' || src || '|' || dst), 1, 8))
+              AS BIGINT) AS h
+  FROM __e
+),
+__rn AS (
+  SELECT src, dst, h,
+         row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+  FROM __h
+)
+SELECT src, dst, h FROM __rn WHERE rn <= 3"""
+
+# Per-node triangle counts (stages/graph.triangle_counts): orient each
+# undirected edge from lower (deg, node) rank to higher; a triangle is a
+# closed wedge — counted once in canonical orientation — credited to all
+# three corners.
+TRIANGLE_COUNTS = f"""WITH {_COOC_EDGES},
+__deg AS (SELECT src AS node, count(*) AS deg FROM __e GROUP BY src),
+__rank AS (
+  SELECT node, row_number() OVER (ORDER BY deg, node) AS rk FROM __deg
+),
+__o AS (
+  SELECT e.src AS a, e.dst AS b
+  FROM __e e
+  JOIN __rank ra ON e.src = ra.node
+  JOIN __rank rb ON e.dst = rb.node
+  WHERE ra.rk < rb.rk
+),
+__tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM __o x
+  JOIN __o y ON x.a = y.a AND x.b <> y.b
+  JOIN __o z ON z.a = x.b AND z.b = y.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+  SELECT a AS node FROM __tri
+  UNION ALL SELECT b FROM __tri
+  UNION ALL SELECT c FROM __tri
+) GROUP BY node"""

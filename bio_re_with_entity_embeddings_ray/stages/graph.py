@@ -1,0 +1,423 @@
+"""Graph analytics over the materialized KG entity graph.
+
+The reference stops at emitting the co-occurrence edge table
+(/root/reference/doc2vec_entity_pairs.py pair aggregation); a KG engine
+at 100 TB also needs the downstream graph passes that consume it:
+node-importance ranking (PageRank), per-node neighborhood sampling for
+GNN-style training data, and triangle/clustering statistics. All three
+are built on the engine's standard primitives — combiner ``map_batches``
+partials + the measured merge-plan chooser — and all use EXACT integer
+arithmetic so the DuckDB oracles match bit-for-bit regardless of
+summation order (the bm25/bigram_nll discipline).
+
+Scale shapes:
+
+- The EDGE LIST is the fact table: every pass over it is a narrow
+  ``map_batches`` with per-batch pre-aggregation; only per-node partial
+  rows (one per (node, block)) cross an exchange.
+- The NODE TABLE (entity vocabulary) is dimension-scale by KG
+  construction (entities come from a gazetteer / ontology), so per-node
+  state (degree vector, rank vector) is broadcast via ``ray.put`` and
+  updated O(nodes) on the driver per iteration — the exact centroid
+  economics of ``stages/clustering.kmeans_fit``. For a graph whose NODE
+  set is itself fact-scale (billions of web pages), swap the broadcast
+  for a per-iteration ``relational.hash_join`` of ranks against edges —
+  the code notes where.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from bio_re_with_entity_embeddings_ray.stages.common import (
+    bucketed_group_apply,
+    merge_partials,
+)
+from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+
+PAGERANK_SCALE = 10**12  # rank unit: 1/SCALE of total probability mass
+
+
+def cooccurrence_graph(mentions, num_buckets: int = 16):
+    """Symmetric DISTINCT entity co-occurrence edge list (src, dst) over
+    ALL entity types: an undirected edge per entity pair that shares at
+    least one conversation (each edge present in both directions).
+
+    The type-pair KG edge tables (``pairs.triples``) are bipartite by
+    construction; graph passes that need closed walks (triangles,
+    clustering) consume this untyped projection instead. Shape: per-conv
+    pair expansion is the same vectorized segment kernel as
+    ``pairs._cross_and_pack`` bounded by conversation size; cross-conv
+    dedup is a combiner (local ``drop_duplicates``) + the measured merge
+    plan — a hot pair ships one row per block, never one per conv.
+    """
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        dm = bucket[["conv_id", "entity_id"]].drop_duplicates()
+        b = dm.sort_values(["conv_id", "entity_id"], kind="mergesort")
+        ent = b["entity_id"].to_numpy()
+        conv = b["conv_id"].to_numpy()
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series([], dtype="object"),
+                    "hi": pd.Series([], dtype="object"),
+                }
+            )
+        idx = np.arange(n, dtype=np.int64)
+        change = np.concatenate(([True], conv[1:] != conv[:-1]))
+        seg_start = np.repeat(idx[change], np.diff(np.append(idx[change], n)))
+        cnt = idx - seg_start
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series([], dtype="object"),
+                    "hi": pd.Series([], dtype="object"),
+                }
+            )
+        hi_idx = np.repeat(idx, cnt)
+        block0 = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        off = np.arange(tot, dtype=np.int64) - np.repeat(block0, cnt)
+        lo_idx = np.repeat(seg_start, cnt) + off
+        return pd.DataFrame(
+            {"lo": ent[lo_idx], "hi": ent[hi_idx]}
+        ).drop_duplicates()
+
+    pairs = bucketed_group_apply(mentions, "conv_id", per_conv, num_buckets)
+
+    und = merge_partials(
+        pairs,
+        ["lo", "hi"],
+        lambda b: b.drop_duplicates(["lo", "hi"]),
+        lambda b: b,
+        num_buckets,
+    )
+
+    def flip(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(
+                    [batch["lo"].to_numpy(), batch["hi"].to_numpy()]
+                ),
+                "dst": np.concatenate(
+                    [batch["hi"].to_numpy(), batch["lo"].to_numpy()]
+                ),
+            }
+        )
+
+    return und.map_batches(flip, batch_format="pandas")
+
+
+def degree_table(edges, src: str = "src", dst: str = "dst",
+                 num_buckets: int = 16) -> pd.DataFrame:
+    """(node, deg) out-degree over a distinct directed edge list, plus
+    zero-degree rows for nodes appearing only as ``dst``. One combiner
+    pass over the edges; the merged result is node-vocabulary bounded."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out_deg = batch[src].value_counts()
+        dst_only = pd.Index(batch[dst].unique()).difference(out_deg.index)
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [out_deg.index.to_numpy(), dst_only.to_numpy()]
+                ),
+                "deg": np.concatenate(
+                    [
+                        out_deg.to_numpy().astype(np.int64),
+                        np.zeros(len(dst_only), dtype=np.int64),
+                    ]
+                ),
+            }
+        )
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("node", as_index=False, sort=False)["deg"].sum()
+
+    merged = merge_partials(
+        edges.map_batches(partial, batch_format="pandas"),
+        "node",
+        combine,
+        lambda b: b,
+        num_buckets,
+    )
+    return merged.to_pandas()
+
+
+def pagerank(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Integer-exact PageRank over a DISTINCT directed edge list.
+
+    Fixed-point variant with every operation pinned to int64 floor
+    arithmetic so the unrolled SQL oracle reproduces it exactly:
+
+    - ``r0[v]   = scale // N`` for all N nodes
+    - ``share[u] = r[u] // deg[u]`` (deg 0 ⇒ contributes nothing — the
+      dangling mass is dropped, the standard simplification; the KG
+      entity graph is symmetric so it has no dangling nodes)
+    - per-edge contribution ``(damping_pct * share[u]) // 100``
+    - ``r'[v] = base + Σ contribs``,
+      ``base = ((100 - damping_pct) * (scale // N)) // 100``
+
+    Per iteration: the per-node contribution vector (node-bounded) is
+    broadcast once via ``ray.put``; ONE narrow pass over the edges maps
+    ``src → contrib`` at C level and pre-sums per ``dst`` per batch, so
+    only (node, partial-sum) rows — one per node per block — reach the
+    measured merge. Hot (high in-degree) nodes cost one int64 add per
+    block, never a row per in-edge, so skew is absorbed by the combiner
+    exactly as in ``pairs.merge_pair_counts``. Driver state is O(nodes)
+    (see module docstring for the fact-scale-nodes alternative).
+
+    Returns (node, rank_mu) with rank in 1/scale units, driver-side
+    (node-vocabulary bounded, like kmeans centroids).
+    """
+    import ray
+
+    deg_df = degree_table(edges, src, dst, num_buckets)
+    nodes = np.sort(deg_df["node"].to_numpy())
+    deg = (
+        deg_df.set_index("node")["deg"].reindex(nodes).to_numpy().astype(np.int64)
+    )
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": nodes, "rank_mu": np.array([], dtype=np.int64)})
+    pos = pd.Series(np.arange(n), index=nodes)
+    r = np.full(n, scale // n, dtype=np.int64)
+    base = ((100 - damping_pct) * (scale // n)) // 100
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("node", as_index=False, sort=False)["c"].sum()
+
+    for _ in range(iters):
+        share = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+        contrib = pd.Series((damping_pct * share) // 100, index=nodes)
+        ref = ray.put(contrib)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            cvec = ray.get(ref)  # per-worker cached deserialization
+            c = batch[src].map(cvec).to_numpy()
+            g = (
+                pd.DataFrame({"node": batch[dst], "c": c})
+                .groupby("node", as_index=False, sort=False)["c"]
+                .sum()
+            )
+            return g
+
+        summed = merge_partials(
+            edges.map_batches(partial, batch_format="pandas"),
+            "node",
+            combine,
+            lambda b: b,
+            num_buckets,
+        ).to_pandas()
+        r = np.full(n, base, dtype=np.int64)
+        if len(summed):
+            r[pos[summed["node"]].to_numpy()] += summed["c"].to_numpy().astype(
+                np.int64
+            )
+    return pd.DataFrame({"node": nodes, "rank_mu": r})
+
+
+def neighbor_sample(
+    edges,
+    k: int = 3,
+    src: str = "entity_id",
+    dst: str = "neighbor_id",
+    salt: str = "nbr",
+    num_buckets: int = 16,
+):
+    """GraphSAGE-style per-node neighbor sampling: keep at most ``k``
+    neighbors per node, chosen DETERMINISTICALLY by salted-hash rank so
+    the sample is reproducible and parallelism-invariant (the
+    ``sampling.py`` / ``deterministic_shuffle`` discipline — no RNG
+    state, any worker computes the same decision).
+
+    rank(u, v) = (md5int8(salt:u|v), v); keep the k smallest per u.
+    SQL: ROW_NUMBER() OVER (PARTITION BY u ORDER BY hash, v) <= k.
+
+    One node-keyed exchange of the (src, dst) pairs; the per-bucket
+    kernel is a single lexsort + segmented cumcount — no per-row Python.
+    A hot node's edges land in one bucket (bounded blast radius, same
+    note as ``bucketed_group_apply``); its output is capped at k rows.
+
+    Returns (src, dst, h) — the hash is kept so downstream epochs can
+    re-rank with a different salt.
+    """
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {
+                    src: pd.Series([], dtype="object"),
+                    dst: pd.Series([], dtype="object"),
+                    "h": pd.Series([], dtype="int64"),
+                }
+            )
+        key = (
+            salt + ":" + bucket[src].astype(str) + "|" + bucket[dst].astype(str)
+        ).to_numpy()
+        h = md5int8_array(key)
+        b = pd.DataFrame(
+            {src: bucket[src].to_numpy(), dst: bucket[dst].to_numpy(), "h": h}
+        ).sort_values([src, "h", dst], kind="mergesort")
+        rank = b.groupby(src, sort=False).cumcount()
+        return b[rank < k].reset_index(drop=True)
+
+    return bucketed_group_apply(edges, src, per_bucket, num_buckets)
+
+
+def triangle_counts(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 16,
+    broadcast_max_rows: int = 5_000_000,
+):
+    """Per-node triangle counts over an UNDIRECTED graph given as a
+    symmetric distinct edge list.
+
+    Degree-ordered wedge counting (the MapReduce-classic NodeIterator++):
+    orient each undirected edge from the lower-ranked endpoint to the
+    higher, rank(v) = (deg(v), v) — so wedge generation at a node
+    enumerates pairs of OUT-neighbors only, bounding total wedges by
+    O(E^1.5) regardless of hot-node degree (a star graph's hub has
+    out-degree 0 or 1 under this orientation, so it emits no wedge
+    explosion — this is the skew handling, not an approximation).
+
+    Pipeline: degree pass (combiner, node-bounded result broadcast) →
+    orient (narrow map) → wedges per src (one node-keyed exchange; the
+    per-bucket kernel is a vectorized repeat/concat pair expansion) →
+    wedge ⋈ oriented-edge semi-join through the measured
+    broadcast/hash plan (``relational.key_semi_anti_join`` on a packed
+    composite key) → each closed wedge is one triangle (a < b < c in
+    rank order, counted exactly once) credited to all three corners →
+    per-node count merge.
+
+    Returns (node, triangles) for nodes in ≥1 triangle.
+    """
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        key_semi_anti_join,
+    )
+
+    deg_df = degree_table(edges, src, dst, num_buckets)
+    # rank by (deg, node): a C-level lexsort position per node
+    d = deg_df.sort_values(["deg", "node"], kind="mergesort")
+    rank = pd.Series(np.arange(len(d)), index=d["node"].to_numpy())
+    rref = ray.put(rank)
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        rk = ray.get(rref)
+        rs = batch[src].map(rk).to_numpy()
+        rd = batch[dst].map(rk).to_numpy()
+        keep = rs < rd  # symmetric input: each undirected edge kept once
+        return pd.DataFrame(
+            {"a": batch[src].to_numpy()[keep], "b": batch[dst].to_numpy()[keep]}
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pandas")
+
+    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="object"),
+                    "b": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="object"),
+                }
+            )
+        rk = ray.get(rref)
+        b = bucket.assign(rb=bucket["b"].map(rk)).sort_values(
+            ["a", "rb"], kind="mergesort"
+        )
+        nb = b["b"].to_numpy()
+        a = b["a"].to_numpy()
+        n = len(a)
+        # all ordered out-neighbor pairs within each per-src segment,
+        # fully vectorized (no per-node Python loop): row t at position
+        # p_t within its segment pairs every EARLIER segment row with t,
+        # preserving rb order so wedge (b, c) has rank(b) < rank(c)
+        idx = np.arange(n, dtype=np.int64)
+        change = np.concatenate(([True], a[1:] != a[:-1]))
+        starts = idx[change]
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        cnt = idx - seg_start  # pairs contributed by row t
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="object"),
+                    "b": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="object"),
+                }
+            )
+        c_idx = np.repeat(idx, cnt)
+        block0 = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        off = np.arange(tot, dtype=np.int64) - np.repeat(block0, cnt)
+        b_idx = np.repeat(seg_start, cnt) + off
+        return pd.DataFrame({"a": a[c_idx], "b": nb[b_idx], "c": nb[c_idx]})
+
+    wedge_ds = bucketed_group_apply(oriented, "a", wedges, num_buckets)
+
+    # close the wedge: (b, c) must be an oriented edge. Packed composite
+    # key through the generic measured-plan semi-join.
+    SEP = "\x00"
+
+    def pack_wedge(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["bc"] = batch["b"].astype(str) + SEP + batch["c"].astype(str)
+        return batch
+
+    def pack_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bc": batch["a"].astype(str) + SEP + batch["b"].astype(str)}
+        )
+
+    packed = wedge_ds.map_batches(pack_wedge, batch_format="pandas")
+    edge_keys = oriented.map_batches(pack_edge, batch_format="pandas")
+    closed = key_semi_anti_join(
+        packed,
+        edge_keys,
+        "bc",
+        anti=False,
+        num_buckets=num_buckets,
+        broadcast_max_keys=broadcast_max_rows,
+        other_cols={"a": "", "b": "", "c": ""},
+    )
+
+    def credit(batch: pd.DataFrame) -> pd.DataFrame:
+        tri = np.concatenate(
+            [batch["a"].to_numpy(), batch["b"].to_numpy(), batch["c"].to_numpy()]
+        )
+        g = (
+            pd.DataFrame({"node": tri})
+            .groupby("node", as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "triangles"})
+        )
+        g["triangles"] = g["triangles"].astype("int64")
+        return g
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("node", as_index=False, sort=False)[
+            "triangles"
+        ].sum()
+
+    return merge_partials(
+        closed.map_batches(credit, batch_format="pandas"),
+        "node",
+        combine,
+        lambda b: b,
+        num_buckets,
+    )

@@ -1,0 +1,182 @@
+"""Graph analytics family (stages/graph.py): integer-exact PageRank,
+deterministic neighbor sampling, degree-ordered triangle counting and the
+entity co-occurrence graph builder — brute-force pinned on random graphs,
+plus parallelism invariance (num_buckets must not change any result)."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8
+
+
+def _random_graph(n_nodes=40, n_edges=120, seed=7):
+    """Symmetric distinct edge list over string node ids."""
+    rng = np.random.RandomState(seed)
+    und = set()
+    while len(und) < n_edges:
+        a, b = rng.randint(0, n_nodes, 2)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    rows = []
+    for a, b in sorted(und):
+        rows.append({"src": f"n{a:03d}", "dst": f"n{b:03d}"})
+        rows.append({"src": f"n{b:03d}", "dst": f"n{a:03d}"})
+    return pd.DataFrame(rows)
+
+
+def _brute_pagerank(edges: pd.DataFrame, iters=2, scale=10**12) -> pd.DataFrame:
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    deg = edges.groupby("src").size().to_dict()
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    base = (15 * (scale // n)) // 100
+    for _ in range(iters):
+        nr = {v: base for v in nodes}
+        for e in edges.itertuples():
+            nr[e.dst] += (85 * (r[e.src] // deg[e.src])) // 100
+        r = nr
+    return pd.DataFrame({"node": nodes, "rank_mu": [r[v] for v in nodes]})
+
+
+def _brute_triangles(edges: pd.DataFrame) -> dict:
+    adj = {}
+    for e in edges.itertuples():
+        adj.setdefault(e.src, set()).add(e.dst)
+    counts = {}
+    seen = set()
+    for a in adj:
+        for b, c in itertools.combinations(sorted(adj[a]), 2):
+            if c in adj.get(b, ()):
+                tri = tuple(sorted((a, b, c)))
+                if tri not in seen:
+                    seen.add(tri)
+                    for v in tri:
+                        counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize("num_buckets", [3, 16])
+def test_pagerank_matches_integer_recurrence(ray_session, num_buckets):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    edges_df = _random_graph()
+    got = graph.pagerank(
+        ray.data.from_pandas(edges_df), iters=2, num_buckets=num_buckets
+    ).reset_index(drop=True)
+    exp = _brute_pagerank(edges_df)
+    pd.testing.assert_frame_equal(got, exp)
+    # rank mass is conserved up to flooring: every node's rank is positive
+    # and the floor-losses only ever shrink the total
+    assert (got["rank_mu"] > 0).all()
+    assert got["rank_mu"].sum() <= 10**12
+
+
+def test_pagerank_dangling_nodes_contribute_nothing(ray_session):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    # directed chain a -> b -> c: c is dangling (deg 0)
+    edges_df = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+    got = graph.pagerank(ray.data.from_pandas(edges_df), iters=2, num_buckets=2)
+    exp = _brute_pagerank(edges_df)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+@pytest.mark.parametrize("num_buckets", [3, 16])
+def test_triangle_counts_match_brute_force(ray_session, num_buckets):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    edges_df = _random_graph(n_nodes=25, n_edges=90, seed=3)
+    got = (
+        graph.triangle_counts(
+            ray.data.from_pandas(edges_df), num_buckets=num_buckets
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    exp = _brute_triangles(edges_df)
+    assert dict(zip(got["node"], got["triangles"])) == exp
+
+
+def test_triangle_counts_hash_plan_equals_broadcast(ray_session):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    edges_df = _random_graph(n_nodes=25, n_edges=90, seed=3)
+    ds = ray.data.from_pandas(edges_df)
+    broad = graph.triangle_counts(ds, num_buckets=4).to_pandas()
+    hashp = graph.triangle_counts(
+        ds, num_buckets=4, broadcast_max_rows=0
+    ).to_pandas()
+    key = lambda df: df.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(broad), key(hashp))
+
+
+def test_neighbor_sample_is_deterministic_hash_topk(ray_session):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    edges_df = _random_graph(n_nodes=15, n_edges=60, seed=5).rename(
+        columns={"src": "entity_id", "dst": "neighbor_id"}
+    )
+    k = 2
+    got = graph.neighbor_sample(
+        ray.data.from_pandas(edges_df), k=k, num_buckets=4
+    ).to_pandas()
+    # brute force: k smallest (md5int8('nbr:'+u+'|'+v), v) per u
+    b = edges_df.copy()
+    b["h"] = [
+        md5int8(f"nbr:{u}|{v}")
+        for u, v in zip(b["entity_id"], b["neighbor_id"])
+    ]
+    exp = (
+        b.sort_values(["entity_id", "h", "neighbor_id"], kind="mergesort")
+        .groupby("entity_id", sort=False)
+        .head(k)
+    )
+    key = lambda df: df.sort_values(["entity_id", "neighbor_id"]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(key(got), key(exp[got.columns]))
+    # invariance: a different bucket count yields the identical sample
+    again = graph.neighbor_sample(
+        ray.data.from_pandas(edges_df), k=k, num_buckets=11
+    ).to_pandas()
+    pd.testing.assert_frame_equal(key(got), key(again))
+
+
+def test_cooccurrence_graph_matches_pair_semantics(ray_session):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    # conv 1: {a, b, c} (a twice), conv 2: {b, c}, conv 3: {d}
+    m = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c1", "c1", "c2", "c2", "c3"],
+            "entity_id": ["a", "b", "c", "a", "b", "c", "d"],
+        }
+    )
+    got = (
+        graph.cooccurrence_graph(ray.data.from_pandas(m), num_buckets=3)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    und = {("a", "b"), ("a", "c"), ("b", "c")}
+    exp = pd.DataFrame(
+        sorted([(x, y) for x, y in und] + [(y, x) for x, y in und]),
+        columns=["src", "dst"],
+    )
+    pd.testing.assert_frame_equal(got, exp)
