@@ -552,6 +552,79 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_rel_right_join(sf_dir: str):
+    """Right outer join (orders RIGHT JOIN customer): orders of
+    customers ≡ 0 mod 3 are filtered out so those customers are
+    unmatched right rows — native right_outer shuffle plan only
+    (broadcast refused by construction), differently-named keys through
+    the key-coalesce path."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    quiet_ray_data()
+
+    def keep(t):
+        m = pc.subtract(
+            t["o_custkey"], pc.multiply(pc.divide(t["o_custkey"], 3), 3)
+        )
+        return t.filter(pc.not_equal(m, 0))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(keep, batch_format="pyarrow", batch_size=None)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    joined = relational.hash_join(
+        orders, cust, "o_custkey", "c_custkey", plan="hash", how="right"
+    )
+
+    def finish(b: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "o_orderkey": b["o_orderkey"].fillna(-1).astype("int64"),
+                "price_cents": (b["o_totalprice"] * 100)
+                .round()
+                .fillna(-1)
+                .astype("int64"),
+                "c_name": b["c_name"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def _q_embedding_covariance(sf_dir: str):
+    """Exact-integer covariance accumulation over the embedding column —
+    the distributed half of PCA (one streaming pass, d(d+1)/2-row
+    combiner, lazy tree merge)."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import clustering
+
+    quiet_ray_data()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return clustering.embedding_covariance(emb, num_buckets=_NB)
+
+
+def _q_grouped_hll(sf_dir: str):
+    """Approximate distinct users per event type: sparse HLL register
+    rows per group (the sketch IS the combiner — <= 2^p ints per
+    (group, block) cross the exchange)."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import sketches
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return sketches.grouped_hll(ev, "event_type", "user_id", num_buckets=_NB)
+
+
 def _q_token_counts_regex(sf_dir: str):
     """Whitespace + BPE-ish regex pre-token counts in one zero-copy
     Arrow map (RE2 kernels only)."""
@@ -1278,6 +1351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "neighbor_sample": _q_neighbor_sample,
         "triangle_counts": _q_triangle_counts,
+        "rel_right_join": _q_rel_right_join,
+        "embedding_covariance": _q_embedding_covariance,
+        "grouped_hll": _q_grouped_hll,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
         "transcripts": _q_transcripts,
         "conversations": _q_conversations,
@@ -1408,6 +1484,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracles.PAGERANK,
         "neighbor_sample": oracles.NEIGHBOR_SAMPLE,
         "triangle_counts": oracles.TRIANGLE_COUNTS,
+        "rel_right_join": oracles.REL_RIGHT_JOIN,
+        "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
+        "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,
         "hash_sample": oracles.HASH_SAMPLE,
         "corpus_mix": oracles.CORPUS_MIX,

@@ -1526,3 +1526,53 @@ SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
   UNION ALL SELECT b FROM __tri
   UNION ALL SELECT c FROM __tri
 ) GROUP BY node"""
+
+
+# right outer join (stages/relational.hash_join, how="right"): orders of
+# customers ≡ 0 mod 3 removed, so those customers survive only as
+# unmatched right rows; key coalesced under the left name
+REL_RIGHT_JOIN = """WITH __rl AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_custkey % 3 != 0
+)
+SELECT COALESCE(l.o_custkey, r.c_custkey) AS o_custkey,
+       COALESCE(l.o_orderkey, -1) AS o_orderkey,
+       COALESCE(CAST(round(l.o_totalprice * 100) AS BIGINT), -1) AS price_cents,
+       r.c_name
+FROM __rl l RIGHT JOIN customer r ON l.o_custkey = r.c_custkey"""
+
+# exact-integer covariance accumulation (stages/clustering.
+# embedding_covariance, COV_BP=10000): values quantized ONCE to int64
+# fixed point, every later op integer — summation order can't matter
+EMBEDDING_COVARIANCE = """WITH __q AS (
+  SELECT vec_id,
+         CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS q,
+         CAST(i AS BIGINT) AS i
+  FROM (
+    SELECT vec_id, unnest(embedding) AS v,
+           unnest(range(1, 1 + len(embedding))) AS i
+    FROM embeddings
+  )
+),
+__n AS (SELECT count(DISTINCT vec_id) AS n FROM __q),
+__x AS (SELECT i, SUM(q) AS sx FROM __q GROUP BY i),
+__xx AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS sxy
+  FROM __q a JOIN __q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT xx.i AS dim_i, xx.j AS dim_j,
+       CAST((SELECT n FROM __n) * xx.sxy - xa.sx * xb.sx AS BIGINT) AS cov_num
+FROM __xx xx JOIN __x xa ON xx.i = xa.i JOIN __x xb ON xx.j = xb.i"""
+
+# grouped HLL (stages/sketches.grouped_hll over events: distinct user_id
+# per event_type, p=8, salt='hll'): sparse exact-integer register rows
+GROUPED_HLL = f"""WITH __h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+),
+__r AS (SELECT event_type, h >> 24 AS register, h & 16777215 AS rem FROM __h),
+__k AS (SELECT event_type, register, {_hll_rank_case()} AS rank FROM __r)
+SELECT event_type, register, CAST(max(rank) AS BIGINT) AS max_rank
+FROM __k GROUP BY event_type, register"""

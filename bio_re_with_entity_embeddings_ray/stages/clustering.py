@@ -187,3 +187,104 @@ def semantic_dedup(emb, k: int = 8, iters: int = 2, threshold: float = 0.4,
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_group_apply(assigned, "cluster_id", resolve, num_buckets)
+
+
+# ---------------------------------------------------------------- PCA pass
+
+COV_BP = 10_000  # fixed-point quantization of embedding values
+
+
+def embedding_covariance(emb, num_buckets: int = 16):
+    """Distributed EXACT-integer covariance accumulation over the
+    embedding column — the wide half of PCA (the d x d eigendecomposition
+    is O(d^3) driver work on the tiny result; :func:`pca_topk`).
+
+    Each value is quantized once to int64 fixed point
+    (``floor(v * COV_BP)``); after that every operation is integer, so
+    the result is bit-identical to the SQL mirror regardless of
+    batch/summation order. Per batch the partial is ONE int64 matmul
+    (``M.T @ M`` upper triangle, d(d+1)/2 rows) plus the per-dim sums and
+    the row count — a constant ~2k rows per block for d=64, merged
+    through the lazy tree plan (bounded key space, no probe barrier).
+    Output: (dim_i, dim_j, cov_num) for i <= j, 1-based dims, where
+    ``cov_num = n * Σ q_i q_j - Σ q_i * Σ q_j`` (the covariance numerator
+    scaled by n^2 * COV_BP^2 — callers divide; the oracle compares the
+    exact integers).
+
+    Scale shape: narrow map + fixed-size combiner — the corpus streams
+    once, nothing key-distributed ever exceeds d^2 rows, so this runs
+    identically at 100 TB (it is the same shape as a grand total).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.floor(
+            np.stack(batch["embedding"].to_numpy()).astype(np.float64) * COV_BP
+        ).astype(np.int64)
+        d = M.shape[1]
+        xx = M.T @ M
+        iu, ju = np.triu_indices(d)
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {"i": iu + 1, "j": ju + 1, "s": xx[iu, ju]}
+                ),
+                pd.DataFrame(
+                    {
+                        "i": np.arange(1, d + 1, dtype=np.int64),
+                        "j": np.full(d, -1, dtype=np.int64),
+                        "s": M.sum(axis=0),
+                    }
+                ),
+                pd.DataFrame({"i": [-1], "j": [-1], "s": [len(M)]}),
+            ],
+            ignore_index=True,
+        )
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["i", "j"], as_index=False, sort=False)["s"].sum()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        n = int(combined.loc[(combined["i"] == -1), "s"].iloc[0])
+        sx = (
+            combined[(combined["j"] == -1) & (combined["i"] > 0)]
+            .set_index("i")["s"]
+        )
+        xx = combined[combined["j"] > 0]
+        cov = (
+            n * xx["s"].to_numpy()
+            - sx[xx["i"]].to_numpy() * sx[xx["j"]].to_numpy()
+        )
+        out = pd.DataFrame(
+            {
+                "dim_i": xx["i"].to_numpy().astype(np.int64),
+                "dim_j": xx["j"].to_numpy().astype(np.int64),
+                "cov_num": cov.astype(np.int64),
+            }
+        )
+        return out.sort_values(["dim_i", "dim_j"]).reset_index(drop=True)
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    partials = emb.map_batches(partial, batch_format="pandas")
+    return merge_partials(
+        partials, ["i", "j"], combine, finalize, num_buckets, plan="tree"
+    )
+
+
+def pca_topk(cov_df: pd.DataFrame, k: int = 4) -> np.ndarray:
+    """Top-k principal directions from the integer covariance table —
+    O(d^3) driver work on the d x d result (deterministic: numpy eigh on
+    the symmetrized float matrix; sign fixed so each component's
+    largest-|v| entry is positive). Not oracle-checked (eigenvectors are
+    not SQL-expressible); pinned by pytest against numpy PCA of the raw
+    matrix."""
+    d = int(cov_df["dim_j"].max())
+    C = np.zeros((d, d), dtype=np.float64)
+    i = cov_df["dim_i"].to_numpy() - 1
+    j = cov_df["dim_j"].to_numpy() - 1
+    C[i, j] = cov_df["cov_num"].to_numpy()
+    C[j, i] = cov_df["cov_num"].to_numpy()
+    w, v = np.linalg.eigh(C)
+    comps = v[:, np.argsort(w)[::-1][:k]].T  # (k, d)
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    return comps * flip[:, None]

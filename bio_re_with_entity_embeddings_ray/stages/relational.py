@@ -674,7 +674,7 @@ def hash_join(
     how: str = "inner",
 ):
     """Generic row-level equi-join (``how`` in {"inner", "left",
-    "outer"}), through the same measured plan choice as
+    "outer", "right"}), through the same measured plan choice as
     :func:`key_semi_anti_join` (J3 discipline):
 
     - ``broadcast``: collect the RIGHT side once (it is the dimension
@@ -703,13 +703,13 @@ def hash_join(
     as bucketed_group_apply)."""
     import ray
 
-    if how not in ("inner", "left", "outer"):
+    if how not in ("inner", "left", "outer", "right"):
         raise ValueError(f"unsupported how {how!r}")
     rk = right_key_col or key_col
-    if how == "outer":
+    if how in ("outer", "right"):
         if plan == "broadcast":
             raise ValueError(
-                "full outer join cannot run on the broadcast plan (per-batch "
+                f"{how} join cannot run on the broadcast plan (per-batch "
                 "merge would duplicate unmatched right rows) — use plan="
                 "'hash' or 'auto'"
             )
@@ -735,21 +735,27 @@ def hash_join(
     kw = {"right_on": (rk,)} if rk != key_col else {}
     joined = left.join(
         right,
-        join_type={"inner": "inner", "left": "left_outer", "outer": "full_outer"}[
-            how
-        ],
+        join_type={
+            "inner": "inner",
+            "left": "left_outer",
+            "outer": "full_outer",
+            "right": "right_outer",
+        }[how],
         num_partitions=num_buckets,
         on=(key_col,),
         **kw,
     )
     if rk != key_col:
-        if how == "outer":
-            # Ray's full_outer coalesces differently-named keys into the
-            # left name and drops the right key itself (observed on 2.49);
-            # guard for versions that keep the right column instead
+        if how in ("outer", "right"):
+            # Ray 2.49 coalesces differently-named keys into ONE column:
+            # full_outer keeps the left name, right_outer keeps only the
+            # right name — normalize both (and guard versions that keep
+            # both columns) so callers always see ``key_col``
             def coalesce(batch: pd.DataFrame) -> pd.DataFrame:
                 if rk not in batch.columns:
                     return batch
+                if key_col not in batch.columns:
+                    return batch.rename(columns={rk: key_col})
                 batch = batch.copy(deep=False)
                 batch[key_col] = batch[key_col].fillna(batch[rk])
                 return batch.drop(columns=[rk])

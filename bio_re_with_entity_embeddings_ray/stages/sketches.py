@@ -229,3 +229,56 @@ def cms_estimate(registers: pd.DataFrame, value, depth: int = CMS_DEPTH,
     return int(
         min(regs[j][md5int8(f"{salt}{j}:{value}") % width] for j in range(depth))
     )
+
+
+def grouped_hll(ds, group_col: str, key_col: str, p: int = HLL_P,
+                salt: str = "hll", num_buckets: int = 16):
+    """Approximate distinct-``key_col`` per ``group_col`` value:
+    (group, register, max_rank) sparse register rows — the grouped form
+    of :func:`hll_registers` (same register/rank definition, same SQL
+    mirror). At 100 TB this replaces a (group, key) distinct exchange
+    with <= 2^p ints per (group, block); a hot group ships one register
+    set per block, never a row per member — the sketch IS the combiner.
+
+    Estimates: ``windowed_hll_estimates``-style consumers group the
+    result and call :func:`hll_estimate` per group."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, grp in batch[[group_col, key_col]].groupby(group_col, sort=False):
+            tagged = [f"{salt}:{v}" for v in grp[key_col].astype(str)]
+            regs = _fold_registers(md5int8_array(tagged), p)
+            nz = np.flatnonzero(regs)
+            out.append(
+                pd.DataFrame(
+                    {
+                        group_col: np.repeat(g, len(nz)),
+                        "register": nz.astype(np.int64),
+                        "max_rank": regs[nz],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype="object"),
+                    "register": pd.Series([], dtype="int64"),
+                    "max_rank": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(fold, batch_format="pandas", batch_size=None)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby([group_col, "register"], as_index=False)[
+            "max_rank"
+        ].max()
+        g["register"] = g["register"].astype("int64")
+        g["max_rank"] = g["max_rank"].astype("int64")
+        return g
+
+    return merge_partials(
+        partials, [group_col, "register"], merge, lambda b: b, num_buckets
+    )

@@ -89,3 +89,45 @@ def test_semantic_dedup_matches_brute_force(ray_session):
     assert (out["cluster_id"].to_numpy() == a).all()
     assert (out["keep"].to_numpy().astype(bool) == keep).all()
     assert (~keep).sum() >= 15  # the planted dups are actually dropped
+
+
+def test_embedding_covariance_exact_and_pca(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.clustering import (
+        COV_BP,
+        embedding_covariance,
+        pca_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    X = (rng.randn(120, 6) * 0.3).astype(np.float32)
+    emb = pd.DataFrame({"embedding": [row for row in X]})
+    got = embedding_covariance(
+        rd.from_pandas(emb).repartition(4), num_buckets=4
+    ).to_pandas()
+
+    Q = np.floor(X.astype(np.float64) * COV_BP).astype(np.int64)
+    n = len(Q)
+    exp_rows = []
+    for i in range(6):
+        for j in range(i, 6):
+            exp_rows.append(
+                (i + 1, j + 1, n * int(Q[:, i] @ Q[:, j])
+                 - int(Q[:, i].sum()) * int(Q[:, j].sum()))
+            )
+    exp = pd.DataFrame(exp_rows, columns=["dim_i", "dim_j", "cov_num"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+
+    # principal directions track numpy PCA of the quantized matrix
+    comps = pca_topk(got, k=2)
+    Xc = Q - Q.mean(axis=0)
+    w, v = np.linalg.eigh(Xc.T @ Xc)
+    top = v[:, np.argsort(w)[::-1][:2]].T
+    flip = np.sign(top[np.arange(2), np.abs(top).argmax(axis=1)])
+    top = top * flip[:, None]
+    assert np.allclose(np.abs(comps @ top.T), np.eye(2), atol=1e-6)

@@ -270,3 +270,56 @@ def test_full_outer_join_unmatched_both_sides(ray_session):
             plan="broadcast",
             how="outer",
         )
+
+
+def test_right_join_unmatched_right_rows(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import hash_join
+
+    left = pd.DataFrame(
+        {
+            "k": np.array([1, 2, 2], dtype=np.int64),
+            "a": np.arange(3, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.array([1, 2, 9], dtype=np.int64),  # 9 unmatched
+            "b": np.array([100, 200, 900], dtype=np.int64),
+        }
+    )
+    out = (
+        hash_join(
+            rd.from_pandas(left).repartition(2),
+            rd.from_pandas(right).repartition(2),
+            "k",
+            "rk",
+            plan="auto",  # auto must force the hash plan for right joins
+            num_buckets=4,
+            how="right",
+        )
+        .to_pandas()
+    )
+    out["a"] = out["a"].fillna(-1).astype("int64")
+    out = out.sort_values(["k", "a", "b"]).reset_index(drop=True)
+    exp = (
+        left.merge(right, left_on="k", right_on="rk", how="right")
+        .assign(k=lambda d: d["k"].fillna(d["rk"]).astype("int64"))
+        .drop(columns=["rk"])
+        .fillna(-1)
+        .astype({"a": "int64", "b": "int64"})
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "a", "b"]], exp[["k", "a", "b"]])
+    assert (out["k"] == 9).any()  # unmatched right row survived
+
+    with pytest.raises(ValueError):
+        hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), "k", "rk",
+            plan="broadcast", how="right",
+        )

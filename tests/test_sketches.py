@@ -93,3 +93,39 @@ def test_cms_point_query_upper_bound(ray_session):
         assert est <= t + len(keys) // 64  # epsilon*N slack at width 256
     # the hot key's estimate is exact with overwhelming probability
     assert cms_estimate(regs, 0, depth=4, width=256) == 400
+
+
+def test_grouped_hll_matches_per_group_fold(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+    from bio_re_with_entity_embeddings_ray.stages.sketches import (
+        HLL_P,
+        _fold_registers,
+        grouped_hll,
+        hll_estimate,
+    )
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "u": rng.randint(0, 120, 500).astype(np.int64),
+        }
+    )
+    got = grouped_hll(
+        rd.from_pandas(df).repartition(5), "g", "u", num_buckets=4
+    ).to_pandas()
+    for g, grp in df.groupby("g"):
+        regs = _fold_registers(
+            md5int8_array([f"hll:{v}" for v in grp["u"].astype(str)]), HLL_P
+        )
+        sub = got[got["g"] == g]
+        exp = dict(zip(np.flatnonzero(regs), regs[np.flatnonzero(regs)]))
+        assert dict(zip(sub["register"], sub["max_rank"])) == exp
+        # estimate within 15% of the exact distinct count
+        exact = grp["u"].nunique()
+        est = hll_estimate(sub.rename(columns={"g": "window_start"}), HLL_P)
+        assert abs(est - exact) / exact < 0.15
