@@ -597,6 +597,23 @@ def _q_rel_right_join(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def _q_bloom_semi_join(sf_dir: str):
+    """Bloom-filter semi-join pre-pass (customers probably having
+    orders): never drops a true match, keeps md5-deterministic false
+    positives — the oracle reproduces the exact survivor set, false
+    positives included."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return relational.bloom_semi_join(
+        cust, orders, "c_custkey", "o_custkey", num_buckets=_NB
+    )
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Exact-integer covariance accumulation over the embedding column —
     the distributed half of PCA (one streaming pass, d(d+1)/2-row
@@ -608,6 +625,30 @@ def _q_embedding_covariance(sf_dir: str):
     quiet_ray_data()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     return clustering.embedding_covariance(emb, num_buckets=_NB)
+
+
+def _q_lsh_assign(sf_dir: str):
+    """Sign-random-projection bucket per vector (md5 hyperplanes +
+    integer sign test — bit-identical in SQL)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return scoring.lsh_assign(emb)
+
+
+def _q_ann_lsh_search(sf_dir: str):
+    """LSH-bucketed ANN top-k: candidates restricted to the query's
+    hyperplane bucket — the second scale path next to IVF."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return scoring.ann_lsh_search(emb, n_queries=5, k=5, num_buckets=_NB)
 
 
 def _q_grouped_hll(sf_dir: str):
@@ -1352,6 +1393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sample": _q_neighbor_sample,
         "triangle_counts": _q_triangle_counts,
         "rel_right_join": _q_rel_right_join,
+        "bloom_semi_join": _q_bloom_semi_join,
+        "lsh_assign": _q_lsh_assign,
+        "ann_lsh_search": _q_ann_lsh_search,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
@@ -1485,6 +1529,9 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_sample": oracles.NEIGHBOR_SAMPLE,
         "triangle_counts": oracles.TRIANGLE_COUNTS,
         "rel_right_join": oracles.REL_RIGHT_JOIN,
+        "bloom_semi_join": oracles.BLOOM_SEMI_JOIN,
+        "lsh_assign": oracles.LSH_ASSIGN,
+        "ann_lsh_search": oracles.ANN_LSH_SEARCH,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

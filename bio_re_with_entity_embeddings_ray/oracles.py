@@ -1576,3 +1576,76 @@ __r AS (SELECT event_type, h >> 24 AS register, h & 16777215 AS rem FROM __h),
 __k AS (SELECT event_type, register, {_hll_rank_case()} AS rank FROM __r)
 SELECT event_type, register, CAST(max(rank) AS BIGINT) AS max_rank
 FROM __k GROUP BY event_type, register"""
+
+
+# Bloom-filter semi-join (stages/relational.bloom_semi_join, m=4096,
+# k=3, pos_j(x) = md5int8('bloom{j}:' || x) % m): survivor set mirrored
+# exactly, deterministic false positives included
+def _bloom_pos(expr: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('bloom{j}:' || CAST({expr} AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT) % 4096"
+    )
+
+
+BLOOM_SEMI_JOIN = f"""WITH __bp AS (
+  SELECT DISTINCT {_bloom_pos('o_custkey', 0)} AS pos FROM orders
+  UNION SELECT DISTINCT {_bloom_pos('o_custkey', 1)} FROM orders
+  UNION SELECT DISTINCT {_bloom_pos('o_custkey', 2)} FROM orders
+)
+SELECT c_custkey, c_name FROM customer
+WHERE {_bloom_pos('c_custkey', 0)} IN (SELECT pos FROM __bp)
+  AND {_bloom_pos('c_custkey', 1)} IN (SELECT pos FROM __bp)
+  AND {_bloom_pos('c_custkey', 2)} IN (SELECT pos FROM __bp)"""
+
+
+# LSH-bucketed ANN (stages/scoring.lsh_assign / ann_lsh_search,
+# planes=8, LSH_BP=10000): ±1 hyperplanes from md5 parity, sign test on
+# the exact integer quantization — bucket assignment is bit-identical
+_LSH_BUCKETS = """__q AS (
+  SELECT vec_id,
+         CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS q,
+         CAST(i AS BIGINT) AS i
+  FROM (
+    SELECT vec_id, unnest(embedding) AS v,
+           unnest(range(1, 1 + len(embedding))) AS i
+    FROM embeddings
+  )
+),
+__dims AS (SELECT DISTINCT i FROM __q),
+__s AS (
+  SELECT b, i,
+         CASE WHEN CAST(('0x' || substr(md5('lsh:' || b || ':' || i), 1, 8))
+                   AS BIGINT) & 1 = 1 THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(0, 8)) AS b), __dims
+),
+__dot AS (
+  SELECT q.vec_id, s.b, SUM(s.s * q.q) AS dp
+  FROM __q q JOIN __s s ON q.i = s.i
+  GROUP BY q.vec_id, s.b
+),
+__bucket AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dp > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+  FROM __dot GROUP BY vec_id
+)"""
+
+LSH_ASSIGN = f"""WITH {_LSH_BUCKETS}
+SELECT vec_id, bucket FROM __bucket"""
+
+ANN_LSH_SEARCH = f"""WITH {_LSH_BUCKETS},
+__qs AS (
+  SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket
+  FROM embeddings e JOIN __bucket b USING (vec_id) WHERE e.vec_id < 5
+),
+__scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM __qs q
+  JOIN __bucket b ON b.bucket = q.bucket
+  JOIN embeddings e ON e.vec_id = b.vec_id AND e.vec_id <> q.qid
+)
+SELECT qid, nid, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM __scored) WHERE rk <= 5"""

@@ -822,3 +822,92 @@ def rolling_per_key(
         )
 
     return bucketed_group_apply(ev, "user_id", per_user, num_buckets)
+
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hash functions
+
+
+def bloom_bits(keys, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K,
+               num_buckets: int = 16):
+    """Distributed Bloom-filter build over a key column: returns the
+    sorted set-bit positions as a small DataFrame (pos) — at most ``m``
+    rows however large the key set is.
+
+    Deterministic hash family (SQL-mirrorable, no RNG):
+    ``pos_j(x) = md5int8(f"bloom{j}:{x}") % m`` for j in 0..k-1. The
+    per-batch partial is the DISTINCT positions touched (<= m rows per
+    block — the filter IS the combiner, same economics as the HLL/CMS
+    sketches); the merge is a distinct through the measured plan.
+    """
+    from bio_re_with_entity_embeddings_ray.functions.textfns import (
+        md5int8_array,
+    )
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[key_col].astype(str).to_numpy()
+        pos = np.concatenate(
+            [
+                md5int8_array(np.char.add(f"bloom{j}:", vals.astype("U")))
+                % m
+                for j in range(k)
+            ]
+        )
+        return pd.DataFrame({"pos": np.unique(pos).astype(np.int64)})
+
+    return merge_partials(
+        keys.map_batches(partial, batch_format="pandas"),
+        "pos",
+        lambda b: b.drop_duplicates("pos"),
+        lambda b: b,
+        num_buckets,
+    ).to_pandas()
+
+
+def bloom_semi_join(
+    big,
+    keys,
+    key_col: str,
+    keys_key_col: str | None = None,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    num_buckets: int = 16,
+):
+    """Bloom-filter semi-join: keep big-side rows whose key PROBABLY
+    appears in the keys side — the classic shuffle-avoiding join
+    pre-filter. Never drops a true match; keeps deterministic false
+    positives at rate ~(1 - e^{-k n/m})^k, so it composes as a cheap
+    pre-pass before an exact ``key_semi_anti_join`` (which then touches
+    only the survivors) — at 100 TB that turns "exchange the whole fact
+    table" into "exchange the ~matching slice plus epsilon".
+
+    The m-bit filter is built distributed (:func:`bloom_bits`, bounded
+    combiner), shipped once via ``ray.put`` as a numpy bool array
+    (m/8 KB — broadcast-trivial at any scale), and probed with three
+    vectorized gathers per batch. The hash family is md5-deterministic,
+    so the DuckDB oracle reproduces the exact survivor set, false
+    positives included.
+    """
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.functions.textfns import (
+        md5int8_array,
+    )
+
+    kk = keys_key_col or key_col
+    bits_df = bloom_bits(keys, kk, m, k, num_buckets)
+    bitvec = np.zeros(m, dtype=bool)
+    bitvec[bits_df["pos"].to_numpy()] = True
+    ref = ray.put(bitvec)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bv = ray.get(ref)  # per-worker cached
+        vals = batch[key_col].astype(str).to_numpy()
+        keep = np.ones(len(batch), dtype=bool)
+        for j in range(k):
+            pos = md5int8_array(np.char.add(f"bloom{j}:", vals.astype("U"))) % m
+            keep &= bv[pos]
+        return batch[keep]
+
+    return big.map_batches(probe, batch_format="pandas")

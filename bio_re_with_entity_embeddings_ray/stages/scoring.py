@@ -398,3 +398,136 @@ def classify_triples(triples_ds, emb, concurrency=(1, 8)):
         batch_format="pandas",
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------- LSH-bucketed ANN
+
+LSH_PLANES = 8  # hyperplanes -> 2^8 buckets
+LSH_BP = 10_000  # fixed-point quantization for the sign test
+
+
+def _lsh_sign_matrix(dim: int, planes: int = LSH_PLANES) -> np.ndarray:
+    """(planes, dim) ±1 hyperplane matrix derived from md5 — no RNG
+    state, bit-identical in SQL: s[b, i] = +1 iff md5int8(f"lsh:{b}:{i}")
+    is odd (i is 1-based to match SQL unnest ordinals)."""
+    keys = [f"lsh:{b}:{i}" for b in range(planes) for i in range(1, dim + 1)]
+    bits = md5int8_array(keys) & 1
+    return (2 * bits - 1).astype(np.int64).reshape(planes, dim)
+
+
+def _lsh_buckets(M: np.ndarray, S: np.ndarray) -> np.ndarray:
+    """Bucket id per row of M: sign-random-projection over the EXACT
+    integer quantization floor(v * LSH_BP), so a near-zero projection
+    can't flip sign between engine and oracle float paths."""
+    Q = np.floor(M.astype(np.float64) * LSH_BP).astype(np.int64)
+    bits = (Q @ S.T) > 0  # (n, planes)
+    return (bits.astype(np.int64) << np.arange(S.shape[0])[None, :]).sum(axis=1)
+
+
+def lsh_assign(emb, planes: int = LSH_PLANES):
+    """(vec_id, bucket) — narrow map, one int64 matmul per batch."""
+    state: dict = {}
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+        S = state.get("S")
+        if S is None or S.shape[1] != M.shape[1]:
+            S = state["S"] = _lsh_sign_matrix(M.shape[1], planes)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64"),
+                "bucket": _lsh_buckets(M, S),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pandas")
+
+
+def ann_lsh_search(
+    emb, n_queries: int = 5, k: int = 5, planes: int = LSH_PLANES,
+    num_buckets: int = 16,
+):
+    """LSH-bucketed approximate nearest neighbours (the scale path next
+    to :func:`ivf_search`): candidates are ONLY the corpus vectors
+    sharing the query's sign-random-projection bucket, so per-batch work
+    drops from O(batch x queries) full cosine to the bucket-collision
+    slice; recall trades with ``planes`` exactly as IVF's trades with
+    n_centroids. Deterministic end to end (md5 hyperplanes + integer
+    sign test) — the oracle reproduces bucket assignment AND the final
+    (sim DESC, nid) ranking.
+
+    Same two-phase shape as knn_topk: per-batch partial top-k (masked to
+    bucket collisions via the -inf convention of ``_rowwise_topk``),
+    tiny exact final merge. The broadcast query state is
+    (n_queries x d) plus their buckets.
+    """
+    import ray
+
+    qpdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    if len(qpdf) == 0:
+        raise ValueError(
+            f"ann_lsh_search: no embedding rows with vec_id < {n_queries}"
+        )
+    qids, Q = _load_matrix(qpdf)
+    Mq = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+    S = _lsh_sign_matrix(Mq.shape[1], planes)
+    qbuckets = _lsh_buckets(Mq, S)
+    qref = ray.put((qids, Q, qbuckets, S))
+
+    class PartialTopK:
+        def __init__(self, qref):
+            self.qids, self.Q, self.qb, self.S = ray.get(qref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            cb = _lsh_buckets(M, self.S)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = self.Q @ Mn.T  # (q, b)
+            sims = np.where(self.qb[:, None] == cb[None, :], sims, -np.inf)
+            return _rowwise_topk(self.qids, ids, sims, k)
+
+    partial = emb.map_batches(
+        PartialTopK,
+        fn_constructor_args=(qref,),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+
+    def final_topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in bucket.groupby("qid", sort=False):
+            g = g.sort_values(
+                ["sim", "nid"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": qid,
+                        "nid": g["nid"],
+                        "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    }
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype="int64"),
+                    "nid": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+
+    res = bucketed_group_apply(
+        partial, "qid", final_topk, min(num_buckets, n_queries)
+    )
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rank"] = batch["rank"].astype("int64")
+        return batch
+
+    return res.map_batches(cast, batch_format="pandas")

@@ -323,3 +323,49 @@ def test_right_join_unmatched_right_rows(ray_session):
             rd.from_pandas(left), rd.from_pandas(right), "k", "rk",
             plan="broadcast", how="right",
         )
+
+
+def test_bloom_semi_join_superset_and_exact_mirror(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_semi_join,
+    )
+
+    rng = np.random.RandomState(9)
+    big = pd.DataFrame(
+        {"k": rng.randint(0, 10_000, 2_000).astype(np.int64)}
+    )
+    keys = pd.DataFrame({"k": rng.randint(0, 10_000, 50).astype(np.int64)})
+    got = (
+        bloom_semi_join(
+            rd.from_pandas(big).repartition(4),
+            rd.from_pandas(keys).repartition(2),
+            "k",
+            num_buckets=4,
+        )
+        .to_pandas()["k"]
+        .to_numpy()
+    )
+    # brute-force bloom with the same hash family
+    bits = set()
+    for v in keys["k"]:
+        for j in range(BLOOM_K):
+            bits.add(md5int8(f"bloom{j}:{v}") % BLOOM_M)
+    exp = [
+        v
+        for v in big["k"]
+        if all(md5int8(f"bloom{j}:{v}") % BLOOM_M in bits for j in range(BLOOM_K))
+    ]
+    assert sorted(got) == sorted(exp)
+    # no false negatives: every true match survives
+    true_matches = big[big["k"].isin(set(keys["k"]))]["k"]
+    assert set(true_matches).issubset(set(got))
+    # sparse filter => false-positive rate is small but nonzero-capable;
+    # survivors are far fewer than the input
+    assert len(got) < len(big) * 0.2

@@ -49,3 +49,44 @@ def test_project_bp(ray_session):
     )
     assert "score" not in out.columns
     assert list(out["score_bp"]) == [123457, -500000]
+
+
+def test_lsh_assign_and_search_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.scoring import (
+        LSH_BP,
+        _lsh_sign_matrix,
+        ann_lsh_search,
+        lsh_assign,
+    )
+
+    rng = np.random.RandomState(13)
+    X = rng.randn(80, 12)
+    emb = pd.DataFrame(
+        {"vec_id": np.arange(80, dtype=np.int64), "embedding": [r for r in X]}
+    )
+    ds = rd.from_pandas(emb).repartition(4)
+
+    S = _lsh_sign_matrix(12)
+    Q = np.floor(X * LSH_BP).astype(np.int64)
+    exp_buckets = ((Q @ S.T > 0).astype(np.int64) << np.arange(8)).sum(axis=1)
+    got = lsh_assign(ds).to_pandas().sort_values("vec_id")
+    assert (got["bucket"].to_numpy() == exp_buckets).all()
+
+    res = ann_lsh_search(ds, n_queries=5, k=3, num_buckets=4).to_pandas()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for qid in range(5):
+        cands = [
+            j
+            for j in range(80)
+            if j != qid and exp_buckets[j] == exp_buckets[qid]
+        ]
+        sims = [(float(Xn[qid] @ Xn[j]), j) for j in cands]
+        exp_order = [j for s, j in sorted(sims, key=lambda t: (-t[0], t[1]))][:3]
+        got_order = (
+            res[res["qid"] == qid].sort_values("rank")["nid"].tolist()
+        )
+        assert got_order == exp_order, (qid, got_order, exp_order)
