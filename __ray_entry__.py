@@ -552,6 +552,29 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_khop_sample(sf_dir: str):
+    """Two-hop GNN frontier sample over the co-occurrence graph
+    (k1=3, k2=2): two independent-salt neighbor_sample layers joined
+    through the measured plan — <= N*k1*k2 rows by construction."""
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    quiet_ray_data()
+    return graph.khop_sample(_cooc_edges(sf_dir), k1=3, k2=2, num_buckets=_NB)
+
+
+def _q_winsorize(sf_dir: str):
+    """Percentile winsorization of document length: clip n_chars into
+    the exact [p5, p95] global quantiles (histogram combiner pass +
+    narrow clip map)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return textstats.winsorize(docs, "n_chars", 500, 9500, num_buckets=_NB)
+
+
 def _q_rel_right_join(sf_dir: str):
     """Right outer join (orders RIGHT JOIN customer): orders of
     customers ≡ 0 mod 3 are filtered out so those customers are
@@ -1396,6 +1419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "lsh_assign": _q_lsh_assign,
         "ann_lsh_search": _q_ann_lsh_search,
+        "khop_sample": _q_khop_sample,
+        "winsorize": _q_winsorize,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
@@ -1532,6 +1557,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": oracles.BLOOM_SEMI_JOIN,
         "lsh_assign": oracles.LSH_ASSIGN,
         "ann_lsh_search": oracles.ANN_LSH_SEARCH,
+        "khop_sample": oracles.KHOP_SAMPLE,
+        "winsorize": oracles.WINSORIZE,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

@@ -1649,3 +1649,47 @@ SELECT qid, nid, CAST(rk AS BIGINT) AS rank FROM (
   SELECT qid, nid,
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
   FROM __scored) WHERE rk <= 5"""
+
+
+# Two-hop GNN frontier (stages/graph.khop_sample, k1=3, k2=2, salts
+# nbr1/nbr2): layer-wise deterministic sampling, hop-2 sample shared
+# between seeds (the sample-once-per-node-per-layer GraphSAGE variant)
+def _nbr_cte(name: str, salt: str, k: int) -> str:
+    return f"""{name} AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+    FROM (
+      SELECT src, dst,
+             CAST(('0x' || substr(md5('{salt}:' || src || '|' || dst), 1, 8))
+                  AS BIGINT) AS h
+      FROM __e
+    )
+  ) WHERE rn <= {k}
+)"""
+
+
+KHOP_SAMPLE = f"""WITH {_COOC_EDGES},
+{_nbr_cte("__h1", "nbr1", 3)},
+{_nbr_cte("__h2", "nbr2", 2)}
+SELECT a.src AS seed, a.dst AS hop1, b.dst AS hop2
+FROM __h1 a JOIN __h2 b ON a.dst = b.src"""
+
+# Percentile winsorization (stages/textstats.winsorize over documents
+# n_chars, [p5, p95], exact_quantiles position rule)
+WINSORIZE = """WITH __n AS (SELECT count(*) AS n FROM documents),
+__r AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn FROM documents
+),
+__lo AS (
+  SELECT n_chars AS v FROM __r, __n
+  WHERE rn = GREATEST(1, (500 * n + 9999) // 10000)
+),
+__hi AS (
+  SELECT n_chars AS v FROM __r, __n
+  WHERE rn = GREATEST(1, (9500 * n + 9999) // 10000)
+)
+SELECT doc_id, n_chars,
+       CAST(LEAST(GREATEST(n_chars, (SELECT v FROM __lo)),
+                  (SELECT v FROM __hi)) AS BIGINT) AS clipped
+FROM documents"""

@@ -421,3 +421,47 @@ def triangle_counts(
         lambda b: b,
         num_buckets,
     )
+
+
+def khop_sample(
+    edges,
+    k1: int = 3,
+    k2: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 16,
+):
+    """Two-hop GNN minibatch frontier: for every node, a deterministic
+    sample of up to ``k1`` neighbors, each expanded by up to ``k2`` of
+    ITS neighbors (GraphSAGE layer-wise sampling, the sample-once-per-
+    node-per-layer variant — hop-2 fanouts are shared between seeds that
+    sampled the same hop-1 node, which is the memory-efficient form).
+
+    Output (seed, hop1, hop2), <= N * k1 * k2 rows by construction — the
+    sampling caps make the frontier join safe on power-law graphs where
+    a raw 2-hop expansion is quadratic in hub degree. Built purely from
+    engine primitives: two :func:`neighbor_sample` passes (salts
+    ``nbr1``/``nbr2`` so layers draw independent samples) joined through
+    the measured broadcast/hash plan of ``relational.hash_join``.
+    """
+    from bio_re_with_entity_embeddings_ray.stages.relational import hash_join
+
+    ns1 = neighbor_sample(
+        edges, k=k1, src=src, dst=dst, salt="nbr1", num_buckets=num_buckets
+    )
+    ns2 = neighbor_sample(
+        edges, k=k2, src=src, dst=dst, salt="nbr2", num_buckets=num_buckets
+    )
+
+    def as_l1(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"seed": b[src], "hop1": b[dst]})
+
+    def as_l2(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hop1": b[src], "hop2": b[dst]})
+
+    return hash_join(
+        ns1.map_batches(as_l1, batch_format="pandas"),
+        ns2.map_batches(as_l2, batch_format="pandas"),
+        "hop1",
+        num_buckets=num_buckets,
+    )

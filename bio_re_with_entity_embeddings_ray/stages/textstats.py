@@ -864,3 +864,28 @@ def token_counts_regex(docs):
         )
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def winsorize(ds, col: str, lo_bp: int = 500, hi_bp: int = 9500,
+              num_buckets: int = 16):
+    """Percentile winsorization of an integer metric column: clip every
+    value into [q_lo, q_hi] exact global quantiles (the
+    :func:`exact_quantiles` position rule — mirrored by the oracle).
+    Adds ``clipped``; keeps the original column for auditability.
+
+    Scale shape: identical to ``curate_percentile`` — one histogram
+    combiner pass yielding two scalars, then a pure narrow clip map.
+    The standard outlier guard before computing means/ratios over
+    heavy-tailed doc-length distributions."""
+    qs = exact_quantiles(ds, col, [lo_bp, hi_bp], num_buckets)
+    lo = int(qs["value"].iloc[0])
+    hi = int(qs["value"].iloc[1])
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["clipped"] = np.clip(
+            batch[col].to_numpy(), lo, hi
+        ).astype("int64")
+        return batch
+
+    return ds.map_batches(clip, batch_format="pandas")

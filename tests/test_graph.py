@@ -180,3 +180,40 @@ def test_cooccurrence_graph_matches_pair_semantics(ray_session):
         columns=["src", "dst"],
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_khop_sample_composes_layer_samples(ray_session):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    edges_df = _random_graph(n_nodes=20, n_edges=50, seed=21)
+    ds = ray.data.from_pandas(edges_df)
+    got = (
+        graph.khop_sample(ds, k1=2, k2=2, num_buckets=4)
+        .to_pandas()
+        .sort_values(["seed", "hop1", "hop2"])
+        .reset_index(drop=True)
+    )
+    # brute force: independent salted layers, joined
+    def layer(salt, k):
+        b = edges_df.copy()
+        b["h"] = [
+            md5int8(f"{salt}:{u}|{v}") for u, v in zip(b["src"], b["dst"])
+        ]
+        return (
+            b.sort_values(["src", "h", "dst"], kind="mergesort")
+            .groupby("src", sort=False)
+            .head(k)[["src", "dst"]]
+        )
+
+    l1 = layer("nbr1", 2).rename(columns={"src": "seed", "dst": "hop1"})
+    l2 = layer("nbr2", 2).rename(columns={"src": "hop1", "dst": "hop2"})
+    exp = (
+        l1.merge(l2, on="hop1")[["seed", "hop1", "hop2"]]
+        .sort_values(["seed", "hop1", "hop2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["seed", "hop1", "hop2"]], exp)
+    # frontier bound holds
+    assert got.groupby("seed").size().max() <= 2 * 2

@@ -79,3 +79,33 @@ def test_inverted_index_postings_truncated_and_df_full(ray_session):
         ids = sorted(ids)
         assert out.loc[tok, "df"] == len(ids)
         assert out.loc[tok, "postings"] == ",".join(str(i) for i in ids[:4])
+
+
+def test_winsorize_clips_to_exact_percentile_positions(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.textstats import winsorize
+
+    rng = np.random.RandomState(2)
+    vals = np.concatenate(
+        [rng.randint(50, 200, 400), [1, 2, 9000, 12000]]  # planted outliers
+    ).astype(np.int64)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(vals), dtype=np.int64), "v": vals}
+    )
+    got = (
+        winsorize(rd.from_pandas(df).repartition(4), "v", 500, 9500, 4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = len(vals)
+    s = np.sort(vals)
+    lo = s[max(1, -(-500 * n // 10000)) - 1]
+    hi = s[max(1, -(-9500 * n // 10000)) - 1]
+    assert (got["clipped"].to_numpy() == np.clip(vals, lo, hi)).all()
+    assert got["clipped"].min() == lo and got["clipped"].max() == hi
+    # originals preserved
+    assert (got["v"].to_numpy() == vals).all()
