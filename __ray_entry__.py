@@ -552,6 +552,25 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_edge_jaccard(sf_dir: str):
+    """Per-edge neighborhood Jaccard (link-prediction feature): exact
+    integer common-neighbor counts via the shared O(E^1.5) wedge-closure
+    kernel."""
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    quiet_ray_data()
+    return graph.edge_jaccard(_cooc_edges(sf_dir), num_buckets=_NB)
+
+
+def _q_deterministic_walks(sf_dir: str):
+    """DeepWalk-style deterministic 3-step walk corpus from every
+    entity (per-step salted k=1 transitions, measured-plan joins)."""
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    quiet_ray_data()
+    return graph.deterministic_walks(_cooc_edges(sf_dir), length=3, num_buckets=_NB)
+
+
 def _q_khop_sample(sf_dir: str):
     """Two-hop GNN frontier sample over the co-occurrence graph
     (k1=3, k2=2): two independent-salt neighbor_sample layers joined
@@ -1421,6 +1440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_search": _q_ann_lsh_search,
         "khop_sample": _q_khop_sample,
         "winsorize": _q_winsorize,
+        "edge_jaccard": _q_edge_jaccard,
+        "deterministic_walks": _q_deterministic_walks,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
@@ -1559,6 +1580,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_search": oracles.ANN_LSH_SEARCH,
         "khop_sample": oracles.KHOP_SAMPLE,
         "winsorize": oracles.WINSORIZE,
+        "edge_jaccard": oracles.EDGE_JACCARD,
+        "deterministic_walks": oracles.DETERMINISTIC_WALKS,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

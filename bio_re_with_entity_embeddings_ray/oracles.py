@@ -1693,3 +1693,51 @@ SELECT doc_id, n_chars,
        CAST(LEAST(GREATEST(n_chars, (SELECT v FROM __lo)),
                   (SELECT v FROM __hi)) AS BIGINT) AS clipped
 FROM documents"""
+
+
+# Per-edge neighborhood Jaccard (stages/graph.edge_jaccard): common
+# neighbors via closed wedges in canonical (deg, node)-rank orientation;
+# jaccard_bp = 10000 * common // (deg(a) + deg(b) - common)
+EDGE_JACCARD = f"""WITH {_COOC_EDGES},
+__deg AS (SELECT src AS node, count(*) AS deg FROM __e GROUP BY src),
+__rank AS (
+  SELECT node, row_number() OVER (ORDER BY deg, node) AS rk FROM __deg
+),
+__o AS (
+  SELECT e.src AS a, e.dst AS b
+  FROM __e e
+  JOIN __rank ra ON e.src = ra.node
+  JOIN __rank rb ON e.dst = rb.node
+  WHERE ra.rk < rb.rk
+),
+__tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM __o x
+  JOIN __o y ON x.a = y.a AND x.b <> y.b
+  JOIN __o z ON z.a = x.b AND z.b = y.b
+),
+__common AS (
+  SELECT x, y, count(*) AS common FROM (
+    SELECT a AS x, b AS y FROM __tri
+    UNION ALL SELECT a, c FROM __tri
+    UNION ALL SELECT b, c FROM __tri
+  ) GROUP BY x, y
+)
+SELECT LEAST(x, y) AS lo, GREATEST(x, y) AS hi,
+       CAST(common AS BIGINT) AS common,
+       CAST(10000 * common // (da.deg + db.deg - common) AS BIGINT)
+         AS jaccard_bp
+FROM __common c
+JOIN __deg da ON c.x = da.node
+JOIN __deg db ON c.y = db.node"""
+
+# Deterministic walk corpus (stages/graph.deterministic_walks, length=3,
+# per-step salts walk1..walk3, k=1 argmin-hash transitions)
+DETERMINISTIC_WALKS = f"""WITH {_COOC_EDGES},
+{_nbr_cte("__w1", "walk1", 1)},
+{_nbr_cte("__w2", "walk2", 1)},
+{_nbr_cte("__w3", "walk3", 1)}
+SELECT a.src AS start, a.dst AS n1, b.dst AS n2, c.dst AS n3
+FROM __w1 a
+JOIN __w2 b ON a.dst = b.src
+JOIN __w3 c ON b.dst = c.src"""

@@ -275,35 +275,30 @@ def neighbor_sample(
 
     return bucketed_group_apply(edges, src, per_bucket, num_buckets)
 
-
-def triangle_counts(
+def _closed_wedges(
     edges,
-    src: str = "src",
-    dst: str = "dst",
-    num_buckets: int = 16,
-    broadcast_max_rows: int = 5_000_000,
+    src: str,
+    dst: str,
+    num_buckets: int,
+    broadcast_max_rows: int,
 ):
-    """Per-node triangle counts over an UNDIRECTED graph given as a
-    symmetric distinct edge list.
+    """Shared wedge-closure kernel for :func:`triangle_counts` and
+    :func:`edge_jaccard`.
 
-    Degree-ordered wedge counting (the MapReduce-classic NodeIterator++):
-    orient each undirected edge from the lower-ranked endpoint to the
+    Degree-ordered orientation (the MapReduce-classic NodeIterator++):
+    each undirected edge points from the lower-ranked endpoint to the
     higher, rank(v) = (deg(v), v) — so wedge generation at a node
     enumerates pairs of OUT-neighbors only, bounding total wedges by
-    O(E^1.5) regardless of hot-node degree (a star graph's hub has
-    out-degree 0 or 1 under this orientation, so it emits no wedge
-    explosion — this is the skew handling, not an approximation).
+    O(E^1.5) regardless of hot-node degree (a star hub has out-degree
+    <= 1 under this ranking — that IS the skew handling, not an
+    approximation). Wedge ⋈ oriented-edge closure runs through the
+    measured broadcast/hash plan of ``relational.key_semi_anti_join`` on
+    a packed composite key.
 
-    Pipeline: degree pass (combiner, node-bounded result broadcast) →
-    orient (narrow map) → wedges per src (one node-keyed exchange; the
-    per-bucket kernel is a vectorized repeat/concat pair expansion) →
-    wedge ⋈ oriented-edge semi-join through the measured
-    broadcast/hash plan (``relational.key_semi_anti_join`` on a packed
-    composite key) → each closed wedge is one triangle (a < b < c in
-    rank order, counted exactly once) credited to all three corners →
-    per-node count merge.
-
-    Returns (node, triangles) for nodes in ≥1 triangle.
+    Returns ``(closed, deg_df, rank_ref)``: closed wedge rows
+    (a, b, c) with a < b < c in rank order — each one triangle, counted
+    exactly once — plus the node-bounded degree table and the broadcast
+    rank handle.
     """
     import ray
 
@@ -329,14 +324,15 @@ def triangle_counts(
     oriented = edges.map_batches(orient, batch_format="pandas")
 
     def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="object"),
+                "b": pd.Series([], dtype="object"),
+                "c": pd.Series([], dtype="object"),
+            }
+        )
         if len(bucket) == 0:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series([], dtype="object"),
-                    "b": pd.Series([], dtype="object"),
-                    "c": pd.Series([], dtype="object"),
-                }
-            )
+            return empty
         rk = ray.get(rref)
         b = bucket.assign(rb=bucket["b"].map(rk)).sort_values(
             ["a", "rb"], kind="mergesort"
@@ -355,13 +351,7 @@ def triangle_counts(
         cnt = idx - seg_start  # pairs contributed by row t
         tot = int(cnt.sum())
         if tot == 0:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series([], dtype="object"),
-                    "b": pd.Series([], dtype="object"),
-                    "c": pd.Series([], dtype="object"),
-                }
-            )
+            return empty
         c_idx = np.repeat(idx, cnt)
         block0 = np.concatenate(([0], np.cumsum(cnt)))[:-1]
         off = np.arange(tot, dtype=np.int64) - np.repeat(block0, cnt)
@@ -384,16 +374,34 @@ def triangle_counts(
             {"bc": batch["a"].astype(str) + SEP + batch["b"].astype(str)}
         )
 
-    packed = wedge_ds.map_batches(pack_wedge, batch_format="pandas")
-    edge_keys = oriented.map_batches(pack_edge, batch_format="pandas")
     closed = key_semi_anti_join(
-        packed,
-        edge_keys,
+        wedge_ds.map_batches(pack_wedge, batch_format="pandas"),
+        oriented.map_batches(pack_edge, batch_format="pandas"),
         "bc",
         anti=False,
         num_buckets=num_buckets,
         broadcast_max_keys=broadcast_max_rows,
         other_cols={"a": "", "b": "", "c": ""},
+    )
+    return closed, deg_df, rref
+
+
+def triangle_counts(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 16,
+    broadcast_max_rows: int = 5_000_000,
+):
+    """Per-node triangle counts over an UNDIRECTED graph given as a
+    symmetric distinct edge list: each closed wedge (one triangle,
+    canonical a < b < c rank orientation — see :func:`_closed_wedges`)
+    is credited to all three corners, merged by a count combiner.
+
+    Returns (node, triangles) for nodes in >= 1 triangle.
+    """
+    closed, _, _ = _closed_wedges(
+        edges, src, dst, num_buckets, broadcast_max_rows
     )
 
     def credit(batch: pd.DataFrame) -> pd.DataFrame:
@@ -465,3 +473,129 @@ def khop_sample(
         "hop1",
         num_buckets=num_buckets,
     )
+
+
+def edge_jaccard(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 16,
+    broadcast_max_rows: int = 5_000_000,
+):
+    """Per-edge neighborhood Jaccard similarity — the classic
+    link-prediction / edge-strength feature over the KG graph: for every
+    undirected edge (a, b) with at least one common neighbor,
+    ``common = |N(a) ∩ N(b)|`` and
+    ``jaccard_bp = 10000 * common // (deg(a) + deg(b) - common)``
+    (exact integers end to end).
+
+    Common-neighbor counting reuses the wedge-closure kernel
+    (:func:`_closed_wedges`, O(E^1.5)): a closed wedge (a, b, c)
+    witnesses ONE common neighbor for each of its three edges — c for
+    (a,b), b for (a,c), a for (b,c) — so common counts are a per-edge
+    sum over closed wedges, a combiner merge; degrees come from the
+    node-bounded degree table (broadcast into the finalize).
+    Returns (lo, hi, common, jaccard_bp), lo < hi lexicographic.
+    """
+    import ray
+
+    closed, deg_df, _ = _closed_wedges(
+        edges, src, dst, num_buckets, broadcast_max_rows
+    )
+    dref = ray.put(deg_df.set_index("node")["deg"])
+
+    def credit_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        c = batch["c"].to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "x": np.concatenate([a, a, b]),
+                    "y": np.concatenate([b, c, c]),
+                }
+            )
+            .groupby(["x", "y"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "common"})
+        )
+        g["common"] = g["common"].astype("int64")
+        return g
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["x", "y"], as_index=False, sort=False)[
+            "common"
+        ].sum()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        dg = ray.get(dref)
+        da = combined["x"].map(dg).to_numpy()
+        db = combined["y"].map(dg).to_numpy()
+        common = combined["common"].to_numpy()
+        union = da + db - common
+        x = combined["x"].to_numpy()
+        y = combined["y"].to_numpy()
+        lo = np.where(x < y, x, y)
+        hi = np.where(x < y, y, x)
+        return pd.DataFrame(
+            {
+                "lo": lo,
+                "hi": hi,
+                "common": common.astype(np.int64),
+                "jaccard_bp": (10000 * common // union).astype(np.int64),
+            }
+        )
+
+    return merge_partials(
+        closed.map_batches(credit_edges, batch_format="pandas"),
+        ["x", "y"],
+        combine,
+        finalize,
+        num_buckets,
+    )
+
+
+def deterministic_walks(
+    edges,
+    length: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 16,
+):
+    """DeepWalk-style walk corpus with DETERMINISTIC transitions: from
+    every node, a walk of ``length`` steps where step t moves from node
+    u to ``argmin_{v in N(u)} (md5int8(f"walk{t}:{u}|{v}"), v)`` — i.e.
+    :func:`neighbor_sample` with k=1 and a per-step salt. No RNG state,
+    parallelism-invariant, reproducible across runs/cluster sizes; a new
+    epoch of walks is a new salt prefix. Walks from graph embeddings'
+    (DeepWalk/node2vec) data-generation stage, in the engine's
+    determinism discipline (the reference's doc2vec consumes exactly
+    this kind of sequence corpus — learn_embeddings.py:36-58).
+
+    Each step is one k=1 sampling pass (node-keyed exchange, k-capped
+    output) plus one measured-plan join of the walk frontier against the
+    step's transition table — ``length`` joins total, each <= N rows on
+    both sides. Output: (start, n1, ..., n<length>); nodes with no
+    out-edge end their walk (inner join drops them — absent from the
+    symmetric co-occurrence graph where deg >= 1).
+    """
+    from bio_re_with_entity_embeddings_ray.stages.relational import hash_join
+
+    def step_table(t: int):
+        ns = neighbor_sample(
+            edges, k=1, src=src, dst=dst, salt=f"walk{t}", num_buckets=num_buckets
+        )
+        prev = "start" if t == 1 else f"n{t - 1}"
+
+        def rename(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({prev: b[src], f"n{t}": b[dst]})
+
+        return ns.map_batches(rename, batch_format="pandas")
+
+    walk = step_table(1)
+    for t in range(2, length + 1):
+        walk = hash_join(
+            walk, step_table(t), f"n{t - 1}", num_buckets=num_buckets
+        )
+    cols = ["start"] + [f"n{t}" for t in range(1, length + 1)]
+    return walk.select_columns(cols)

@@ -217,3 +217,64 @@ def test_khop_sample_composes_layer_samples(ray_session):
     pd.testing.assert_frame_equal(got[["seed", "hop1", "hop2"]], exp)
     # frontier bound holds
     assert got.groupby("seed").size().max() <= 2 * 2
+
+
+def test_edge_jaccard_matches_brute_force(ray_session):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    edges_df = _random_graph(n_nodes=18, n_edges=60, seed=31)
+    got = (
+        graph.edge_jaccard(ray.data.from_pandas(edges_df), num_buckets=4)
+        .to_pandas()
+        .sort_values(["lo", "hi"])
+        .reset_index(drop=True)
+    )
+    adj = {}
+    for e in edges_df.itertuples():
+        adj.setdefault(e.src, set()).add(e.dst)
+    rows = []
+    for a in adj:
+        for b in adj[a]:
+            if a < b:
+                common = len(adj[a] & adj[b])
+                if common:
+                    union = len(adj[a]) + len(adj[b]) - common
+                    rows.append((a, b, common, 10000 * common // union))
+    exp = (
+        pd.DataFrame(rows, columns=["lo", "hi", "common", "jaccard_bp"])
+        .sort_values(["lo", "hi"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_deterministic_walks_follow_argmin_hash(ray_session):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    edges_df = _random_graph(n_nodes=12, n_edges=30, seed=41)
+    got = (
+        graph.deterministic_walks(
+            ray.data.from_pandas(edges_df), length=3, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("start")
+        .reset_index(drop=True)
+    )
+    adj = {}
+    for e in edges_df.itertuples():
+        adj.setdefault(e.src, set()).add(e.dst)
+
+    def step(t, u):
+        return min(adj[u], key=lambda v: (md5int8(f"walk{t}:{u}|{v}"), v))
+
+    for r in got.itertuples():
+        n1 = step(1, r.start)
+        n2 = step(2, n1)
+        n3 = step(3, n2)
+        assert (r.n1, r.n2, r.n3) == (n1, n2, n3)
+    # one walk per node (every node has deg >= 1 in a symmetric graph)
+    assert len(got) == len(adj)
