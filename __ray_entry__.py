@@ -552,6 +552,36 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Quality-weighted deterministic Bernoulli sample: keep probability
+    min(n_chars, 10000)/10000 per document via salted hash."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import sampling
+
+    quiet_ray_data()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return sampling.weighted_sample(docs, "n_chars")
+
+
+def _q_pivot_counts(sf_dir: str):
+    """Per-user event counts pivoted wide over the bounded event-type
+    vocabulary (SQL PIVOT shape, static columns)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return relational.pivot_counts(
+        ev, "user_id", "event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+        num_buckets=_NB,
+    )
+
+
 def _q_edge_jaccard(sf_dir: str):
     """Per-edge neighborhood Jaccard (link-prediction feature): exact
     integer common-neighbor counts via the shared O(E^1.5) wedge-closure
@@ -1442,6 +1472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": _q_winsorize,
         "edge_jaccard": _q_edge_jaccard,
         "deterministic_walks": _q_deterministic_walks,
+        "weighted_sample": _q_weighted_sample,
+        "pivot_counts": _q_pivot_counts,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
@@ -1582,6 +1614,8 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": oracles.WINSORIZE,
         "edge_jaccard": oracles.EDGE_JACCARD,
         "deterministic_walks": oracles.DETERMINISTIC_WALKS,
+        "weighted_sample": oracles.WEIGHTED_SAMPLE,
+        "pivot_counts": oracles.PIVOT_COUNTS,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

@@ -1741,3 +1741,20 @@ SELECT a.src AS start, a.dst AS n1, b.dst AS n2, c.dst AS n3
 FROM __w1 a
 JOIN __w2 b ON a.dst = b.src
 JOIN __w3 c ON b.dst = c.src"""
+
+
+# Weighted Bernoulli sample (stages/sampling.weighted_sample over
+# documents, weight=n_chars, scale=10000, salt='wsample')
+WEIGHTED_SAMPLE = """SELECT doc_id, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000 < LEAST(n_chars, 10000)"""
+
+# Pivot aggregate (stages/relational.pivot_counts over events by
+# user_id x event_type, static column set)
+PIVOT_COUNTS = """SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id"""

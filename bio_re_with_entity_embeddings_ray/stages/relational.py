@@ -911,3 +911,66 @@ def bloom_semi_join(
         return batch[keep]
 
     return big.map_batches(probe, batch_format="pandas")
+
+
+def pivot_counts(ds, group_col: str, pivot_col: str,
+                 values: list[str] | None = None, num_buckets: int = 16):
+    """Pivot aggregate: one row per ``group_col`` with a count column
+    ``n_<v>`` per pivot value (the SQL ``SUM(CASE WHEN ...)`` /
+    ``PIVOT`` shape). ``values`` fixes the output schema up front (the
+    SQL-oracle-friendly form — like SQL PIVOT, static columns); None
+    discovers the distinct pivot values with a combiner pass first
+    (adds one tiny materialize; only sound when the pivot vocabulary is
+    bounded — an unbounded pivot column is a modelling error, not a
+    pivot).
+
+    Scale shape: per-batch (group, value) count combiner, group-keyed
+    merge, per-bucket C-level pivot_table. A hot group ships one row
+    per (value, block)."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    if values is None:
+        vals = (
+            ds.select_columns([pivot_col])
+            .map_batches(
+                lambda b: b.drop_duplicates(), batch_format="pandas",
+                batch_size=None,
+            )
+            .to_pandas()[pivot_col]
+            .unique()
+        )
+        values = sorted(vals)
+    cols = [f"n_{v}" for v in values]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby([group_col, pivot_col], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby([group_col, pivot_col], as_index=False, sort=False)[
+            "n"
+        ].sum()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        wide = combined.pivot_table(
+            index=group_col, columns=pivot_col, values="n",
+            aggfunc="sum", fill_value=0,
+        ).reindex(columns=values, fill_value=0)
+        wide.columns = cols
+        out = wide.reset_index()
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        group_col,
+        combine,
+        finalize,
+        num_buckets,
+    )

@@ -106,3 +106,28 @@ def cap_per_group(ds, group_col: str, n: int, key: str = "doc_id", salt: str = "
     from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
 
     return bucketed_group_apply(pre, group_col, final_top, num_buckets)
+
+
+def weighted_sample(ds, weight_col: str, scale: int = 10000,
+                    key: str = "doc_id", salt: str = "wsample"):
+    """Deterministic per-row WEIGHTED Bernoulli sampling: keep a row with
+    probability ``weight / scale`` (weights are integers, e.g. a quality
+    score in bp) — the weighted generalization of :func:`hash_sample`,
+    same salted-hash discipline: keep iff
+    ``md5int8(f"{salt}:{key}") % scale < weight``. Reproducible,
+    parallelism-invariant, pure narrow map; a new epoch's sample is a
+    new salt. Weights above ``scale`` always keep (clip semantics).
+
+    This is quality-weighted corpus downsampling (keep good documents
+    with higher probability) as one exact-mirror operator; for
+    fixed-SIZE weighted reservoirs the composition is this plus a
+    ``top_n`` on the hash — documented, not implemented, because
+    training mixes specify rates, not exact counts."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        tagged = [f"{salt}:{k}" for k in batch[key].astype(str)]
+        h = md5int8_array(tagged) % scale
+        w = np.minimum(batch[weight_col].to_numpy().astype(np.int64), scale)
+        return batch[h < w]
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=None)

@@ -214,3 +214,46 @@ def test_fused_nodes_and_triples_matches_separate_paths():
         ],
         n[["entity_id", "entity_type", "support"]],
     )
+
+
+def test_pivot_counts_matches_pandas_pivot(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import pivot_counts
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 40, 800).astype(np.int64),
+            "t": rng.choice(["a", "b", "c"], 800),
+        }
+    )
+    # static column set, including a value absent from the data
+    got = (
+        pivot_counts(
+            rd.from_pandas(df).repartition(5), "g", "t",
+            values=["a", "b", "c", "zzz"], num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.assign(n=1)
+        .pivot_table(index="g", columns="t", values="n", aggfunc="sum",
+                     fill_value=0)
+        .reindex(columns=["a", "b", "c", "zzz"], fill_value=0)
+        .reset_index()
+    )
+    exp.columns = ["g", "n_a", "n_b", "n_c", "n_zzz"]
+    pd.testing.assert_frame_equal(got, exp.astype({c: "int64" for c in exp.columns}))
+    # discovery path (values=None) agrees on the observed vocabulary
+    disc = (
+        pivot_counts(rd.from_pandas(df).repartition(5), "g", "t", num_buckets=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(disc, got.drop(columns=["n_zzz"]))

@@ -75,3 +75,40 @@ def test_cap_per_group_small_groups_untouched(ray_session):
     df = pd.DataFrame({"doc_id": range(6), "grp": [0, 0, 1, 1, 2, 2]})
     out = sampling.cap_per_group(rd.from_pandas(df), "grp", 5, num_buckets=2).to_pandas()
     assert len(out) == 6
+
+
+def test_weighted_sample_is_hash_thresholded(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8
+    from bio_re_with_entity_embeddings_ray.stages.sampling import weighted_sample
+
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "w": rng.randint(0, 12000, 3000).astype(np.int64),
+        }
+    )
+    got = (
+        weighted_sample(rd.from_pandas(df).repartition(4), "w", key="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    keep = [
+        r.doc_id
+        for r in df.itertuples()
+        if md5int8(f"wsample:{r.doc_id}") % 10000 < min(r.w, 10000)
+    ]
+    assert got["doc_id"].tolist() == keep
+    # weight 0 never kept; weight >= scale always kept
+    z = df[df["w"] == 0]["doc_id"]
+    assert not set(z) & set(got["doc_id"])
+    full = df[df["w"] >= 10000]["doc_id"]
+    assert set(full) <= set(got["doc_id"])
+    # keep rate tracks mean weight within a few points
+    expected_rate = np.minimum(df["w"], 10000).mean() / 10000
+    assert abs(len(got) / len(df) - expected_rate) < 0.05
