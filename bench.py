@@ -247,6 +247,22 @@ def _host_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def bench_graph(sf_dir: str, replicas: int, num_buckets: int) -> float:
+    """Graph family end-to-end: mention scan over the replicated corpus
+    -> untyped co-occurrence graph (combiner-deduped; every entity pair
+    is a hot key here — one partial row per block regardless of replica
+    count) -> 2-iteration integer PageRank (one narrow edges pass +
+    node-bounded merge per iteration)."""
+    from bio_re_with_entity_embeddings_ray.stages import graph
+    from bio_re_with_entity_embeddings_ray.stages.mentions import scan_mentions
+
+    t0 = time.perf_counter()
+    m = scan_mentions(_transcripts(sf_dir, replicas), include_tool=True)
+    edges = graph.cooccurrence_graph(m, num_buckets=num_buckets)
+    graph.pagerank(edges, iters=2, num_buckets=num_buckets)
+    return time.perf_counter() - t0
+
+
 def bench_knn(sf_dir: str) -> float:
     import ray.data as rd
 
@@ -310,6 +326,9 @@ def run_once() -> dict:
                 "pack_shuffled": round(bench_pack(sf_dir, replicas), 3),
                 "paragraph_dedup": round(
                     bench_paradedup(sf_dir, replicas, num_buckets), 3
+                ),
+                "pagerank_cooc": round(
+                    bench_graph(sf_dir, replicas, num_buckets), 3
                 ),
             }
         )
