@@ -124,6 +124,34 @@ def cmd_pipeline(args) -> dict:
     return {"rows": ds.count()}
 
 
+def cmd_graph(args) -> dict:
+    """Graph-analytics pass over the KG: co-occurrence edges -> PageRank
+    + per-node triangle counts + a walk corpus, written as Parquet."""
+    from bio_re_with_entity_embeddings_ray.sources.transcripts import (
+        derive_transcripts,
+    )
+    from bio_re_with_entity_embeddings_ray.stages import graph
+    from bio_re_with_entity_embeddings_ray.stages.mentions import scan_mentions
+
+    m = scan_mentions(derive_transcripts(args.sf_dir), include_tool=True)
+    edges = graph.cooccurrence_graph(m, num_buckets=args.num_buckets).materialize()
+    n_edges = _write(edges, f"{args.out}/edges")
+    pr = graph.pagerank(edges, iters=args.iters, num_buckets=args.num_buckets)
+    pr.to_parquet(f"{args.out}/pagerank.parquet")
+    tri = graph.triangle_counts(edges, num_buckets=args.num_buckets)
+    n_tri = _write(tri, f"{args.out}/triangles")
+    walks = graph.deterministic_walks(
+        edges, length=args.walk_length, num_buckets=args.num_buckets
+    )
+    n_walks = _write(walks, f"{args.out}/walks")
+    return {
+        "edges": n_edges,
+        "nodes": len(pr),
+        "triangle_nodes": n_tri,
+        "walks": n_walks,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bio_re_with_entity_embeddings_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -146,6 +174,14 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--num-buckets", type=int, default=16)
     cur.add_argument("--neardup", action="store_true")
     cur.set_defaults(fn=cmd_curate)
+
+    gr = sub.add_parser("graph", help="graph analytics over the KG edges")
+    gr.add_argument("--sf-dir", required=True)
+    gr.add_argument("--out", required=True)
+    gr.add_argument("--num-buckets", type=int, default=16)
+    gr.add_argument("--iters", type=int, default=2)
+    gr.add_argument("--walk-length", type=int, default=3)
+    gr.set_defaults(fn=cmd_graph)
 
     pipe = sub.add_parser("pipeline", help="run a declarative step-config pipeline")
     pipe.add_argument("--config", required=True)

@@ -68,3 +68,19 @@ def test_cli_kg_checkpointed_resume(ray_session, tmp_path, capsys):
     # resumed run produces identical artifacts
     for key in ("nodes", "triples", "scored", "adjacency"):
         assert second[key] == first[key]
+
+
+def test_cli_graph(ray_session, tmp_path, capsys):
+    rc = cli.main(
+        ["graph", "--sf-dir", SF, "--out", str(tmp_path / "g"),
+         "--num-buckets", "4"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["edges"] > 0 and out["nodes"] > 0 and out["walks"] > 0
+    assert os.path.isdir(tmp_path / "g" / "edges")
+    assert os.path.isfile(tmp_path / "g" / "pagerank.parquet")
+    import pandas as pd
+
+    pr = pd.read_parquet(tmp_path / "g" / "pagerank.parquet")
+    assert set(pr.columns) == {"node", "rank_mu"} and (pr["rank_mu"] > 0).all()
