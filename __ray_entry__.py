@@ -552,6 +552,33 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_kcore(sf_dir: str):
+    """Fixed-round k-core peel (k=2, 3 rounds) over the co-occurrence
+    graph: per round one degree combiner pass + broadcast keep-set edge
+    filter; edges never shuffle."""
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    quiet_ray_data()
+    return graph.kcore(_cooc_edges(sf_dir), k=2, rounds=3, num_buckets=_NB)
+
+
+def _q_fuzzy_token_pairs(sf_dir: str):
+    """Spelling-variant pairs (exact edit distance <= 1) over the corpus
+    vocabulary via complete FastSS deletion-key blocking; a planted
+    typo document guarantees non-trivial positives (the synthetic vocab
+    has none) and the oracle verifies via an independent brute-force
+    levenshtein join."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).union(
+        rd.from_items([{"doc_id": -1, "text": "mergee slowx tablle filte"}])
+    )
+    return textstats.fuzzy_token_pairs(docs, num_buckets=_NB)
+
+
 def _q_weighted_sample(sf_dir: str):
     """Quality-weighted deterministic Bernoulli sample: keep probability
     min(n_chars, 10000)/10000 per document via salted hash."""
@@ -1474,6 +1501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_walks": _q_deterministic_walks,
         "weighted_sample": _q_weighted_sample,
         "pivot_counts": _q_pivot_counts,
+        "kcore": _q_kcore,
+        "fuzzy_token_pairs": _q_fuzzy_token_pairs,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
@@ -1616,6 +1645,8 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_walks": oracles.DETERMINISTIC_WALKS,
         "weighted_sample": oracles.WEIGHTED_SAMPLE,
         "pivot_counts": oracles.PIVOT_COUNTS,
+        "kcore": oracles.KCORE,
+        "fuzzy_token_pairs": oracles.FUZZY_TOKEN_PAIRS,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

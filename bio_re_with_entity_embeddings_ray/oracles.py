@@ -1758,3 +1758,41 @@ PIVOT_COUNTS = """SELECT user_id,
   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY user_id"""
+
+
+# Fixed-round k-core peel (stages/graph.kcore, k=2, rounds=3): unrolled
+# degree/filter rounds, residual degree of the survivors
+def _kcore_round(i: int, prev: str) -> str:
+    return f"""d{i} AS (SELECT src AS node, count(*) AS deg FROM {prev} GROUP BY src),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= 2),
+e{i} AS (
+  SELECT src, dst FROM {prev}
+  WHERE src IN (SELECT node FROM k{i}) AND dst IN (SELECT node FROM k{i})
+)"""
+
+
+KCORE = f"""WITH {_COOC_EDGES},
+e0 AS (SELECT src, dst FROM __e),
+{_kcore_round(1, "e0")},
+{_kcore_round(2, "e1")},
+{_kcore_round(3, "e2")},
+d4 AS (SELECT src AS node, count(*) AS deg FROM e3 GROUP BY src)
+SELECT node, CAST(deg AS BIGINT) AS deg FROM d4 WHERE deg >= 2"""
+
+# Spelling-variant pairs (stages/textstats.fuzzy_token_pairs,
+# min_len=4): the oracle verifies the FastSS blocking INDEPENDENTLY —
+# a brute-force levenshtein self-join over the vocabulary, so any pair
+# the deletion-key blocking missed would surface as a mismatch
+FUZZY_TOKEN_PAIRS = """WITH __docs AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT 'mergee slowx tablle filte'
+),
+__vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM __docs
+  ) WHERE length(w) >= 4
+)
+SELECT a.w AS a, b.w AS b
+FROM __vocab a JOIN __vocab b
+  ON a.w < b.w AND levenshtein(a.w, b.w) <= 1"""

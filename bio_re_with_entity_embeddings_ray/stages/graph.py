@@ -183,6 +183,11 @@ def pagerank(
     """
     import ray
 
+    # the edge list is consumed iters+1 times (degree pass + one pass per
+    # iteration): pin it once so the upstream DAG (mention scan, pair
+    # dedup) is not re-executed per pass — the materialized edges are the
+    # iteration working set and spill to the object store at scale
+    edges = edges.materialize()
     deg_df = degree_table(edges, src, dst, num_buckets)
     nodes = np.sort(deg_df["node"].to_numpy())
     deg = (
@@ -306,6 +311,9 @@ def _closed_wedges(
         key_semi_anti_join,
     )
 
+    # edges feed the degree pass AND the orient map; the oriented list
+    # feeds wedge generation AND the closure key side — pin both once
+    edges = edges.materialize()
     deg_df = degree_table(edges, src, dst, num_buckets)
     # rank by (deg, node): a C-level lexsort position per node
     d = deg_df.sort_values(["deg", "node"], kind="mergesort")
@@ -321,7 +329,7 @@ def _closed_wedges(
             {"a": batch[src].to_numpy()[keep], "b": batch[dst].to_numpy()[keep]}
         )
 
-    oriented = edges.map_batches(orient, batch_format="pandas")
+    oriented = edges.map_batches(orient, batch_format="pandas").materialize()
 
     def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -454,6 +462,7 @@ def khop_sample(
     """
     from bio_re_with_entity_embeddings_ray.stages.relational import hash_join
 
+    edges = edges.materialize()  # consumed by both sampling layers
     ns1 = neighbor_sample(
         edges, k=k1, src=src, dst=dst, salt="nbr1", num_buckets=num_buckets
     )
@@ -581,6 +590,7 @@ def deterministic_walks(
     """
     from bio_re_with_entity_embeddings_ray.stages.relational import hash_join
 
+    edges = edges.materialize()  # consumed once per walk step
     def step_table(t: int):
         ns = neighbor_sample(
             edges, k=1, src=src, dst=dst, salt=f"walk{t}", num_buckets=num_buckets
@@ -599,3 +609,45 @@ def deterministic_walks(
         )
     cols = ["start"] + [f"n{t}" for t in range(1, length + 1)]
     return walk.select_columns(cols)
+
+def kcore(
+    edges,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 16,
+):
+    """Fixed-round k-core peeling over a symmetric distinct edge list:
+    each round drops nodes of degree < k and the edges touching them
+    (``rounds`` rounds — a bounded-iteration approximation of the full
+    k-core fixpoint, same unrolled-iteration contract as
+    :func:`pagerank` / kmeans so the SQL oracle can mirror it exactly;
+    ``rounds`` rises to the graph's peel depth for exactness and the
+    pytest checks a case that converges). Returns (node, deg) of the
+    survivors with their residual degree.
+
+    Scale shape per round: one combiner degree pass (node-bounded
+    result), keep-set broadcast via ``ray.put``, one narrow edge filter
+    — the edges never shuffle; total cost is ``rounds`` streaming passes
+    over a monotonically shrinking edge list.
+    """
+    import ray
+
+    cur = edges.materialize()  # re-read every round; pin the input once
+    deg_df = None
+    for _ in range(rounds):
+        deg_df = degree_table(cur, src, dst, num_buckets)
+        keep = set(deg_df.loc[deg_df["deg"] >= k, "node"].tolist())
+        kref = ray.put(keep)
+
+        def efilter(batch: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(kref)
+            m = batch[src].isin(ks).to_numpy() & batch[dst].isin(ks).to_numpy()
+            return batch[m]
+
+        cur = cur.map_batches(efilter, batch_format="pandas").materialize()
+    deg_df = degree_table(cur, src, dst, num_buckets)
+    out = deg_df[deg_df["deg"] >= k].sort_values("node").reset_index(drop=True)
+    out["deg"] = out["deg"].astype("int64")
+    return out

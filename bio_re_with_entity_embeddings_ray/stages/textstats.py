@@ -889,3 +889,145 @@ def winsorize(ds, col: str, lo_bp: int = 500, hi_bp: int = 9500,
         return batch
 
     return ds.map_batches(clip, batch_format="pandas")
+
+
+def _deletion_keys(tokens: np.ndarray):
+    """FastSS deletion neighborhood, vectorized across tokens per length
+    group: for token t emit t itself plus every delete-one-char variant.
+    Two distinct tokens are within edit distance 1 IFF they share a key
+    (complete blocking for ED<=1; candidates still need verification —
+    e.g. 'ab'/'ba' share keys at distance 2). Returns (keys, owners)."""
+    lens = np.array([len(t) for t in tokens], dtype=np.int64)
+    out_k: list = []
+    out_t: list = []
+    for L in np.unique(lens):
+        grp = tokens[lens == L]
+        out_k.append(grp)
+        out_t.append(grp)
+        if L < 2:
+            continue
+        A = grp.astype(f"<U{L}").view(np.uint32).reshape(len(grp), L)
+        for i in range(L):
+            D = np.ascontiguousarray(
+                np.concatenate([A[:, :i], A[:, i + 1 :]], axis=1)
+            )
+            out_k.append(D.view(f"<U{L - 1}").ravel())
+            out_t.append(grp)
+    return np.concatenate(out_k), np.concatenate(out_t)
+
+
+def _ed1_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized exact edit-distance<=1 verification for candidate
+    pairs with |len(a) - len(b)| <= 1, grouped by length pair (no
+    per-pair Python DP)."""
+    la = np.array([len(t) for t in a], dtype=np.int64)
+    lb = np.array([len(t) for t in b], dtype=np.int64)
+    ok = np.zeros(len(a), dtype=bool)
+    for (x, y) in {(int(p), int(q)) for p, q in zip(la, lb)}:
+        m = (la == x) & (lb == y)
+        if not m.any():
+            continue
+        if x == y:
+            A = a[m].astype(f"<U{x}").view(np.uint32).reshape(-1, x)
+            B = b[m].astype(f"<U{x}").view(np.uint32).reshape(-1, x)
+            ok[m] = (A != B).sum(axis=1) <= 1
+        elif abs(x - y) == 1:
+            s, t = (a[m], b[m]) if x < y else (b[m], a[m])
+            Ls = min(x, y)
+            S = s.astype(f"<U{Ls}").view(np.uint32).reshape(-1, Ls)
+            T = t.astype(f"<U{Ls + 1}").view(np.uint32).reshape(-1, Ls + 1)
+            # first mismatch position p vs the longer string's prefix;
+            # then S[p:] must equal T[p+1:] (one insertion)
+            eq = S == T[:, :Ls]
+            p = np.where(eq.all(axis=1), Ls, eq.argmin(axis=1))
+            J = np.broadcast_to(np.arange(Ls), S.shape)
+            Bidx = J + (J >= p[:, None])
+            ok[m] = (S == np.take_along_axis(T, Bidx, axis=1)).all(axis=1)
+    return ok
+
+
+FUZZY_MIN_LEN = 4
+
+
+def fuzzy_token_pairs(docs, min_len: int = FUZZY_MIN_LEN,
+                      num_buckets: int = 16):
+    """Spelling-variant detection over the corpus vocabulary — the
+    entity-resolution primitive (surface-form clustering) at token
+    granularity: all DISTINCT token pairs (a < b) within edit distance 1,
+    for tokens of at least ``min_len`` chars (short tokens produce noise
+    and hot deletion keys; the oracle mirrors the cap).
+
+    FastSS/SymSpell shape: vocabulary (combiner-distinct, bounded) →
+    delete-one-char key fan-out (complete for ED<=1) → per-key candidate
+    pairs (bucketed; a key's candidates are its collision set, not the
+    corpus) → vectorized exact verification (:func:`_ed1_mask`) →
+    cross-key distinct merge. The corpus streams once for the vocab
+    pass; everything after is vocabulary-bounded.
+    """
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+        merge_partials,
+    )
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["text"].str.split(" ").explode()
+        u = w[w.str.len() >= min_len].unique()
+        return pd.DataFrame({"w": u.astype(object)})
+
+    vocab = merge_partials(
+        docs.map_batches(vocab_partial, batch_format="pandas"),
+        "w",
+        lambda b: b.drop_duplicates("w"),
+        lambda b: b,
+        num_buckets,
+    )
+
+    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["w"].to_numpy()
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {"key": pd.Series([], dtype="object"),
+                 "w": pd.Series([], dtype="object")}
+            )
+        keys, owners = _deletion_keys(toks)
+        return pd.DataFrame({"key": keys, "w": owners})
+
+    keyed = vocab.map_batches(fan_out, batch_format="pandas")
+
+    def per_key_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="object"),
+             "b": pd.Series([], dtype="object")}
+        )
+        if len(bucket) == 0:
+            return empty
+        b = bucket.drop_duplicates(["key", "w"]).sort_values(
+            ["key", "w"], kind="mergesort"
+        )
+        w = b["w"].to_numpy()
+        kcol = b["key"].to_numpy()
+        n = len(b)
+        idx = np.arange(n, dtype=np.int64)
+        change = np.concatenate(([True], kcol[1:] != kcol[:-1]))
+        seg_start = np.repeat(idx[change], np.diff(np.append(idx[change], n)))
+        cnt = idx - seg_start
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        b_idx = np.repeat(idx, cnt)
+        block0 = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        off = np.arange(tot, dtype=np.int64) - np.repeat(block0, cnt)
+        a_idx = np.repeat(seg_start, cnt) + off
+        cand = pd.DataFrame({"a": w[a_idx], "b": w[b_idx]}).drop_duplicates()
+        keep = _ed1_mask(cand["a"].to_numpy(), cand["b"].to_numpy())
+        return cand[keep]
+
+    pairs = bucketed_group_apply(keyed, "key", per_key_pairs, num_buckets)
+
+    return merge_partials(
+        pairs,
+        ["a", "b"],
+        lambda b: b.drop_duplicates(["a", "b"]),
+        lambda b: b,
+        num_buckets,
+    )

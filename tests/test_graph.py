@@ -278,3 +278,36 @@ def test_deterministic_walks_follow_argmin_hash(ray_session):
         assert (r.n1, r.n2, r.n3) == (n1, n2, n3)
     # one walk per node (every node has deg >= 1 in a symmetric graph)
     assert len(got) == len(adj)
+
+
+def test_kcore_matches_iterative_peel(ray_session):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    # two triangles joined by a path of degree-1/2 nodes: the path peels
+    # away over rounds, triangles survive (converged within 3 rounds)
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7), (4, 5)]
+    rows = []
+    for a, b in und:
+        rows.append({"src": f"n{a}", "dst": f"n{b}"})
+        rows.append({"src": f"n{b}", "dst": f"n{a}"})
+    df = pd.DataFrame(rows)
+    got = graph.kcore(ray.data.from_pandas(df), k=2, rounds=3, num_buckets=3)
+    # brute force peel to fixpoint
+    adj = {}
+    for a, b in und:
+        adj.setdefault(f"n{a}", set()).add(f"n{b}")
+        adj.setdefault(f"n{b}", set()).add(f"n{a}")
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < 2:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    exp = pd.DataFrame(
+        sorted((v, len(ns)) for v, ns in adj.items()), columns=["node", "deg"]
+    )
+    pd.testing.assert_frame_equal(got, exp.astype({"deg": "int64"}))

@@ -109,3 +109,61 @@ def test_winsorize_clips_to_exact_percentile_positions(ray_session):
     assert got["clipped"].min() == lo and got["clipped"].max() == hi
     # originals preserved
     assert (got["v"].to_numpy() == vals).all()
+
+
+def test_fuzzy_token_pairs_complete_for_ed1(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.textstats import (
+        _ed1_mask,
+        fuzzy_token_pairs,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "merge table filter stream",
+                "mergee tablle filte",       # insert / double / delete
+                "margе unrelated words here", # cyrillic е: NOT ED1 of merge+r
+                "aaab abab baab merge",
+            ],
+        }
+    )
+    got = (
+        fuzzy_token_pairs(rd.from_pandas(docs).repartition(2), num_buckets=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # brute force over the >=4-char vocabulary
+    vocab = sorted(
+        {w for t in docs["text"] for w in t.split(" ") if len(w) >= 4}
+    )
+
+    def ed(a, b):
+        if len(a) > len(b):
+            a, b = b, a
+        if len(b) - len(a) > 1:
+            return 2
+        prev = list(range(len(a) + 1))
+        for i, cb in enumerate(b, 1):
+            cur = [i]
+            for j, ca in enumerate(a, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exp = pd.DataFrame(
+        [(a, b) for i, a in enumerate(vocab) for b in vocab[i + 1:]
+         if ed(a, b) <= 1],
+        columns=["a", "b"],
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # the vectorized verifier agrees with DP on tricky candidates
+    a = np.array(["abab", "aaab", "abcd", "abcd", "xabcd"], dtype=object)
+    b = np.array(["baab", "aaab", "abd", "abxcd", "abcd"], dtype=object)
+    assert _ed1_mask(a, b).tolist() == [ed(x, y) <= 1 for x, y in zip(a, b)]
