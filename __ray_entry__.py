@@ -552,6 +552,35 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_rel_multi_join(sf_dir: str):
+    """TPC-H Q5-shaped multi-way join rollup: revenue per nation with
+    fact-side pre-aggregation before any join and measured join plans."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return relational.revenue_by_nation(li, orders, cust, nation, num_buckets=_NB)
+
+
+def _q_explode_list(sf_dir: str):
+    """Arrow list-column flatten (SQL unnest): the conv->entity-list
+    production table exploded back to one row per (conv, entity)."""
+    quiet_ray_data()
+    nested = aggregate.conv2entity(_all_mentions(sf_dir), _NB, as_string=False)
+    return relational.explode_list(nested, "entity_ids", "entity_id")
+
+
 def _q_kcore(sf_dir: str):
     """Fixed-round k-core peel (k=2, 3 rounds) over the co-occurrence
     graph: per round one degree combiner pass + broadcast keep-set edge
@@ -1503,6 +1532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": _q_pivot_counts,
         "kcore": _q_kcore,
         "fuzzy_token_pairs": _q_fuzzy_token_pairs,
+        "rel_multi_join": _q_rel_multi_join,
+        "explode_list": _q_explode_list,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- KG-construction core (SURVEY.md §2.2-2.5, §3) ---
@@ -1647,6 +1678,8 @@ def oracle_sql() -> dict[str, str]:
         "pivot_counts": oracles.PIVOT_COUNTS,
         "kcore": oracles.KCORE,
         "fuzzy_token_pairs": oracles.FUZZY_TOKEN_PAIRS,
+        "rel_multi_join": oracles.REL_MULTI_JOIN,
+        "explode_list": oracles.EXPLODE_LIST,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

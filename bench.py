@@ -258,7 +258,14 @@ def bench_graph(sf_dir: str, replicas: int, num_buckets: int) -> float:
 
     t0 = time.perf_counter()
     m = scan_mentions(_transcripts(sf_dir, replicas), include_tool=True)
-    edges = graph.cooccurrence_graph(m, num_buckets=num_buckets)
+    # conv-contiguous blocks (same layout contract as bench_kg, blocks
+    # far below target_max_block_size): pair expansion per block, zero
+    # conv shuffle — the general path's full mention exchange measured
+    # 130 s at this input; this path removes it
+    edges = graph.cooccurrence_graph(
+        m, num_buckets=num_buckets, conv_partitioned=True,
+        assume_unsplit_blocks=True,
+    )
     graph.pagerank(edges, iters=2, num_buckets=num_buckets)
     return time.perf_counter() - t0
 

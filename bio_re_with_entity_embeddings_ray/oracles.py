@@ -1796,3 +1796,26 @@ __vocab AS (
 SELECT a.w AS a, b.w AS b
 FROM __vocab a JOIN __vocab b
   ON a.w < b.w AND levenshtein(a.w, b.w) <= 1"""
+
+
+# Multi-way join rollup (stages/relational.revenue_by_nation, TPC-H Q5
+# shape): revenue per nation, integer cents per row before summation
+REL_MULTI_JOIN = """SELECT n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+# Arrow list flatten (stages/relational.explode_list over the
+# conv->entity-list table): SQL unnest semantics
+EXPLODE_LIST = f"""WITH {kg_cte()},
+__dm AS (SELECT DISTINCT conv_id, entity_id FROM __mentions),
+__g AS (
+  SELECT conv_id, list(entity_id ORDER BY entity_id) AS entity_ids,
+         CAST(count(*) AS INT) AS n_entities
+  FROM __dm GROUP BY conv_id
+)
+SELECT conv_id, n_entities, unnest(entity_ids) AS entity_id FROM __g"""

@@ -39,7 +39,12 @@ from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
 PAGERANK_SCALE = 10**12  # rank unit: 1/SCALE of total probability mass
 
 
-def cooccurrence_graph(mentions, num_buckets: int = 16):
+def cooccurrence_graph(
+    mentions,
+    num_buckets: int = 16,
+    conv_partitioned: bool = False,
+    assume_unsplit_blocks: bool = False,
+):
     """Symmetric DISTINCT entity co-occurrence edge list (src, dst) over
     ALL entity types: an undirected edge per entity pair that shares at
     least one conversation (each edge present in both directions).
@@ -51,6 +56,20 @@ def cooccurrence_graph(mentions, num_buckets: int = 16):
     ``pairs._cross_and_pack`` bounded by conversation size; cross-conv
     dedup is a combiner (local ``drop_duplicates``) + the measured merge
     plan — a hot pair ships one row per block, never one per conv.
+
+    ``conv_partitioned=True`` declares the engine's standard layout
+    (every conversation's mention rows contiguous in one block — the
+    same contract as ``pairs.triples``): pair expansion then runs per
+    BLOCK with NO conv shuffle — only block-local distinct pairs (edge-
+    vocabulary bounded, NOT mention-stream sized) reach the merge.
+    Measured at 128 replicas / 4.6M turns: the general path's full
+    mention exchange was the entire 130 s runtime; the per-block path
+    removes it. Robust by default to Ray splitting a conversation
+    across blocks: only a block's first/last conv can straddle, and
+    those convs' rows are routed through the exact general path — the
+    union is deduped by the distinct merge, so overlap is harmless
+    (``assume_unsplit_blocks=True`` skips the boundary sub-pipeline
+    when the caller guarantees small emitted blocks, as in bench/kg).
     """
 
     def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -86,7 +105,35 @@ def cooccurrence_graph(mentions, num_buckets: int = 16):
             {"lo": ent[lo_idx], "hi": ent[hi_idx]}
         ).drop_duplicates()
 
-    pairs = bucketed_group_apply(mentions, "conv_id", per_conv, num_buckets)
+    if not conv_partitioned:
+        pairs = bucketed_group_apply(mentions, "conv_id", per_conv, num_buckets)
+    else:
+
+        def interior_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0 or assume_unsplit_blocks:
+                return per_conv(batch)
+            boundary = {batch["conv_id"].iloc[0], batch["conv_id"].iloc[-1]}
+            return per_conv(batch[~batch["conv_id"].isin(boundary)])
+
+        pairs = mentions.map_batches(
+            interior_pairs, batch_format="pandas", batch_size=None
+        )
+        if not assume_unsplit_blocks:
+
+            def boundary_rows(batch: pd.DataFrame) -> pd.DataFrame:
+                if len(batch) == 0:
+                    return batch[["conv_id", "entity_id"]]
+                boundary = {batch["conv_id"].iloc[0], batch["conv_id"].iloc[-1]}
+                return batch.loc[
+                    batch["conv_id"].isin(boundary), ["conv_id", "entity_id"]
+                ]
+
+            bnd = mentions.map_batches(
+                boundary_rows, batch_format="pandas", batch_size=None
+            )
+            pairs = pairs.union(
+                bucketed_group_apply(bnd, "conv_id", per_conv, num_buckets)
+            )
 
     und = merge_partials(
         pairs,

@@ -974,3 +974,104 @@ def pivot_counts(ds, group_col: str, pivot_col: str,
         finalize,
         num_buckets,
     )
+
+
+def revenue_by_nation(lineitem, orders, customer, nation,
+                      num_buckets: int = 16):
+    """Multi-way join rollup (TPC-H Q5 shape): revenue per nation through
+    lineitem ⋈ orders ⋈ customer ⋈ nation, with the engine's standard
+    disciplines composed:
+
+    - lineitem (the fact table) is PRE-AGGREGATED per order inside
+      ``map_batches`` before any join — the join input is one row per
+      (orderkey, block), not one per line item;
+    - each dimension hop goes through :func:`hash_join`'s measured
+      broadcast/hash plan (orders and customer are broadcast-scale here;
+      at fact-scale the same call flips to the native shuffle join);
+    - revenue is integer cents per row before summation (order-
+      independent, oracle-exact);
+    - the final rollup is a bounded-key merge (25 nations) on the lazy
+      tree plan.
+    """
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].astype("int64"),
+                "cents": (batch["l_extendedprice"] * 100)
+                .round()
+                .astype("int64"),
+            }
+        )
+        return b.groupby("o_orderkey", as_index=False, sort=False)["cents"].sum()
+
+    li = lineitem.map_batches(li_partial, batch_format="pandas")
+    j1 = hash_join(
+        li,
+        orders.select_columns(["o_orderkey", "o_custkey"]),
+        "o_orderkey",
+        num_buckets=num_buckets,
+    )
+    j2 = hash_join(
+        j1,
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        "o_custkey",
+        right_key_col="c_custkey",
+        num_buckets=num_buckets,
+    )
+    j3 = hash_join(
+        j2,
+        nation.select_columns(["n_nationkey", "n_name"]),
+        "c_nationkey",
+        right_key_col="n_nationkey",
+        num_buckets=num_buckets,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("n_name", as_index=False, sort=False)[
+            "cents"
+        ].sum()
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("n_name", as_index=False, sort=False)[
+            "cents"
+        ].sum()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        out = combined.rename(columns={"cents": "revenue_cents"})
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out.sort_values("n_name").reset_index(drop=True)
+
+    return merge_partials(
+        j3.map_batches(partial, batch_format="pandas"),
+        "n_name",
+        combine,
+        finalize,
+        num_buckets,
+        plan="tree",
+    )
+
+
+def explode_list(ds, list_col: str, out_col: str):
+    """Flatten an Arrow ``list<...>`` column to one row per element
+    (SQL ``unnest``), keeping every other column — zero-copy on the
+    Arrow path via ``pyarrow.ListArray`` offsets (parent rows are
+    repeated with ``take``; no Python per-row loop). Rows with empty
+    lists produce no output (unnest semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        counts = pc.list_value_length(col).fill_null(0)
+        parent = np.repeat(
+            np.arange(len(batch), dtype=np.int64), counts.to_numpy()
+        )
+        others = batch.drop([list_col]).take(pa.array(parent))
+        return others.append_column(out_col, flat)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

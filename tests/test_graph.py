@@ -311,3 +311,37 @@ def test_kcore_matches_iterative_peel(ray_session):
         sorted((v, len(ns)) for v, ns in adj.items()), columns=["node", "deg"]
     )
     pd.testing.assert_frame_equal(got, exp.astype({"deg": "int64"}))
+
+
+def test_cooccurrence_conv_partitioned_paths_agree(ray_session):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for c in range(60):
+        ents = rng.choice([f"e{i}" for i in range(12)],
+                          size=rng.randint(1, 6), replace=False)
+        for e in ents:
+            rows.append({"conv_id": f"c{c:03d}", "entity_id": e})
+    m = pd.DataFrame(rows).sort_values("conv_id", kind="mergesort")
+    # conv-contiguous blocks: split at conv boundaries... and ALSO a
+    # layout where a conv straddles two blocks (default path must still
+    # be exact via the boundary sub-pipeline)
+    ds_whole = ray.data.from_pandas(m)
+    cut = len(m) // 2  # almost certainly mid-conversation
+    ds_split = ray.data.from_pandas([m.iloc[:cut], m.iloc[cut:]])
+
+    key = lambda df: df.sort_values(["src", "dst"]).reset_index(drop=True)
+    general = key(graph.cooccurrence_graph(ds_whole, 4).to_pandas())
+    partitioned = key(
+        graph.cooccurrence_graph(
+            ds_whole, 4, conv_partitioned=True, assume_unsplit_blocks=True
+        ).to_pandas()
+    )
+    straddling = key(
+        graph.cooccurrence_graph(ds_split, 4, conv_partitioned=True).to_pandas()
+    )
+    pd.testing.assert_frame_equal(general, partitioned)
+    pd.testing.assert_frame_equal(general, straddling)
