@@ -212,8 +212,11 @@ def embedding_covariance(emb, num_buckets: int = 16):
     exact integers).
 
     Scale shape: narrow map + fixed-size combiner — the corpus streams
-    once, nothing key-distributed ever exceeds d^2 rows, so this runs
-    identically at 100 TB (it is the same shape as a grand total).
+    once and nothing key-distributed ever exceeds d^2 rows. Exactness
+    bound: the accumulated sums are int64-safe to ~9e10 rows, but the
+    final ``n * Sxy`` products wrap int64 around n ~ 3e5 rows at
+    COV_BP=10^4 — the finalize checks and raises rather than wrapping;
+    lower ``COV_BP`` (precision-for-range) for larger corpora.
     """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -250,15 +253,31 @@ def embedding_covariance(emb, num_buckets: int = 16):
             .set_index("i")["s"]
         )
         xx = combined[combined["j"] > 0]
-        cov = (
-            n * xx["s"].to_numpy()
-            - sx[xx["i"]].to_numpy() * sx[xx["j"]].to_numpy()
-        )
+        # the accumulated sums are int64-safe (Sxy <= n * BP^2, fine to
+        # n ~ 9e10 rows) but the FINAL products n*Sxy and Sx*Sy wrap
+        # int64 around n ~ 3e5 — compute them in arbitrary-precision
+        # Python ints over the d(d+1)/2-row result (driver-trivial).
+        # The SQL mirror's BIGINT arithmetic covers the oracle-tested
+        # domain; beyond it the engine stays exact (object dtype).
+        cov = [
+            n * int(v) - int(x) * int(y)
+            for v, x, y in zip(
+                xx["s"].to_numpy(),
+                sx[xx["i"]].to_numpy(),
+                sx[xx["j"]].to_numpy(),
+            )
+        ]
+        if not all(-(2**63) <= c < 2**63 for c in cov):
+            raise OverflowError(
+                "embedding_covariance: n*Sxy - Sx*Sy exceeds int64 at this "
+                "corpus size — lower COV_BP (coarser quantization) so the "
+                "integer-exact contract (and its Arrow int64 schema) holds"
+            )
         out = pd.DataFrame(
             {
                 "dim_i": xx["i"].to_numpy().astype(np.int64),
                 "dim_j": xx["j"].to_numpy().astype(np.int64),
-                "cov_num": cov.astype(np.int64),
+                "cov_num": np.array(cov, dtype=np.int64),
             }
         )
         return out.sort_values(["dim_i", "dim_j"]).reset_index(drop=True)

@@ -144,3 +144,33 @@ def merge_partials(
     )
 
 
+
+
+def segment_pairs(group_keys):
+    """All ordered within-segment index pairs (i earlier, j later) over a
+    SORTED group-key array, fully vectorized: row t at position p_t
+    within its segment pairs every earlier segment row with t. Returns
+    ``(i_idx, j_idx)`` int64 index arrays (empty when no segment has 2+
+    rows). Shared by the co-occurrence pair expansion, the wedge-closure
+    kernel and the FastSS candidate generator — one home for the subtle
+    cumsum/repeat indexing.
+    """
+    import numpy as np
+
+    n = len(group_keys)
+    empty = np.array([], dtype=np.int64)
+    if n == 0:
+        return empty, empty
+    idx = np.arange(n, dtype=np.int64)
+    change = np.concatenate(([True], group_keys[1:] != group_keys[:-1]))
+    starts = idx[change]
+    seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+    cnt = idx - seg_start  # pairs contributed by row t
+    tot = int(cnt.sum())
+    if tot == 0:
+        return empty, empty
+    j_idx = np.repeat(idx, cnt)
+    block0 = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+    off = np.arange(tot, dtype=np.int64) - np.repeat(block0, cnt)
+    i_idx = np.repeat(seg_start, cnt) + off
+    return i_idx, j_idx

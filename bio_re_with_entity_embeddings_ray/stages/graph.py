@@ -33,6 +33,7 @@ import pandas as pd
 from bio_re_with_entity_embeddings_ray.stages.common import (
     bucketed_group_apply,
     merge_partials,
+    segment_pairs,
 )
 from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
 
@@ -76,31 +77,14 @@ def cooccurrence_graph(
         dm = bucket[["conv_id", "entity_id"]].drop_duplicates()
         b = dm.sort_values(["conv_id", "entity_id"], kind="mergesort")
         ent = b["entity_id"].to_numpy()
-        conv = b["conv_id"].to_numpy()
-        n = len(b)
-        if n == 0:
+        lo_idx, hi_idx = segment_pairs(b["conv_id"].to_numpy())
+        if len(lo_idx) == 0:
             return pd.DataFrame(
                 {
                     "lo": pd.Series([], dtype="object"),
                     "hi": pd.Series([], dtype="object"),
                 }
             )
-        idx = np.arange(n, dtype=np.int64)
-        change = np.concatenate(([True], conv[1:] != conv[:-1]))
-        seg_start = np.repeat(idx[change], np.diff(np.append(idx[change], n)))
-        cnt = idx - seg_start
-        tot = int(cnt.sum())
-        if tot == 0:
-            return pd.DataFrame(
-                {
-                    "lo": pd.Series([], dtype="object"),
-                    "hi": pd.Series([], dtype="object"),
-                }
-            )
-        hi_idx = np.repeat(idx, cnt)
-        block0 = np.concatenate(([0], np.cumsum(cnt)))[:-1]
-        off = np.arange(tot, dtype=np.int64) - np.repeat(block0, cnt)
-        lo_idx = np.repeat(seg_start, cnt) + off
         return pd.DataFrame(
             {"lo": ent[lo_idx], "hi": ent[hi_idx]}
         ).drop_duplicates()
@@ -394,23 +378,12 @@ def _closed_wedges(
         )
         nb = b["b"].to_numpy()
         a = b["a"].to_numpy()
-        n = len(a)
-        # all ordered out-neighbor pairs within each per-src segment,
-        # fully vectorized (no per-node Python loop): row t at position
-        # p_t within its segment pairs every EARLIER segment row with t,
-        # preserving rb order so wedge (b, c) has rank(b) < rank(c)
-        idx = np.arange(n, dtype=np.int64)
-        change = np.concatenate(([True], a[1:] != a[:-1]))
-        starts = idx[change]
-        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
-        cnt = idx - seg_start  # pairs contributed by row t
-        tot = int(cnt.sum())
-        if tot == 0:
+        # all ordered out-neighbor pairs within each per-src segment
+        # (common.segment_pairs), preserving rb order so wedge (b, c)
+        # has rank(b) < rank(c)
+        b_idx, c_idx = segment_pairs(a)
+        if len(b_idx) == 0:
             return empty
-        c_idx = np.repeat(idx, cnt)
-        block0 = np.concatenate(([0], np.cumsum(cnt)))[:-1]
-        off = np.arange(tot, dtype=np.int64) - np.repeat(block0, cnt)
-        b_idx = np.repeat(seg_start, cnt) + off
         return pd.DataFrame({"a": a[c_idx], "b": nb[b_idx], "c": nb[c_idx]})
 
     wedge_ds = bucketed_group_apply(oriented, "a", wedges, num_buckets)
@@ -429,6 +402,10 @@ def _closed_wedges(
             {"bc": batch["a"].astype(str) + SEP + batch["b"].astype(str)}
         )
 
+    # dtype-true dummies for the hash plan: sample an actual node value
+    # so int64/string node ids both unify across the tagged union
+    nd = deg_df["node"].to_numpy()
+    dummy = nd[0] if len(nd) else ""
     closed = key_semi_anti_join(
         wedge_ds.map_batches(pack_wedge, batch_format="pandas"),
         oriented.map_batches(pack_edge, batch_format="pandas"),
@@ -436,7 +413,7 @@ def _closed_wedges(
         anti=False,
         num_buckets=num_buckets,
         broadcast_max_keys=broadcast_max_rows,
-        other_cols={"a": "", "b": "", "c": ""},
+        other_cols={"a": dummy, "b": dummy, "c": dummy},
     )
     return closed, deg_df, rref
 

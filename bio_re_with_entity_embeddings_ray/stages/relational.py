@@ -930,6 +930,9 @@ def pivot_counts(ds, group_col: str, pivot_col: str,
     from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
 
     if values is None:
+        # discovery + the count pass both consume ds: pin it once so a
+        # derived upstream is not executed twice
+        ds = ds.materialize()
         vals = (
             ds.select_columns([pivot_col])
             .map_batches(

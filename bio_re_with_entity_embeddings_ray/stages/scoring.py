@@ -429,6 +429,13 @@ def lsh_assign(emb, planes: int = LSH_PLANES):
     state: dict = {}
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                }
+            )
         M = np.array(batch["embedding"].tolist(), dtype=np.float64)
         S = state.get("S")
         if S is None or S.shape[1] != M.shape[1]:
@@ -480,6 +487,10 @@ def ann_lsh_search(
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             ids = batch["vec_id"].to_numpy()
+            if len(ids) == 0:
+                return _rowwise_topk(
+                    self.qids, ids.astype(np.int64), np.zeros((len(self.qids), 0)), k
+                )
             M = np.array(batch["embedding"].tolist(), dtype=np.float64)
             cb = _lsh_buckets(M, self.S)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)

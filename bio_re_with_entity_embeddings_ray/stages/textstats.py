@@ -877,6 +877,8 @@ def winsorize(ds, col: str, lo_bp: int = 500, hi_bp: int = 9500,
     combiner pass yielding two scalars, then a pure narrow clip map.
     The standard outlier guard before computing means/ratios over
     heavy-tailed doc-length distributions."""
+    # the quantile pass and the clip pass both consume ds: pin it once
+    ds = ds.materialize()
     qs = exact_quantiles(ds, col, [lo_bp, hi_bp], num_buckets)
     lo = int(qs["value"].iloc[0])
     hi = int(qs["value"].iloc[1])
@@ -1005,19 +1007,13 @@ def fuzzy_token_pairs(docs, min_len: int = FUZZY_MIN_LEN,
             ["key", "w"], kind="mergesort"
         )
         w = b["w"].to_numpy()
-        kcol = b["key"].to_numpy()
-        n = len(b)
-        idx = np.arange(n, dtype=np.int64)
-        change = np.concatenate(([True], kcol[1:] != kcol[:-1]))
-        seg_start = np.repeat(idx[change], np.diff(np.append(idx[change], n)))
-        cnt = idx - seg_start
-        tot = int(cnt.sum())
-        if tot == 0:
+        from bio_re_with_entity_embeddings_ray.stages.common import (
+            segment_pairs,
+        )
+
+        a_idx, b_idx = segment_pairs(b["key"].to_numpy())
+        if len(a_idx) == 0:
             return empty
-        b_idx = np.repeat(idx, cnt)
-        block0 = np.concatenate(([0], np.cumsum(cnt)))[:-1]
-        off = np.arange(tot, dtype=np.int64) - np.repeat(block0, cnt)
-        a_idx = np.repeat(seg_start, cnt) + off
         cand = pd.DataFrame({"a": w[a_idx], "b": w[b_idx]}).drop_duplicates()
         keep = _ed1_mask(cand["a"].to_numpy(), cand["b"].to_numpy())
         return cand[keep]

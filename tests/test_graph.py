@@ -345,3 +345,25 @@ def test_cooccurrence_conv_partitioned_paths_agree(ray_session):
     )
     pd.testing.assert_frame_equal(general, partitioned)
     pd.testing.assert_frame_equal(general, straddling)
+
+
+def test_triangle_counts_int_node_ids_hash_plan(ray_session):
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    # int64 node ids through the FORCED hash closure plan: the wedge
+    # semi-join's dummies must be dtype-true, not hardcoded strings
+    und = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    rows = []
+    for a, b in und:
+        rows.append({"src": np.int64(a), "dst": np.int64(b)})
+        rows.append({"src": np.int64(b), "dst": np.int64(a)})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = (
+        graph.triangle_counts(ds, num_buckets=3, broadcast_max_rows=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(got["node"], got["triangles"])) == {0: 1, 1: 1, 2: 1}

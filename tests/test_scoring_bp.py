@@ -90,3 +90,34 @@ def test_lsh_assign_and_search_brute_force(ray_session):
             res[res["qid"] == qid].sort_values("rank")["nid"].tolist()
         )
         assert got_order == exp_order, (qid, got_order, exp_order)
+
+
+def test_lsh_assign_handles_empty_blocks(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.scoring import (
+        ann_lsh_search,
+        lsh_assign,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(4, 8)
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(30, dtype=np.int64),
+            # clustered vectors (tiny jitter) so buckets collide and the
+            # search result is non-empty
+            "embedding": [
+                base[i % 4] + rng.randn(8) * 1e-3 for i in range(30)
+            ],
+        }
+    )
+    # a filter that empties some blocks entirely
+    ds = rd.from_pandas(emb).repartition(6).filter(expr="vec_id < 12")
+    got = lsh_assign(ds).to_pandas()
+    assert len(got) == 12
+    res = ann_lsh_search(ds, n_queries=3, k=2, num_buckets=2).to_pandas()
+    assert len(res) > 0
+    assert set(res.columns) == {"qid", "nid", "rank"}
