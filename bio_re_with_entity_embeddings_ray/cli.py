@@ -20,10 +20,19 @@ import sys
 
 
 def _ensure_ray():
+    """Attach to the ambient cluster under ``ray job submit`` (the job
+    runtime exports RAY_ADDRESS); start a local instance otherwise.
+    Never re-inits when the caller (driver/tests) owns the session."""
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
 
 
 def _write(ds, path: str) -> int:
