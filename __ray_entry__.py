@@ -552,6 +552,23 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_keep_latest(sf_dir: str):
+    """CDC/upsert compaction: the newest event per (user, event_type)
+    under (ts, event_id) order — keep-latest combiner, one row per key
+    per block across the exchange."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    latest = aggregate.keep_latest(
+        ev, ["user_id", "event_type"], ["ts", "event_id"], num_buckets=_NB
+    )
+    return latest.select_columns(["user_id", "event_type", "event_id"])
+
+
 def _q_rel_multi_join(sf_dir: str):
     """TPC-H Q5-shaped multi-way join rollup: revenue per nation with
     fact-side pre-aggregation before any join and measured join plans."""
@@ -1512,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_token_pairs": _q_fuzzy_token_pairs,
         "rel_multi_join": _q_rel_multi_join,
         "explode_list": _q_explode_list,
+        "keep_latest": _q_keep_latest,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- rel/window/model block: green in CORRECTNESS-style checks
@@ -1681,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_token_pairs": oracles.FUZZY_TOKEN_PAIRS,
         "rel_multi_join": oracles.REL_MULTI_JOIN,
         "explode_list": oracles.EXPLODE_LIST,
+        "keep_latest": oracles.KEEP_LATEST,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

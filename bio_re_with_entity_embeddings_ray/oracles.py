@@ -1819,3 +1819,13 @@ __g AS (
   FROM __dm GROUP BY conv_id
 )
 SELECT conv_id, n_entities, unnest(entity_ids) AS entity_id FROM __g"""
+
+
+# CDC keep-latest compaction (stages/aggregate.keep_latest over events
+# by (user_id, event_type), order (ts, event_id))
+KEEP_LATEST = """SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1"""

@@ -284,3 +284,33 @@ def drop_duplicates(ds, subset: list[str], order_col: str, num_buckets: int = 64
 
     pre = ds.map_batches(local_first, batch_format="pandas", batch_size=None)
     return merge_partials(pre, subset, local_first, lambda b: b, num_buckets)
+
+
+def keep_latest(ds, key_cols, order_cols, num_buckets: int = 16):
+    """CDC/upsert compaction: keep, per ``key_cols`` group, the single
+    row that is LAST under ``order_cols`` (ties impossible when the
+    order includes a unique id — callers supply one, mirroring SQL
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order DESC) = 1``).
+
+    The scale twin of :func:`drop_duplicates` (keep-first): a per-batch
+    keep-latest COMBINER (idempotent and associative — max under a
+    lexicographic order) collapses each block to one row per key before
+    the key-partitioned merge, so a hot key ships one row per block,
+    never its full update history. This is the compaction step of any
+    incremental ingest (apply the newest record per entity)."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def local_latest(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(keys + order, kind="mergesort")
+        return b.groupby(keys, as_index=False, sort=False).tail(1)
+
+    return merge_partials(
+        ds.map_batches(local_latest, batch_format="pandas"),
+        keys,
+        local_latest,
+        lambda b: b,
+        num_buckets,
+    )

@@ -257,3 +257,35 @@ def test_pivot_counts_matches_pandas_pivot(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(disc, got.drop(columns=["n_zzz"]))
+
+
+def test_keep_latest_matches_row_number(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.aggregate import keep_latest
+
+    rng = np.random.RandomState(12)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 30, 600).astype(np.int64),
+            "ts": rng.randint(0, 10_000, 600).astype(np.int64),
+            "uid": np.arange(600, dtype=np.int64),
+            "payload": rng.randn(600),
+        }
+    )
+    got = (
+        keep_latest(rd.from_pandas(df).repartition(5), ["k"], ["ts", "uid"], 4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["k", "ts", "uid"], kind="mergesort")
+        .groupby("k", as_index=False, sort=False)
+        .tail(1)
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
