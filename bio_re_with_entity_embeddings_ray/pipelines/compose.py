@@ -268,6 +268,54 @@ def _deterministic_shuffle(key: str = "doc_id", salt: str = "shuffle", num_range
     return apply
 
 
+def _weighted_sample(weight_col: str, scale: int = 10000,
+                     key: str = "doc_id", salt: str = "wsample"):
+    """quality-weighted deterministic Bernoulli keep (stages/sampling.py)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import sampling
+
+        return sampling.weighted_sample(
+            ds, weight_col, scale=scale, key=key, salt=salt
+        )
+
+    return apply
+
+
+def _winsorize(col: str, lo_bp: int = 500, hi_bp: int = 9500,
+               num_buckets: int = 16):
+    """clip col into exact [p_lo, p_hi] global quantiles (textstats.py)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import textstats
+
+        return textstats.winsorize(ds, col, lo_bp, hi_bp, num_buckets)
+
+    return apply
+
+
+def _keep_latest(key_cols: list, order_cols: list, num_buckets: int = 16):
+    """CDC/upsert compaction: newest row per key (stages/aggregate.py)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import aggregate
+
+        return aggregate.keep_latest(ds, key_cols, order_cols, num_buckets)
+
+    return apply
+
+
+def _explode_list(list_col: str, out_col: str):
+    """flatten an Arrow list column to one row per element (unnest)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import relational
+
+        return relational.explode_list(ds, list_col, out_col)
+
+    return apply
+
+
 for _name, _factory in {
     "not_null": _not_null,
     "map_column": _map_column,
@@ -286,6 +334,10 @@ for _name, _factory in {
     "decontaminate": _decontaminate,
     "pack_sequences": _pack_sequences,
     "deterministic_shuffle": _deterministic_shuffle,
+    "weighted_sample": _weighted_sample,
+    "winsorize": _winsorize,
+    "keep_latest": _keep_latest,
+    "explode_list": _explode_list,
 }.items():
     register_step(_name, _factory)
 

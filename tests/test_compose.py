@@ -191,3 +191,36 @@ def test_round3_steps_chain_config(ray_session, tmp_path):
     # docs 0/1 collapse to one, 3 dropped; shuffle ranks are a permutation
     assert len(out) == 3
     assert sorted(out["shuffle_pos"]) == [0, 1, 2]
+
+
+def test_round3_steps_compose(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.pipelines import compose
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "w": rng.randint(0, 12000, 200).astype(np.int64),
+            "n": rng.randint(0, 5000, 200).astype(np.int64),
+        }
+    )
+    fn = compose.compile_pipeline(
+        [
+            {"step": "winsorize", "col": "n", "num_buckets": 4},
+            {"step": "weighted_sample", "weight_col": "w", "key": "doc_id"},
+        ]
+    )
+    out = fn(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert {"doc_id", "w", "n", "clipped"} <= set(out.columns)
+    assert 0 < len(out) < len(df)
+    # keep_latest through the config surface
+    fn2 = compose.compile_pipeline(
+        [{"step": "keep_latest", "key_cols": ["w"], "order_cols": ["doc_id"],
+          "num_buckets": 4}]
+    )
+    latest = fn2(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert latest["w"].is_unique
