@@ -971,10 +971,14 @@ def fuzzy_token_pairs(docs, min_len: int = FUZZY_MIN_LEN,
         merge_partials,
     )
 
-    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def vocab_partial(batch: pd.DataFrame):
+        import pyarrow as pa
+
         w = batch["text"].str.split(" ").explode()
         u = w[w.str.len() >= min_len].unique()
-        return pd.DataFrame({"w": u.astype(object)})
+        # emit an Arrow-typed block so zero-row partials keep a string
+        # schema (an empty pandas object column trips Ray's size probe)
+        return pa.table({"w": pa.array(u, type=pa.string())})
 
     vocab = merge_partials(
         docs.map_batches(vocab_partial, batch_format="pandas"),

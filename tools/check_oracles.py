@@ -59,6 +59,7 @@ PATHO_QUERIES = {
     "curate_decontam", "pack_sequences_shuffled", "normalize_text", "hll_registers", "kmeans_centroids", "curate_incremental",
     "semantic_dedup", "bm25_topk", "curate_percentile", "audio_features",
     "lsh_assign", "ann_lsh_search", "embedding_covariance",
+    "fuzzy_token_pairs",
     "paragraph_dedup",
     "duplicate_spans", "bigram_nll", "token_counts_regex",
 }
