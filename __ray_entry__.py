@@ -552,6 +552,19 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_robust_outliers(sf_dir: str):
+    """Median/MAD outlier flags over event values — exact distributed
+    quantiles twice, then a narrow filter against two broadcast
+    scalars."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return relational.robust_outliers(ev, k=3, num_buckets=_NB)
+
+
 def _q_keep_latest(sf_dir: str):
     """CDC/upsert compaction: the newest event per (user, event_type)
     under (ts, event_id) order — keep-latest combiner, one row per key
@@ -1530,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_multi_join": _q_rel_multi_join,
         "explode_list": _q_explode_list,
         "keep_latest": _q_keep_latest,
+        "robust_outliers": _q_robust_outliers,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- rel/window/model block: green in CORRECTNESS-style checks
@@ -1700,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_multi_join": oracles.REL_MULTI_JOIN,
         "explode_list": oracles.EXPLODE_LIST,
         "keep_latest": oracles.KEEP_LATEST,
+        "robust_outliers": oracles.ROBUST_OUTLIERS,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

@@ -1829,3 +1829,29 @@ KEEP_LATEST = """SELECT user_id, event_type, event_id FROM (
                             ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1"""
+
+
+# Robust median/MAD outliers (stages/relational.robust_outliers, k=3):
+# both scalars are exact quantiles under the engine's position rule
+# pos = GREATEST(1, ceil(q*n/10000)) over ascending values
+ROBUST_OUTLIERS = """WITH __v AS (
+  SELECT event_id, CAST(round(value * 1000) AS BIGINT) AS v_milli FROM events
+),
+__n AS (SELECT count(*) AS n FROM __v),
+__med AS (
+  SELECT v_milli AS m FROM (
+    SELECT v_milli, row_number() OVER (ORDER BY v_milli) AS rn FROM __v
+  ), __n WHERE rn = GREATEST(1, (5000 * n + 9999) // 10000)
+),
+__d AS (
+  SELECT event_id, v_milli,
+         abs(v_milli - (SELECT m FROM __med)) AS dev_milli
+  FROM __v
+),
+__mad AS (
+  SELECT dev_milli AS m FROM (
+    SELECT dev_milli, row_number() OVER (ORDER BY dev_milli) AS rn FROM __d
+  ), __n WHERE rn = GREATEST(1, (5000 * n + 9999) // 10000)
+)
+SELECT event_id, v_milli, dev_milli FROM __d
+WHERE dev_milli > 3 * (SELECT m FROM __mad)"""

@@ -1078,3 +1078,49 @@ def explode_list(ds, list_col: str, out_col: str):
         return others.append_column(out_col, flat)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def robust_outliers(events, k: int = 3, num_buckets: int = 16):
+    """Robust (median/MAD) outlier detection over the event value
+    stream: flag rows where ``|v - median| > k * MAD`` — the
+    data-quality gate that, unlike mean/stddev, is not dragged by the
+    outliers it is hunting. Exact integers end to end: values floor to
+    milli-units once; the median and the MAD are EXACT distributed
+    quantiles (the :func:`~bio_re_with_entity_embeddings_ray.stages.
+    textstats.exact_quantiles` position rule, p50 twice), so the SQL
+    oracle reproduces the flag set bit-for-bit.
+
+    Scale shape: three streaming passes (median histogram → deviation
+    histogram → flag filter), each a value-histogram combiner or a
+    narrow map against two broadcast scalars — the same inherent
+    two-pass structure as `curate_percentile`, plus one. Returns
+    (event_id, v_milli, dev_milli) for flagged rows.
+    """
+    from bio_re_with_entity_embeddings_ray.stages.textstats import (
+        exact_quantiles,
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "v_milli": np.round(
+                    batch["value"].to_numpy() * 1000
+                ).astype(np.int64),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas").materialize()
+    med = int(exact_quantiles(ev, "v_milli", [5000], num_buckets)["value"].iloc[0])
+
+    def dev(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["dev_milli"] = np.abs(batch["v_milli"].to_numpy() - med)
+        return batch
+
+    dv = ev.map_batches(dev, batch_format="pandas").materialize()
+    mad = int(
+        exact_quantiles(dv, "dev_milli", [5000], num_buckets)["value"].iloc[0]
+    )
+
+    return dv.filter(expr=f"dev_milli > {k * mad}")

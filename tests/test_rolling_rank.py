@@ -109,3 +109,38 @@ def test_global_rank_matches_argsort(ray_session, num_ranges):
     assert out["tile"].tolist() == [(r - 1) * 10 // 120 for r in out["rank"]]
     # equi-depth: every tile has exactly 12 rows
     assert out["tile"].value_counts().tolist() == [12] * 10
+
+
+def test_robust_outliers_matches_numpy_median_mad(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        robust_outliers,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.randn(500), [40.0, -35.0, 60.0]])  # planted
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(len(vals), dtype=np.int64),
+            "value": vals,
+        }
+    )
+    got = (
+        robust_outliers(rd.from_pandas(ev).repartition(4), k=3, num_buckets=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    v = np.round(vals * 1000).astype(np.int64)
+    n = len(v)
+    pos = max(1, -(-5000 * n // 10000)) - 1
+    med = np.sort(v)[pos]
+    dev = np.abs(v - med)
+    mad = np.sort(dev)[pos]
+    exp_ids = ev["event_id"].to_numpy()[dev > 3 * mad]
+    assert got["event_id"].tolist() == sorted(exp_ids)
+    # the planted extremes are flagged
+    assert {len(vals) - 3, len(vals) - 2, len(vals) - 1} <= set(got["event_id"])
