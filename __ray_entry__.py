@@ -552,6 +552,13 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_fuzzy_link(sf_dir: str):
+    """Typo-tolerant entity linking: tokens within edit distance 1 of a
+    gazetteer surface, via the broadcast FastSS deletion-key index."""
+    quiet_ray_data()
+    return mstage.fuzzy_link(derive_transcripts(sf_dir), num_buckets=_NB)
+
+
 def _q_robust_outliers(sf_dir: str):
     """Median/MAD outlier flags over event values — exact distributed
     quantiles twice, then a narrow filter against two broadcast
@@ -1544,6 +1551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_list": _q_explode_list,
         "keep_latest": _q_keep_latest,
         "robust_outliers": _q_robust_outliers,
+        "fuzzy_link": _q_fuzzy_link,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- rel/window/model block: green in CORRECTNESS-style checks
@@ -1715,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "explode_list": oracles.EXPLODE_LIST,
         "keep_latest": oracles.KEEP_LATEST,
         "robust_outliers": oracles.ROBUST_OUTLIERS,
+        "fuzzy_link": oracles.FUZZY_LINK,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

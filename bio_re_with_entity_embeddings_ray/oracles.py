@@ -1855,3 +1855,13 @@ __mad AS (
 )
 SELECT event_id, v_milli, dev_milli FROM __d
 WHERE dev_milli > 3 * (SELECT m FROM __mad)"""
+
+
+# Typo-tolerant entity linking (stages/mentions.fuzzy_link, min_len=4):
+# independent brute-force levenshtein join against the gazetteer — any
+# pair the FastSS index missed would surface as a mismatch
+FUZZY_LINK = f"""WITH {transcripts_sql_cte()}
+SELECT DISTINCT t.conv_id, gz.entity_id, lower(t.w) AS token
+FROM __tok t JOIN {_GZ}
+  ON levenshtein(lower(t.w), gz.surface) <= 1
+WHERE length(t.w) >= 4"""

@@ -396,3 +396,105 @@ def verify_annotations(
         batch_format="pandas",
         concurrency=(1, 4),
     )
+
+
+def fuzzy_link(transcripts, min_len: int = 4, num_buckets: int = 16):
+    """Typo-tolerant entity linking: link every turn token of at least
+    ``min_len`` chars that is within EDIT DISTANCE 1 of a gazetteer
+    surface form (exact matches included — this is a superset of the
+    exact scanner for long-enough tokens). The KG answer to noisy
+    transcripts (misspelled tool/operator names), built from the
+    engine's FastSS machinery: the gazetteer's deletion-key index is
+    vocabulary-bounded and broadcast once; per batch the DISTINCT
+    (conv, token) set fans out its deletion keys, candidate (token,
+    surface) pairs come from index collisions only, and the exact check
+    is the vectorized :func:`~bio_re_with_entity_embeddings_ray.stages.
+    textstats._ed1_mask`. Output: distinct (conv_id, entity_id, token).
+
+    Scale shape: one narrow pass over the transcripts (per-batch
+    distinct combiner), a distinct merge of (conv, entity, token) rows
+    through the measured plan — the candidate work is bounded by the
+    gazetteer, not the corpus.
+    """
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.sources.dictionaries import (
+        GAZETTEER,
+    )
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+    from bio_re_with_entity_embeddings_ray.stages.textstats import (
+        _deletion_keys,
+        _ed1_mask,
+    )
+
+    surfaces = np.array(sorted({e.surface for e in GAZETTEER}), dtype=object)
+    skeys, sowners = _deletion_keys(surfaces)
+    key2surf: dict = {}
+    for k, s in zip(skeys, sowners):
+        key2surf.setdefault(k, set()).add(s)
+    surf2ids: dict = {}
+    for e in GAZETTEER:
+        surf2ids.setdefault(e.surface, []).append(e.canonical_id)
+    ref = ray.put((key2surf, surf2ids))
+
+    def link(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        k2s, s2i = ray.get(ref)  # per-worker cached
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], type=pa.string()),
+                "entity_id": pa.array([], type=pa.string()),
+                "token": pa.array([], type=pa.string()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        toks = batch["text"].str.lower().str.split(" ")
+        counts = toks.map(len).to_numpy()
+        conv = np.repeat(batch["conv_id"].to_numpy(), counts)
+        flat = np.concatenate(toks.to_numpy())
+        keep = np.char.str_len(flat.astype("U")) >= min_len
+        ct = (
+            pd.DataFrame({"conv_id": conv[keep], "token": flat[keep]})
+            .drop_duplicates()
+        )
+        if len(ct) == 0:
+            return empty
+        # candidate surfaces per DISTINCT token via index collisions
+        utoks = ct["token"].unique()
+        tkeys, towners = _deletion_keys(np.asarray(utoks, dtype=object))
+        cand_t, cand_s = [], []
+        for k, t in zip(tkeys, towners):
+            for s in k2s.get(k, ()):
+                cand_t.append(t)
+                cand_s.append(s)
+        if not cand_t:
+            return empty
+        cand = pd.DataFrame({"token": cand_t, "surface": cand_s}).drop_duplicates()
+        ok = _ed1_mask(
+            cand["token"].to_numpy(), cand["surface"].to_numpy()
+        )
+        matched = cand[ok]
+        if len(matched) == 0:
+            return empty
+        rows = matched.assign(
+            entity_id=matched["surface"].map(lambda s: s2i[s])
+        ).explode("entity_id")[["token", "entity_id"]]
+        out = ct.merge(rows, on="token")[["conv_id", "entity_id", "token"]]
+        return pa.table(
+            {
+                "conv_id": pa.array(out["conv_id"], type=pa.string()),
+                "entity_id": pa.array(out["entity_id"], type=pa.string()),
+                "token": pa.array(out["token"], type=pa.string()),
+            }
+        )
+
+    partials = transcripts.map_batches(link, batch_format="pandas")
+    return merge_partials(
+        partials,
+        ["conv_id", "entity_id", "token"],
+        lambda b: b.drop_duplicates(["conv_id", "entity_id", "token"]),
+        lambda b: b,
+        num_buckets,
+    )

@@ -167,3 +167,55 @@ def test_fuzzy_token_pairs_complete_for_ed1(ray_session):
     a = np.array(["abab", "aaab", "abcd", "abcd", "xabcd"], dtype=object)
     b = np.array(["baab", "aaab", "abd", "abxcd", "abcd"], dtype=object)
     assert _ed1_mask(a, b).tolist() == [ed(x, y) <= 1 for x, y in zip(a, b)]
+
+
+def test_fuzzy_link_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.sources.dictionaries import GAZETTEER
+    from bio_re_with_entity_embeddings_ray.stages.mentions import fuzzy_link
+
+    tr = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "text": [
+                "the mergee applied to tble rows",  # merge+e, table-del
+                "join the batch",                    # exact hits
+                "unrelated words only here",
+            ],
+        }
+    )
+    got = (
+        fuzzy_link(rd.from_pandas(tr).repartition(2), num_buckets=3)
+        .to_pandas()
+        .sort_values(["conv_id", "entity_id", "token"])
+        .reset_index(drop=True)
+    )
+
+    def ed(a, b):
+        if len(a) > len(b):
+            a, b = b, a
+        if len(b) - len(a) > 1:
+            return 2
+        prev = list(range(len(a) + 1))
+        for i, cb in enumerate(b, 1):
+            cur = [i]
+            for j, ca in enumerate(a, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exp_rows = set()
+    for r in tr.itertuples():
+        for w in r.text.lower().split(" "):
+            if len(w) < 4:
+                continue
+            for e in GAZETTEER:
+                if ed(w, e.surface) <= 1:
+                    exp_rows.add((r.conv_id, e.canonical_id, w))
+    assert set(map(tuple, got.to_numpy())) == exp_rows
+    assert ("c1", "OP:MERGE", "mergee") in exp_rows  # typo linked
+    assert ("c1", "RES:TABLE", "tble") in exp_rows
