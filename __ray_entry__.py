@@ -552,6 +552,23 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_temporal_triples(sf_dir: str):
+    """Triples with validity windows [first_s, last_s] from supporting
+    conversations — conv-keyed measured join + pair min/max combiner."""
+    quiet_ray_data()
+    return pstage.temporal_triples(
+        derive_transcripts(sf_dir), "op", "res", "applies_to", num_buckets=_NB
+    )
+
+
+def _q_triple_negatives(sf_dir: str):
+    """Deterministic TransE-style corrupted-object negatives over the
+    triple table's own object vocabulary."""
+    quiet_ray_data()
+    trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
+    return pstage.triple_negatives(trip.select_columns(["subj_id", "obj_id"]))
+
+
 def _q_fuzzy_link(sf_dir: str):
     """Typo-tolerant entity linking: tokens within edit distance 1 of a
     gazetteer surface, via the broadcast FastSS deletion-key index."""
@@ -1552,6 +1569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_latest": _q_keep_latest,
         "robust_outliers": _q_robust_outliers,
         "fuzzy_link": _q_fuzzy_link,
+        "temporal_triples": _q_temporal_triples,
+        "triple_negatives": _q_triple_negatives,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- rel/window/model block: green in CORRECTNESS-style checks
@@ -1724,6 +1743,8 @@ def oracle_sql() -> dict[str, str]:
         "keep_latest": oracles.KEEP_LATEST,
         "robust_outliers": oracles.ROBUST_OUTLIERS,
         "fuzzy_link": oracles.FUZZY_LINK,
+        "temporal_triples": oracles.TEMPORAL_TRIPLES,
+        "triple_negatives": oracles.TRIPLE_NEGATIVES,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

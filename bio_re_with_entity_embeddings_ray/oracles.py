@@ -1865,3 +1865,44 @@ SELECT DISTINCT t.conv_id, gz.entity_id, lower(t.w) AS token
 FROM __tok t JOIN {_GZ}
   ON levenshtein(lower(t.w), gz.surface) <= 1
 WHERE length(t.w) >= 4"""
+
+
+# Temporal triples (stages/pairs.temporal_triples): validity windows in
+# exact epoch seconds from the supporting conversations
+TEMPORAL_TRIPLES = f"""WITH {kg_cte()},
+__src AS (SELECT DISTINCT conv_id, entity_id AS subj_id FROM __mentions WHERE entity_type = 'op'),
+__tgt AS (SELECT DISTINCT conv_id, entity_id AS obj_id FROM __mentions WHERE entity_type = 'res'),
+__cp AS (SELECT s.conv_id, s.subj_id, t.obj_id FROM __src s JOIN __tgt t ON s.conv_id = t.conv_id),
+__ts AS (
+  SELECT conv_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s
+  FROM transcripts_v GROUP BY conv_id
+)
+SELECT cp.subj_id, 'applies_to' AS pred, cp.obj_id,
+       CAST(count(*) AS BIGINT) AS support,
+       MIN(t.first_s) AS first_s, MAX(t.last_s) AS last_s
+FROM __cp cp JOIN __ts t USING (conv_id)
+GROUP BY cp.subj_id, cp.obj_id"""
+
+# Deterministic negative sampling (stages/pairs.triple_negatives,
+# salt='neg'): corrupted object = vocab[h % n], bumped on self-clash
+TRIPLE_NEGATIVES = f"""WITH {_PAIR_CTE},
+__pos AS (SELECT subj_id, obj_id FROM __triples),
+__vocab AS (
+  SELECT obj_id AS v,
+         row_number() OVER (ORDER BY obj_id) - 1 AS idx
+  FROM (SELECT DISTINCT obj_id FROM __pos)
+),
+__n AS (SELECT count(*) AS n FROM __vocab),
+__h AS (
+  SELECT subj_id, obj_id,
+         CAST(('0x' || substr(md5('neg:' || subj_id || '|' || obj_id), 1, 8))
+              AS BIGINT) % (SELECT n FROM __n) AS h
+  FROM __pos
+)
+SELECT h.subj_id, h.obj_id,
+       CASE WHEN v1.v = h.obj_id THEN v2.v ELSE v1.v END AS neg_obj_id
+FROM __h h
+JOIN __vocab v1 ON v1.idx = h.h
+JOIN __vocab v2 ON v2.idx = (h.h + 1) % (SELECT n FROM __n)"""

@@ -374,3 +374,128 @@ def adjacency_index(edges_ds, num_buckets: int = 16):
         )
 
     return bucketed_group_apply(edges_ds, "entity_id", build, num_buckets)
+
+
+def temporal_triples(
+    transcripts,
+    subj_type: str,
+    obj_type: str,
+    pred: str,
+    num_buckets: int = 16,
+):
+    """Triples with VALIDITY WINDOWS: each (subj, pred, obj) edge carries
+    the epoch-second range [first_s, last_s] spanned by its supporting
+    conversations — the temporal-KG annotation (when was this relation
+    observed) that plain co-occurrence aggregation drops.
+
+    Scale shape: the conversation time table (conv -> min/max ts) is
+    fact-scale, so it is NOT broadcast — candidate pairs join it through
+    the measured ``relational.hash_join`` on conv_id (both sides
+    conv-keyed), then a pair-keyed min/min-max/max-sum combiner merge.
+    Timestamps floor to integer epoch seconds once, so the SQL mirror is
+    exact under any accumulation order.
+    """
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+    from bio_re_with_entity_embeddings_ray.stages.mentions import scan_mentions
+    from bio_re_with_entity_embeddings_ray.stages.relational import hash_join
+
+    m = scan_mentions(transcripts, include_tool=True)
+    cand = candidate_pairs(m, subj_type, obj_type, num_buckets)
+
+    def ts_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        e = batch["ts"].astype("datetime64[s]").astype("int64")
+        return (
+            pd.DataFrame({"conv_id": batch["conv_id"], "e": e})
+            .groupby("conv_id", as_index=False)
+            .agg(first_s=("e", "min"), last_s=("e", "max"))
+        )
+
+    def ts_combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("conv_id", as_index=False).agg(
+            first_s=("first_s", "min"), last_s=("last_s", "max")
+        )
+
+    conv_ts = merge_partials(
+        transcripts.map_batches(ts_partial, batch_format="pandas"),
+        "conv_id",
+        ts_combine,
+        lambda b: b,
+        num_buckets,
+    )
+    j = hash_join(cand, conv_ts, "conv_id", num_buckets=num_buckets)
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["subj_id", "obj_id"], as_index=False).agg(
+            support=("conv_id", "size"),
+            first_s=("first_s", "min"),
+            last_s=("last_s", "max"),
+        )
+
+    def pair_combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["subj_id", "obj_id"], as_index=False).agg(
+            support=("support", "sum"),
+            first_s=("first_s", "min"),
+            last_s=("last_s", "max"),
+        )
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        out = combined.copy(deep=False)
+        out["pred"] = pred
+        out["support"] = out["support"].astype("int64")
+        out["first_s"] = out["first_s"].astype("int64")
+        out["last_s"] = out["last_s"].astype("int64")
+        return out[["subj_id", "pred", "obj_id", "support", "first_s", "last_s"]]
+
+    return merge_partials(
+        j.map_batches(pair_partial, batch_format="pandas"),
+        ["subj_id", "obj_id"],
+        pair_combine,
+        finalize,
+        num_buckets,
+    )
+
+
+def triple_negatives(triples_ds, salt: str = "neg"):
+    """TransE-style deterministic negative sampling: for each positive
+    triple, one corrupted-object negative chosen by salted hash over the
+    OBJECT VOCABULARY (the distinct obj ids of the triple table itself —
+    type-consistent corruption). ``neg = vocab[h % n]``, bumped by one
+    slot when the draw hits the true object — reproducible across runs
+    and cluster sizes, a new epoch of negatives is a new salt.
+
+    The object vocabulary is entity-bounded and broadcast; the pass is a
+    pure narrow map. Returns (subj_id, obj_id, neg_obj_id).
+    """
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.functions.textfns import (
+        md5int8_array,
+    )
+
+    vocab = np.sort(
+        triples_ds.select_columns(["obj_id"])
+        .to_pandas()["obj_id"]
+        .unique()
+    )
+    vref = ray.put(vocab)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        vb = ray.get(vref)
+        n = len(vb)
+        key = (
+            salt + ":" + batch["subj_id"].astype(str) + "|"
+            + batch["obj_id"].astype(str)
+        ).to_numpy()
+        h = md5int8_array(key) % n
+        neg = vb[h]
+        clash = neg == batch["obj_id"].to_numpy()
+        neg = np.where(clash, vb[(h + 1) % n], neg)
+        return pd.DataFrame(
+            {
+                "subj_id": batch["subj_id"],
+                "obj_id": batch["obj_id"],
+                "neg_obj_id": neg,
+            }
+        )
+
+    return triples_ds.map_batches(fn, batch_format="pandas")

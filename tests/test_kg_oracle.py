@@ -142,3 +142,66 @@ def test_determinism_across_bucket_counts(engine_and_oracle):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_temporal_triples_windows_cover_supports(ray_session):
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.sources.transcripts import (
+        derive_transcripts,
+    )
+    from bio_re_with_entity_embeddings_ray.stages import pairs as pstage
+    from bio_re_with_entity_embeddings_ray.stages.mentions import scan_mentions
+
+    tr = derive_transcripts("/root/testdata/sf0.001")
+    got = pstage.temporal_triples(tr, "op", "res", "applies_to", 4).to_pandas()
+    assert len(got) > 0
+    assert (got["first_s"] <= got["last_s"]).all()
+    # brute force: per-conv pair expansion + conv ts ranges
+    tdf = tr.to_pandas()
+    m = scan_mentions(tr, include_tool=True).to_pandas()
+    dm = m[["conv_id", "entity_type", "entity_id"]].drop_duplicates()
+    src = dm[dm["entity_type"] == "op"].rename(columns={"entity_id": "subj_id"})
+    tgt = dm[dm["entity_type"] == "res"].rename(columns={"entity_id": "obj_id"})
+    cp = src.merge(tgt, on="conv_id")[["conv_id", "subj_id", "obj_id"]]
+    e = tdf.assign(s=tdf["ts"].astype("datetime64[s]").astype("int64"))
+    cts = e.groupby("conv_id", as_index=False).agg(
+        first_s=("s", "min"), last_s=("s", "max")
+    )
+    exp = (
+        cp.merge(cts, on="conv_id")
+        .groupby(["subj_id", "obj_id"], as_index=False)
+        .agg(support=("conv_id", "size"), first_s=("first_s", "min"),
+             last_s=("last_s", "max"))
+    )
+    key = lambda df: df.sort_values(["subj_id", "obj_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        key(got[["subj_id", "obj_id", "support", "first_s", "last_s"]]),
+        key(exp).astype({"support": "int64"}),
+    )
+
+
+def test_triple_negatives_deterministic_and_type_consistent(ray_session):
+    from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8
+    from bio_re_with_entity_embeddings_ray.sources.transcripts import (
+        derive_transcripts,
+    )
+    from bio_re_with_entity_embeddings_ray.stages import pairs as pstage
+    from bio_re_with_entity_embeddings_ray.stages.mentions import scan_mentions
+
+    tr = derive_transcripts("/root/testdata/sf0.001")
+    m = scan_mentions(tr, include_tool=True)
+    trip = pstage.triples(m, "op", "res", "applies_to", 4)
+    got = pstage.triple_negatives(
+        trip.select_columns(["subj_id", "obj_id"])
+    ).to_pandas()
+    assert len(got) > 0
+    import numpy as np
+
+    vocab = np.sort(got["obj_id"].unique())
+    n = len(vocab)
+    for r in got.itertuples():
+        h = md5int8(f"neg:{r.subj_id}|{r.obj_id}") % n
+        exp = vocab[h] if vocab[h] != r.obj_id else vocab[(h + 1) % n]
+        assert r.neg_obj_id == exp
+        assert r.neg_obj_id != r.obj_id  # never the true object
