@@ -552,6 +552,50 @@ def _q_rel_hash_join_shuffle(sf_dir: str):
     return _rel_hash_join(sf_dir, "hash")
 
 
+def _q_windowed_topk(sf_dir: str):
+    """Trending event types per hour window (top-3 by count)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return relational.windowed_topk(ev, width_s=3600, k=3, num_buckets=_NB)
+
+
+def _q_union_by_name(sf_dir: str):
+    """Schema-drift union: the full documents shard unioned with a
+    narrow (doc_id, text) shard; drifted columns null-padded then
+    sentinel-coalesced for the exact compare."""
+    import pandas as pd
+    import ray.data as rd
+
+    quiet_ray_data()
+    full = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+    narrow = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.assign(doc_id=b["doc_id"] + 1_000_000),
+        batch_format="pandas",
+    )
+    u = relational.union_by_name(full, narrow)
+
+    def finish(b: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        b = b.copy(deep=False)
+        b["lang"] = b["lang"].fillna("")
+        b["n_chars"] = np.nan_to_num(
+            b["n_chars"].to_numpy(dtype="float64"), nan=-1
+        ).astype("int64")
+        return b
+
+    return u.map_batches(finish, batch_format="pandas")
+
+
 def _q_temporal_triples(sf_dir: str):
     """Triples with validity windows [first_s, last_s] from supporting
     conversations — conv-keyed measured join + pair min/max combiner."""
@@ -1571,6 +1615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_link": _q_fuzzy_link,
         "temporal_triples": _q_temporal_triples,
         "triple_negatives": _q_triple_negatives,
+        "windowed_topk": _q_windowed_topk,
+        "union_by_name": _q_union_by_name,
         "embedding_covariance": _q_embedding_covariance,
         "grouped_hll": _q_grouped_hll,
         # --- rel/window/model block: green in CORRECTNESS-style checks
@@ -1745,6 +1791,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_link": oracles.FUZZY_LINK,
         "temporal_triples": oracles.TEMPORAL_TRIPLES,
         "triple_negatives": oracles.TRIPLE_NEGATIVES,
+        "windowed_topk": oracles.WINDOWED_TOPK,
+        "union_by_name": oracles.UNION_BY_NAME,
         "embedding_covariance": oracles.EMBEDDING_COVARIANCE,
         "grouped_hll": oracles.GROUPED_HLL,
         "deterministic_shuffle": oracles.DETERMINISTIC_SHUFFLE,

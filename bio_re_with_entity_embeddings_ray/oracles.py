@@ -1906,3 +1906,32 @@ SELECT h.subj_id, h.obj_id,
 FROM __h h
 JOIN __vocab v1 ON v1.idx = h.h
 JOIN __vocab v2 ON v2.idx = (h.h + 1) % (SELECT n FROM __n)"""
+
+
+# Trending per tumbling window (stages/relational.windowed_topk,
+# width=3600s, k=3): rank = (count DESC, type ASC)
+WINDOWED_TOPK = """WITH __w AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+         event_type
+  FROM events
+),
+__c AS (
+  SELECT window_start, event_type, count(*) AS n
+  FROM __w GROUP BY window_start, event_type
+)
+SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT window_start, event_type, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type) AS rank
+  FROM __c
+) WHERE rank <= 3"""
+
+# Schema-drift union (stages/relational.union_by_name): narrow shard
+# null-padded, sentinels coalesced
+UNION_BY_NAME = """SELECT doc_id, text, lang, n_chars FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text, '' AS lang,
+       CAST(-1 AS BIGINT) AS n_chars
+FROM documents"""

@@ -1124,3 +1124,82 @@ def robust_outliers(events, k: int = 3, num_buckets: int = 16):
     )
 
     return dv.filter(expr=f"dev_milli > {k * mad}")
+
+
+def windowed_topk(events, width_s: int = 3600, k: int = 3,
+                  num_buckets: int = 16):
+    """Trending items per tumbling window: the top-``k`` event types by
+    count in each window, ranked (count DESC, type ASC). Combiner
+    counts per (window, type) per block, window-keyed merge, per-window
+    vectorized head-k — the "what's hot right now" query every event
+    pipeline ships. Returns (window_start, event_type, n, rank)."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch["ts"].astype("datetime64[s]").astype("int64")
+        b = pd.DataFrame(
+            {
+                "window_start": (epoch // width_s) * width_s,
+                "event_type": batch["event_type"],
+            }
+        )
+        g = b.groupby(["window_start", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(
+            ["window_start", "event_type"], as_index=False
+        )["n"].sum()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        b = combined.sort_values(
+            ["window_start", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        b = b.copy(deep=False)
+        b["rank"] = b.groupby("window_start", sort=False).cumcount() + 1
+        out = b[b["rank"] <= k].reset_index(drop=True)
+        out["n"] = out["n"].astype("int64")
+        out["rank"] = out["rank"].astype("int64")
+        out["window_start"] = out["window_start"].astype("int64")
+        return out
+
+    return merge_partials(
+        events.map_batches(partial, batch_format="pandas"),
+        "window_start",
+        combine,
+        finalize,
+        num_buckets,
+    )
+
+
+def union_by_name(a, b, fill: dict | None = None):
+    """Schema-drift union (SQL ``UNION ALL BY NAME``): align two
+    datasets on the union of their column names, padding columns a side
+    lacks with ``fill`` values (default None/null) — the ingest reality
+    of long-lived corpora whose shards gained columns over time. Narrow
+    maps only; no shuffle.
+
+    Columns are aligned to side ``a``'s order plus b-only columns
+    appended sorted, so the output schema is deterministic regardless of
+    which side is which."""
+    fill = fill or {}
+    cols_a = a.columns()
+    cols_b = b.columns()
+    all_cols = list(cols_a) + sorted(c for c in cols_b if c not in cols_a)
+
+    def pad(cols_present):
+        missing = [c for c in all_cols if c not in cols_present]
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy(deep=False)
+            for c in missing:
+                batch[c] = fill.get(c)
+            return batch[all_cols]
+
+        return fn
+
+    return a.map_batches(pad(cols_a), batch_format="pandas").union(
+        b.map_batches(pad(cols_b), batch_format="pandas")
+    )

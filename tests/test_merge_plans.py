@@ -289,3 +289,52 @@ def test_keep_latest_matches_row_number(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_windowed_topk_and_union_by_name(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        union_by_name,
+        windowed_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    ev = pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b", "c", "d"], 800,
+                                     p=[0.5, 0.3, 0.15, 0.05]),
+            "ts": pd.to_datetime("2025-01-01")
+            + pd.to_timedelta(rng.randint(0, 4 * 3600, 800), unit="s"),
+        }
+    )
+    got = (
+        windowed_topk(rd.from_pandas(ev).repartition(4), 3600, 2, 4)
+        .to_pandas()
+        .sort_values(["window_start", "rank"])
+        .reset_index(drop=True)
+    )
+    e = ev.assign(w=(ev["ts"].astype("datetime64[s]").astype("int64") // 3600) * 3600)
+    exp_rows = []
+    for w, grp in e.groupby("w"):
+        c = grp["event_type"].value_counts()
+        top = sorted(c.items(), key=lambda t: (-t[1], t[0]))[:2]
+        for r, (t, n) in enumerate(top, 1):
+            exp_rows.append((w, t, n, r))
+    exp = pd.DataFrame(exp_rows, columns=["window_start", "event_type", "n", "rank"])
+    pd.testing.assert_frame_equal(got, exp.astype(
+        {"window_start": "int64", "n": "int64", "rank": "int64"}))
+
+    a = pd.DataFrame({"x": [1, 2], "y": ["p", "q"]})
+    b = pd.DataFrame({"x": [3], "z": [9.5]})
+    u = (
+        union_by_name(rd.from_pandas(a), rd.from_pandas(b))
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert list(u.columns) == ["x", "y", "z"]
+    assert u["y"].tolist()[:2] == ["p", "q"] and u["y"].isna().tolist()[2]
+    assert u["z"].isna().tolist()[:2] == [True, True] and u["z"].iloc[2] == 9.5
