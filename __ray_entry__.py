@@ -88,6 +88,13 @@ def _q_triples_tool(sf_dir: str):
     return pstage.triples(_all_mentions(sf_dir), "tool", "res", "touches", _NB)
 
 
+def _q_pair_lift(sf_dir: str):
+    """Observed/expected co-occurrence strength per (op, res) pair —
+    exact-integer lift (exp-PMI) edge weights for the KG."""
+    quiet_ray_data()
+    return pstage.pair_lift(_all_mentions(sf_dir), "op", "res", _NB)
+
+
 def _q_adjacency_edges(sf_dir: str):
     quiet_ray_data()
     trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
@@ -1565,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (both sessions), then the rel/window/model block the
         # round-2 judge already re-verified through the repo's own
         # harness, then the r01/r02-green tail ---
+        "pair_lift": _q_pair_lift,
         "curate_hash": _q_curate_hash,
         "curate_neardup_hash": _q_curate_neardup_hash,
         # new in round 3: text-analysis additions, ahead of the sampled tail
@@ -1711,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         "conv2entity": oracles.CONV2ENTITY,
         "entity2conv": oracles.ENTITY2CONV,
         "triples": oracles.TRIPLES,
+        "pair_lift": oracles.PAIR_LIFT,
         "triples_tool": oracles.TRIPLES_TOOL,
         "adjacency_edges": oracles.ADJACENCY_EDGES,
         "adjacency_index": oracles.ADJACENCY_INDEX,

@@ -98,6 +98,26 @@ __triples AS (
 
 TRIPLES = f"WITH {_PAIR_CTE} SELECT subj_id, pred, obj_id, conv_ids, support FROM __triples"
 
+# Exact-integer lift (exp-PMI) edge weights (stages/pairs.pair_lift):
+# observed/expected co-occurrence, integer arithmetic end to end
+PAIR_LIFT = f"""WITH {kg_cte()},
+__pl_src AS (SELECT DISTINCT conv_id, entity_id AS subj_id FROM __mentions WHERE entity_type = 'op'),
+__pl_tgt AS (SELECT DISTINCT conv_id, entity_id AS obj_id FROM __mentions WHERE entity_type = 'res'),
+__pl_p AS (SELECT subj_id, obj_id, count(*) AS n_pair
+        FROM __pl_src s JOIN __pl_tgt t ON s.conv_id = t.conv_id
+        GROUP BY subj_id, obj_id),
+__pl_ns AS (SELECT subj_id, count(*) AS n_subj FROM __pl_src GROUP BY subj_id),
+__pl_nt AS (SELECT obj_id, count(*) AS n_obj FROM __pl_tgt GROUP BY obj_id),
+__pl_n AS (SELECT count(DISTINCT conv_id) AS n_convs FROM __mentions
+        WHERE entity_type IN ('op', 'res'))
+SELECT p.subj_id, p.obj_id,
+       CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_subj AS BIGINT) AS n_subj,
+       CAST(n_obj AS BIGINT) AS n_obj,
+       CAST(n_convs AS BIGINT) AS n_convs,
+       CAST((10000 * n_pair * n_convs) // (n_subj * n_obj) AS BIGINT) AS lift_bp
+FROM __pl_p p JOIN __pl_ns USING (subj_id) JOIN __pl_nt USING (obj_id) CROSS JOIN __pl_n"""
+
 # second type pair: pre-linked tool mentions x resources, predicate 'touches'
 TRIPLES_TOOL = f"""WITH {kg_cte()},
 __src AS (SELECT DISTINCT conv_id, entity_id AS subj_id FROM __mentions WHERE entity_type = 'tool'),

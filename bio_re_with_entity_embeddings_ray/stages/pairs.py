@@ -499,3 +499,135 @@ def triple_negatives(triples_ds, salt: str = "neg"):
         )
 
     return triples_ds.map_batches(fn, batch_format="pandas")
+
+
+def pair_lift(
+    mentions,
+    subj_type: str,
+    obj_type: str,
+    num_buckets: int = 64,
+    scale: int = 10_000,
+    merge_plan: str = "auto",
+):
+    """Co-occurrence strength ('lift' = observed/expected, the
+    exponential of PMI) per candidate pair — the statistical edge weight
+    the reference's downstream classifier learns implicitly from
+    co-occurrence counts (prepare_pair_dataset.py:25-53 emits raw
+    support; lift normalizes it by the entities' marginal frequencies so
+    a hot tool co-occurring with everything stops looking like a strong
+    relation).
+
+    ``lift_bp = scale * n_pair * n_convs // (n_subj * n_obj)`` — exact
+    integer arithmetic end to end (no logs, no floats), so the DuckDB
+    oracle agrees bit-for-bit. n_convs = distinct conversations with at
+    least one mention of either type (the candidate universe).
+
+    Scale shape: ONE conv_id hash shuffle produces a tagged partial-count
+    table (pair / entity-marginal / conv-count rows). Buckets partition
+    conversations, so partials are exact and disjoint — the merges are
+    plain sums. Pair counts merge through the measured plan; the
+    entity marginals and the conv scalar are VOCABULARY-bounded, merged
+    with the lazy tree plan and broadcast (``ray.put`` once) into the
+    pair merge's finalize. No text and no provenance payload ever
+    crosses an exchange — only (key, count) rows.
+    """
+    import ray
+
+    def prededup(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["entity_type"].isin([subj_type, obj_type])]
+        return b[["conv_id", "entity_type", "entity_id"]].drop_duplicates()
+
+    slim = mentions.map_batches(prededup, batch_format="pandas", batch_size=None)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates()
+        src = b[b["entity_type"] == subj_type][["conv_id", "entity_id"]].rename(
+            columns={"entity_id": "subj_id"}
+        )
+        tgt = b[b["entity_type"] == obj_type][["conv_id", "entity_id"]].rename(
+            columns={"entity_id": "obj_id"}
+        )
+        m = src.merge(tgt, on="conv_id")
+        pair = m.groupby(["subj_id", "obj_id"], as_index=False).size()
+        ent = b.groupby(["entity_type", "entity_id"], as_index=False).size()
+        frames = [
+            pd.DataFrame(
+                {
+                    "kind": "pair",
+                    "k1": pair["subj_id"].astype(str),
+                    "k2": pair["obj_id"].astype(str),
+                    "n": pair["size"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "ent",
+                    "k1": ent["entity_type"].astype(str),
+                    "k2": ent["entity_id"].astype(str),
+                    "n": ent["size"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": ["conv"],
+                    "k1": [""],
+                    "k2": [""],
+                    "n": np.array([b["conv_id"].nunique()], dtype=np.int64),
+                }
+            ),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    tagged = bucketed_group_apply(
+        slim, "conv_id", per_bucket, num_buckets
+    ).materialize()
+
+    # entity marginals + conv universe: vocabulary-bounded side tables
+    side = tagged.filter(expr="kind != 'pair'").to_pandas()
+    side = side.groupby(["kind", "k1", "k2"], as_index=False)["n"].sum()
+    n_convs = int(side.loc[side["kind"] == "conv", "n"].sum())
+    ent_rows = side[side["kind"] == "ent"]
+    n_subj_map = pd.Series(
+        ent_rows.loc[ent_rows["k1"] == subj_type, "n"].to_numpy(),
+        index=ent_rows.loc[ent_rows["k1"] == subj_type, "k2"],
+    )
+    n_obj_map = pd.Series(
+        ent_rows.loc[ent_rows["k1"] == obj_type, "n"].to_numpy(),
+        index=ent_rows.loc[ent_rows["k1"] == obj_type, "k2"],
+    )
+    marg_ref = ray.put((n_subj_map, n_obj_map, n_convs))
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["k1", "k2"], as_index=False)["n"].sum()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        smap, omap, nconv = ray.get(marg_ref)
+        n_pair = combined["n"].to_numpy(dtype=np.int64)
+        n_subj = combined["k1"].map(smap).to_numpy(dtype=np.int64)
+        n_obj = combined["k2"].map(omap).to_numpy(dtype=np.int64)
+        if len(n_pair) and scale * nconv * int(n_pair.max()) > np.iinfo(np.int64).max:
+            raise OverflowError(
+                "pair_lift: scale * n_pair * n_convs exceeds int64 — "
+                "lower `scale` for this corpus size"
+            )
+        lift = scale * n_pair * nconv // (n_subj * n_obj)
+        return pd.DataFrame(
+            {
+                "subj_id": combined["k1"],
+                "obj_id": combined["k2"],
+                "n_pair": n_pair,
+                "n_subj": n_subj,
+                "n_obj": n_obj,
+                "n_convs": np.int64(nconv),
+                "lift_bp": lift.astype(np.int64),
+            }
+        )
+
+    return merge_partials(
+        tagged.filter(expr="kind == 'pair'"),
+        ["k1", "k2"],
+        combine,
+        finalize,
+        num_buckets,
+        plan=merge_plan,
+    )
