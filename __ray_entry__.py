@@ -88,6 +88,12 @@ def _q_triples_tool(sf_dir: str):
     return pstage.triples(_all_mentions(sf_dir), "tool", "res", "touches", _NB)
 
 
+def _q_turn_lag(sf_dir: str):
+    """Per-conversation LAG: previous role + inter-turn latency (ms)."""
+    quiet_ray_data()
+    return relational.turn_lag(derive_transcripts(sf_dir), _NB)
+
+
 def _q_pair_lift(sf_dir: str):
     """Observed/expected co-occurrence strength per (op, res) pair —
     exact-integer lift (exp-PMI) edge weights for the KG."""
@@ -1573,6 +1579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-2 judge already re-verified through the repo's own
         # harness, then the r01/r02-green tail ---
         "pair_lift": _q_pair_lift,
+        "turn_lag": _q_turn_lag,
         "curate_hash": _q_curate_hash,
         "curate_neardup_hash": _q_curate_neardup_hash,
         # new in round 3: text-analysis additions, ahead of the sampled tail
@@ -1720,6 +1727,7 @@ def oracle_sql() -> dict[str, str]:
         "entity2conv": oracles.ENTITY2CONV,
         "triples": oracles.TRIPLES,
         "pair_lift": oracles.PAIR_LIFT,
+        "turn_lag": oracles.TURN_LAG,
         "triples_tool": oracles.TRIPLES_TOOL,
         "adjacency_edges": oracles.ADJACENCY_EDGES,
         "adjacency_index": oracles.ADJACENCY_INDEX,

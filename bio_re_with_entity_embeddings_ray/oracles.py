@@ -54,6 +54,15 @@ SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text,
        CAST(count(*) AS INT) AS n_turns
 FROM transcripts_v GROUP BY conv_id"""
 
+# Per-conversation LAG (stages/relational.turn_lag): prev role +
+# inter-turn latency, typed sentinels for conversation-first turns
+TURN_LAG = f"""WITH {transcripts_sql_cte()}
+SELECT conv_id, turn_idx, role,
+       COALESCE(LAG(role) OVER w, '') AS prev_role,
+       CAST(COALESCE(epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w, -1) AS BIGINT) AS gap_ms
+FROM transcripts_v
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"""
+
 MENTIONS = f"""WITH {kg_cte()}
 SELECT conv_id, turn_idx, entity_type, entity_id, mention_text, start, "end"
 FROM __text_mentions"""

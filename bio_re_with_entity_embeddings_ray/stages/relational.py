@@ -1203,3 +1203,67 @@ def union_by_name(a, b, fill: dict | None = None):
     return a.map_batches(pad(cols_a), batch_format="pandas").union(
         b.map_batches(pad(cols_b), batch_format="pandas")
     )
+
+
+def turn_lag(transcripts, num_buckets: int = 16):
+    """Per-conversation LAG: for every turn, the previous turn's role and
+    the inter-turn latency in milliseconds (SQL ``LAG(...) OVER
+    (PARTITION BY conv_id ORDER BY turn_idx)``) — the response-time /
+    turn-taking feature every transcript analytics pipeline derives.
+
+    First turn of a conversation gets sentinel ``prev_role=''`` /
+    ``gap_ms=-1`` (typed sentinels keep the schema null-free).
+
+    Scale shape: project to the four needed columns, ONE conv_id hash
+    shuffle, then a vectorized sort+shift per bucket — a conversation's
+    turns are bounded, the shuffle payload carries no text.
+    """
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"].astype("int32"),
+                "role": batch["role"],
+                "ts_ms": batch["ts"].astype("datetime64[ms]").astype("int64"),
+            }
+        )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=str),
+                    "turn_idx": pd.Series([], dtype="int32"),
+                    "role": pd.Series([], dtype=str),
+                    "prev_role": pd.Series([], dtype=str),
+                    "gap_ms": pd.Series([], dtype="int64"),
+                }
+            )
+        cid = b["conv_id"].to_numpy()
+        ms = b["ts_ms"].to_numpy()
+        role = b["role"].to_numpy()
+        same = np.zeros(n, dtype=bool)
+        same[1:] = cid[1:] == cid[:-1]
+        prev_ms = np.empty(n, dtype=np.int64)
+        prev_ms[0] = 0
+        prev_ms[1:] = ms[:-1]
+        prev_role = np.empty(n, dtype=object)
+        prev_role[0] = ""
+        prev_role[1:] = role[:-1]
+        return pd.DataFrame(
+            {
+                "conv_id": cid,
+                "turn_idx": b["turn_idx"].to_numpy(),
+                "role": role,
+                "prev_role": np.where(same, prev_role, ""),
+                "gap_ms": np.where(same, ms - prev_ms, np.int64(-1)).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    slimmed = transcripts.map_batches(slim, batch_format="pandas")
+    return bucketed_group_apply(slimmed, "conv_id", per_bucket, num_buckets)

@@ -144,3 +144,52 @@ def test_robust_outliers_matches_numpy_median_mad(ray_session):
     assert got["event_id"].tolist() == sorted(exp_ids)
     # the planted extremes are flagged
     assert {len(vals) - 3, len(vals) - 2, len(vals) - 1} <= set(got["event_id"])
+
+
+def test_turn_lag_matches_pandas_lag(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import relational
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in rng.randint(0, 30, n)],
+            "turn_idx": np.zeros(n, dtype="int32"),
+            "role": rng.choice(["user", "assistant", "tool"], n),
+            "text": "x",
+            "tool": None,
+            "ts": pd.to_datetime(
+                rng.randint(0, 10**6, n) * 1_000_003, unit="us"
+            ),
+        }
+    )
+    df["turn_idx"] = df.groupby("conv_id").cumcount().astype("int32")
+    got = (
+        relational.turn_lag(rd.from_pandas(df.sample(frac=1, random_state=1)), 4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    g = b.groupby("conv_id", sort=False)
+    want = pd.DataFrame(
+        {
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"],
+            "role": b["role"],
+            "prev_role": g["role"].shift(1).fillna(""),
+            "gap_ms": (
+                b["ts"].astype("datetime64[ms]").astype("int64")
+                - b["ts"]
+                .astype("datetime64[ms]")
+                .astype("int64")
+                .groupby(b["conv_id"], sort=False)
+                .shift(1)
+            ).fillna(-1).astype("int64"),
+        }
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
