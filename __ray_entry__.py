@@ -94,6 +94,15 @@ def _q_turn_lag(sf_dir: str):
     return relational.turn_lag(derive_transcripts(sf_dir), _NB)
 
 
+def _q_reachable_k(sf_dir: str):
+    """Bounded 2-hop reachability from the tool-entity seed set over the
+    co-occurrence graph (blast-radius closure; recursive-CTE oracle)."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    return graph.reachable_k(_cooc_edges(sf_dir), "TOOL:", k=2)
+
+
 def _q_pair_lift(sf_dir: str):
     """Observed/expected co-occurrence strength per (op, res) pair —
     exact-integer lift (exp-PMI) edge weights for the KG."""
@@ -1580,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # harness, then the r01/r02-green tail ---
         "pair_lift": _q_pair_lift,
         "turn_lag": _q_turn_lag,
+        "reachable_k": _q_reachable_k,
         "curate_hash": _q_curate_hash,
         "curate_neardup_hash": _q_curate_neardup_hash,
         # new in round 3: text-analysis additions, ahead of the sampled tail
@@ -1728,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
         "triples": oracles.TRIPLES,
         "pair_lift": oracles.PAIR_LIFT,
         "turn_lag": oracles.TURN_LAG,
+        "reachable_k": oracles.REACHABLE_K,
         "triples_tool": oracles.TRIPLES_TOOL,
         "adjacency_edges": oracles.ADJACENCY_EDGES,
         "adjacency_index": oracles.ADJACENCY_INDEX,

@@ -1481,6 +1481,19 @@ __e AS (
   SELECT hi AS src, lo AS dst FROM __und
 )"""
 
+# Bounded-hop reachability (stages/graph.reachable_k): recursive CTE
+# with a depth bound; min(dist) = BFS first-discovery depth
+REACHABLE_K = f"""WITH RECURSIVE {_COOC_EDGES},
+__seed AS (SELECT DISTINCT src AS node FROM __e WHERE src LIKE 'TOOL:%'),
+__r AS (
+  SELECT node, 0 AS dist FROM __seed
+  UNION
+  SELECT e.dst AS node, r.dist + 1 AS dist
+  FROM __r r JOIN __e e ON e.src = r.node
+  WHERE r.dist < 2
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM __r GROUP BY node"""
+
 COOC_EDGES = f"""WITH {_COOC_EDGES}
 SELECT src, dst FROM __e"""
 

@@ -675,3 +675,60 @@ def kcore(
     out = deg_df[deg_df["deg"] >= k].sort_values("node").reset_index(drop=True)
     out["deg"] = out["deg"].astype("int64")
     return out
+
+
+def reachable_k(edges, seed_prefix: str = "TOOL:", k: int = 2,
+                src: str = "src", dst: str = "dst"):
+    """Bounded-hop reachability (k-hop transitive closure) from a seed
+    set over the symmetric co-occurrence edge list: every node whose
+    minimum hop distance from any seed is <= ``k``, with that distance —
+    the blast-radius query of KG impact analysis ("what can this tool
+    touch within two hops?").
+
+    Scale shape (same node-bounded contract as :func:`kcore` /
+    :func:`pagerank`): the edge list is pinned once and NEVER shuffles;
+    each of the <= ``k`` rounds is one streaming semi-join pass with the
+    current frontier broadcast via ``ray.put`` (frontier and result are
+    node-bounded), emitting per-block distinct successor nodes. BFS
+    first-discovery depth IS the minimum distance, so no min-merge is
+    needed. Returns a pandas (node, dist) frame sorted by node.
+    """
+    import ray
+
+    cur = edges.materialize()  # k passes over the same edge working set
+
+    def seed_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch[src].unique()
+        return pd.DataFrame(
+            {"node": [n for n in u if str(n).startswith(seed_prefix)]}
+        )
+
+    def _nodes(ds) -> "np.ndarray":
+        df = ds.to_pandas()
+        if "node" not in df.columns:  # fully-empty output loses the schema
+            return np.array([], dtype=object)
+        return df["node"].unique()
+
+    seeds = _nodes(cur.map_batches(seed_partial, batch_format="pandas"))
+    reached: dict = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for d in range(1, k + 1):
+        if not frontier:
+            break
+        fref = ray.put(frontier)
+
+        def step(batch: pd.DataFrame, _f=fref) -> pd.DataFrame:
+            fs = ray.get(_f)
+            m = batch[batch[src].isin(fs)]
+            return pd.DataFrame({"node": m[dst].unique()})
+
+        nxt = _nodes(cur.map_batches(step, batch_format="pandas"))
+        frontier = {n for n in nxt if n not in reached}
+        for n in frontier:
+            reached[n] = d
+    out = pd.DataFrame(
+        sorted(reached.items()), columns=["node", "dist"]
+    )
+    out["dist"] = out["dist"].astype("int64")
+    out["node"] = out["node"].astype(str)
+    return out

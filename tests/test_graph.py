@@ -367,3 +367,33 @@ def test_triangle_counts_int_node_ids_hash_plan(ray_session):
         .reset_index(drop=True)
     )
     assert dict(zip(got["node"], got["triangles"])) == {0: 1, 1: 1, 2: 1}
+
+
+def test_reachable_k_path_graph(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    # path TOOL:a - b - c - d (symmetric); k=2 reaches b (1) and c (2), not d
+    und = [("TOOL:a", "b"), ("b", "c"), ("c", "d")]
+    rows = [(s, t) for s, t in und] + [(t, s) for s, t in und]
+    edges = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]))
+    out = graph.reachable_k(edges, "TOOL:", k=2)
+    assert dict(zip(out["node"], out["dist"])) == {"TOOL:a": 0, "b": 1, "c": 2}
+
+    out3 = graph.reachable_k(edges, "TOOL:", k=3)
+    assert dict(zip(out3["node"], out3["dist"]))["d"] == 3
+
+
+def test_reachable_k_no_seeds(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    edges = rd.from_pandas(
+        pd.DataFrame([("a", "b"), ("b", "a")], columns=["src", "dst"])
+    )
+    out = graph.reachable_k(edges, "TOOL:", k=2)
+    assert len(out) == 0
