@@ -1579,6 +1579,109 @@ def _q_classified_triples(sf_dir: str):
     )
 
 
+# ------------------------------------------- round-3 second-wave additions
+
+
+def _q_role_transitions(sf_dir: str):
+    """Markov transition counts over conversation roles (LAG + GROUP BY)."""
+    quiet_ray_data()
+    return relational.role_transitions(derive_transcripts(sf_dir), _NB)
+
+
+def _q_drop_repeated_turns(sf_dir: str):
+    """Consecutive-duplicate turn removal over a corpus where every turn
+    is doubled (turn_idx -> 2i, 2i+1), so the drop path actually fires:
+    survivors are exactly the even copies."""
+    import pandas as pd
+
+    quiet_ray_data()
+
+    def double(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch.copy(deep=False)
+        a["turn_idx"] = (batch["turn_idx"] * 2).astype("int32")
+        b = batch.copy(deep=False)
+        b["turn_idx"] = (batch["turn_idx"] * 2 + 1).astype("int32")
+        return pd.concat([a, b], ignore_index=True)
+
+    doubled = derive_transcripts(sf_dir).map_batches(
+        double, batch_format="pandas"
+    )
+    return relational.drop_repeated_turns(doubled, _NB)
+
+
+def _q_conv_stats(sf_dir: str):
+    """Per-conversation profile row (n_turns, role mix, duration)."""
+    quiet_ray_data()
+    return relational.conv_stats(derive_transcripts(sf_dir), _NB)
+
+
+def _setop_sides(sf_dir: str):
+    import ray.data as rd
+
+    full = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    a = full.filter(expr="lang == 'en'").select_columns(["doc_id"])
+    b = full.filter(expr="n_chars >= 300").select_columns(["doc_id"])
+    return a, b
+
+
+def _q_rel_intersect(sf_dir: str):
+    """SQL INTERSECT (distinct keys in both sides) via presence-flag
+    combiner — payloads never cross the exchange."""
+    quiet_ray_data()
+    a, b = _setop_sides(sf_dir)
+    return relational.set_op(a, b, "intersect", "doc_id", _NB)
+
+
+def _q_rel_except(sf_dir: str):
+    """SQL EXCEPT (distinct keys in a but not b)."""
+    quiet_ray_data()
+    a, b = _setop_sides(sf_dir)
+    return relational.set_op(a, b, "except", "doc_id", _NB)
+
+
+def _q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): one finest-grain corpus pass, the
+    coarser levels derived from the bounded aggregate."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return relational.rollup_counts(docs, _NB)
+
+
+def _q_bpe_pair_counts(sf_dir: str):
+    """Top-20 adjacent token pairs (BPE tokenizer-training merge round)."""
+    quiet_ray_data()
+    return textstats.bpe_pair_counts(_docs(sf_dir), k=20, num_buckets=_NB)
+
+
+def _q_doc_entropy(sf_dir: str):
+    """Per-doc unigram entropy in integer micro-nats (floored per-type
+    contributions, bigram_nll discipline)."""
+    quiet_ray_data()
+    return textstats.doc_entropy(_docs(sf_dir))
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language deterministic keep rates (multilingual mix
+    rebalancing): en 30%, zh 100%, default 60%."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import sampling
+
+    quiet_ray_data()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return sampling.stratified_sample(
+        docs, {"en": 3000, "zh": 10000}, default_bp=6000
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- ORDERING = driver-sampling insurance. The driver samples a
@@ -1587,6 +1690,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (both sessions), then the rel/window/model block the
         # round-2 judge already re-verified through the repo's own
         # harness, then the r01/r02-green tail ---
+        "role_transitions": _q_role_transitions,
+        "drop_repeated_turns": _q_drop_repeated_turns,
+        "conv_stats": _q_conv_stats,
+        "rel_intersect": _q_rel_intersect,
+        "rel_except": _q_rel_except,
+        "rollup_counts": _q_rollup_counts,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "doc_entropy": _q_doc_entropy,
+        "stratified_sample": _q_stratified_sample,
         "pair_lift": _q_pair_lift,
         "turn_lag": _q_turn_lag,
         "reachable_k": _q_reachable_k,
@@ -1738,6 +1850,15 @@ def oracle_sql() -> dict[str, str]:
         "triples": oracles.TRIPLES,
         "pair_lift": oracles.PAIR_LIFT,
         "turn_lag": oracles.TURN_LAG,
+        "role_transitions": oracles.ROLE_TRANSITIONS,
+        "drop_repeated_turns": oracles.DROP_REPEATED_TURNS,
+        "conv_stats": oracles.CONV_STATS,
+        "rel_intersect": oracles.REL_INTERSECT,
+        "rel_except": oracles.REL_EXCEPT,
+        "rollup_counts": oracles.ROLLUP_COUNTS,
+        "bpe_pair_counts": oracles.BPE_PAIR_COUNTS,
+        "doc_entropy": oracles.DOC_ENTROPY,
+        "stratified_sample": oracles.STRATIFIED_SAMPLE,
         "reachable_k": oracles.REACHABLE_K,
         "triples_tool": oracles.TRIPLES_TOOL,
         "adjacency_edges": oracles.ADJACENCY_EDGES,

@@ -1977,3 +1977,99 @@ UNION ALL
 SELECT doc_id + 1000000 AS doc_id, text, '' AS lang,
        CAST(-1 AS BIGINT) AS n_chars
 FROM documents"""
+
+# Role-transition Markov counts (stages/relational.role_transitions):
+# LAG over (conv_id, turn_idx), first turns excluded
+ROLE_TRANSITIONS = f"""WITH {transcripts_sql_cte()},
+__l AS (
+  SELECT role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts_v
+)
+SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+FROM __l WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role"""
+
+# Consecutive-duplicate turn removal (stages/relational.
+# drop_repeated_turns): the engine query doubles every turn
+# (turn_idx -> 2i, 2i+1) so the dedup path actually fires; survivors
+# are exactly the even copies
+DROP_REPEATED_TURNS = f"""WITH {transcripts_sql_cte()},
+__doubled AS (
+  SELECT conv_id, CAST(turn_idx * 2 AS INT) AS turn_idx, role, text, tool, ts
+  FROM transcripts_v
+  UNION ALL
+  SELECT conv_id, CAST(turn_idx * 2 + 1 AS INT) AS turn_idx, role, text, tool, ts
+  FROM transcripts_v
+),
+__l AS (
+  SELECT *, LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+  FROM __doubled
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM __l WHERE prev_text IS NULL OR text <> prev_text"""
+
+# Per-conversation profile row (stages/relational.conv_stats)
+CONV_STATS = f"""WITH {transcripts_sql_cte()}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+       CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
+FROM transcripts_v GROUP BY conv_id"""
+
+# Distinct set operations (stages/relational.set_op): doc ids in the
+# English shard vs the long-document shard
+_SETOP_A = "SELECT doc_id FROM documents WHERE lang = 'en'"
+_SETOP_B = "SELECT doc_id FROM documents WHERE n_chars >= 300"
+REL_INTERSECT = f"{_SETOP_A} INTERSECT {_SETOP_B}"
+REL_EXCEPT = f"{_SETOP_A} EXCEPT {_SETOP_B}"
+
+# Grouping-sets rollup (stages/relational.rollup_counts):
+# GROUP BY ROLLUP(lang, source) with '*' as the rolled-up sentinel
+ROLLUP_COUNTS = """SELECT COALESCE(lang, '*') AS lang,
+       COALESCE(source, '*') AS source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source)"""
+
+# BPE first-merge pair counts (stages/textstats.bpe_pair_counts, k=20):
+# adjacent token pairs, rank = (count DESC, w1, w2)
+BPE_PAIR_COUNTS = """WITH __t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+),
+__i AS (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM __t),
+__p AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2 FROM __i),
+__c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM __p GROUP BY w1, w2)
+SELECT w1, w2, n, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT w1, w2, n,
+         row_number() OVER (ORDER BY n DESC, w1, w2) AS rank
+  FROM __c
+) WHERE rank <= 20"""
+
+# Per-document unigram entropy in integer micro-nats
+# (stages/textstats.doc_entropy): per-token-type contributions floored
+# BEFORE the sum (bigram_nll discipline)
+DOC_ENTROPY = """WITH __t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+__w AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS w FROM __t),
+__c AS (
+  SELECT doc_id, any_value(n) AS n, w, CAST(count(*) AS BIGINT) AS c
+  FROM __w GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(any_value(n) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(floor(c * ln(CAST(n AS DOUBLE) / c) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS entropy_fp
+FROM __c GROUP BY doc_id"""
+
+# Stratified sampling (stages/sampling.stratified_sample): per-language
+# keep rates — en downsampled to 30%, zh kept at 100%, default 60%
+_STRAT_HASH = (
+    "CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+)
+STRATIFIED_SAMPLE = f"""SELECT doc_id, text, lang FROM documents
+WHERE {_STRAT_HASH} < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 10000 ELSE 6000 END"""

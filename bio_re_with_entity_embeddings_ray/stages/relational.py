@@ -1267,3 +1267,258 @@ def turn_lag(transcripts, num_buckets: int = 16):
 
     slimmed = transcripts.map_batches(slim, batch_format="pandas")
     return bucketed_group_apply(slimmed, "conv_id", per_bucket, num_buckets)
+
+
+def role_transitions(transcripts, num_buckets: int = 16):
+    """Markov transition counts over conversation roles: how often role B
+    follows role A across the corpus (the turn-taking structure signal a
+    dialogue-data pipeline monitors for format drift). SQL shape:
+    ``LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)`` then
+    ``GROUP BY prev_role, role`` — conversation-first turns excluded.
+
+    Scale shape: project to (conv_id, turn_idx, role), ONE conv_id hash
+    shuffle, per-bucket vectorized shift + C-level groupby count partials,
+    then a lazy tree merge (the role vocabulary is tiny by construction,
+    so the merged table is bounded at |roles|^2 rows)."""
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"].astype("int32"),
+                "role": batch["role"],
+            }
+        )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "prev_role": pd.Series([], dtype=str),
+                    "role": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        cid = b["conv_id"].to_numpy()
+        role = b["role"].to_numpy()
+        same = np.zeros(n, dtype=bool)
+        same[1:] = cid[1:] == cid[:-1]
+        prev = np.empty(n, dtype=object)
+        prev[0] = ""
+        prev[1:] = role[:-1]
+        t = pd.DataFrame({"prev_role": prev[same], "role": role[same]})
+        g = t.groupby(["prev_role", "role"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    slimmed = transcripts.map_batches(slim, batch_format="pandas")
+    partials = bucketed_group_apply(slimmed, "conv_id", per_bucket, num_buckets)
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["prev_role", "role"], as_index=False)["n"].sum()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        out = combined.sort_values(["prev_role", "role"]).reset_index(drop=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return merge_partials(
+        partials, ["prev_role", "role"], combine, finalize, num_buckets,
+        plan="tree",
+    )
+
+
+def drop_repeated_turns(transcripts, num_buckets: int = 16):
+    """Transcript cleaning: drop a turn when its text is byte-identical to
+    the immediately preceding turn of the same conversation (consecutive-
+    duplicate removal — stuttered tool retries, double-submitted user
+    messages). SQL shape: ``LAG(text) OVER (PARTITION BY conv_id ORDER BY
+    turn_idx)`` + keep where different or first.
+
+    One conv_id hash shuffle; the comparison is a vectorized shifted
+    equality per bucket. Text crosses the exchange once (it IS the output
+    payload), never twice."""
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = len(b)
+        if n == 0:
+            return bucket
+        cid = b["conv_id"].to_numpy()
+        txt = b["text"].to_numpy()
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (cid[1:] == cid[:-1]) & (txt[1:] == txt[:-1])
+        return b[~dup]
+
+    return bucketed_group_apply(transcripts, "conv_id", per_bucket, num_buckets)
+
+
+def conv_stats(transcripts, num_buckets: int = 16):
+    """Per-conversation feature row: (conv_id, n_turns, n_user, n_tool,
+    n_roles, duration_ms) — the conversation-level profile table KG and
+    curation stages key decisions on (e.g. drop single-turn convs, cap
+    tool-heavy ones).
+
+    Combiner shape: per-block partial aggregates (counts, distinct-role
+    packed set, min/max ts) shuffle ONE row per (conv, block) — no text,
+    no per-turn rows — then a conv-keyed merge. The packed-role set goes
+    through the C-level pack/explode helpers (aggregate.pack_sorted_
+    distinct), never a per-group Python lambda."""
+    from bio_re_with_entity_embeddings_ray.stages.aggregate import (
+        SET_SEP,
+        explode_packed,
+        pack_sorted_distinct,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "role": batch["role"],
+                "is_user": (batch["role"] == "user").astype("int64"),
+                "is_tool": (batch["role"] == "tool").astype("int64"),
+                "ts_ms": batch["ts"].astype("datetime64[ms]").astype("int64"),
+            }
+        )
+        g = b.groupby("conv_id", as_index=False).agg(
+            n_turns=("role", "size"),
+            n_user=("is_user", "sum"),
+            n_tool=("is_tool", "sum"),
+            ts_min=("ts_ms", "min"),
+            ts_max=("ts_ms", "max"),
+        )
+        roles = pack_sorted_distinct(b, ["conv_id"], "role", "roles")
+        return g.merge(roles, on="conv_id")
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        nums = batch.groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"),
+            n_user=("n_user", "sum"),
+            n_tool=("n_tool", "sum"),
+            ts_min=("ts_min", "min"),
+            ts_max=("ts_max", "max"),
+        )
+        roles = pack_sorted_distinct(
+            explode_packed(batch, ["conv_id"], "roles"),
+            ["conv_id"],
+            "roles",
+            "roles",
+        )
+        return nums.merge(roles, on="conv_id")
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        out = combined.copy(deep=False)
+        out["n_roles"] = (out["roles"].str.count(SET_SEP) + 1).astype("int64")
+        out["duration_ms"] = (out["ts_max"] - out["ts_min"]).astype("int64")
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["n_user"] = out["n_user"].astype("int64")
+        out["n_tool"] = out["n_tool"].astype("int64")
+        return out[
+            ["conv_id", "n_turns", "n_user", "n_tool", "n_roles", "duration_ms"]
+        ]
+
+    partials = transcripts.map_batches(partial, batch_format="pandas")
+    return merge_partials(partials, "conv_id", combine, finalize, num_buckets)
+
+
+def set_op(a, b, op: str, key: str, num_buckets: int = 16):
+    """Distinct set operations between two keyed datasets (SQL
+    ``INTERSECT`` / ``EXCEPT``): keys present in both sides, or in ``a``
+    but not ``b``. Output is DISTINCT keys (set semantics), one column.
+
+    Combiner shape: each side pre-DISTINCTs per block and ships
+    (key, side-presence flags) partial rows — one row per (key, block) —
+    then a key-complete merge ORs the flags and applies the predicate.
+    Neither side's payload columns ever cross the exchange."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+
+    def tag(side_a: bool):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            k = batch[key].drop_duplicates()
+            return pd.DataFrame(
+                {
+                    key: k,
+                    "in_a": np.int64(1) if side_a else np.int64(0),
+                    "in_b": np.int64(0) if side_a else np.int64(1),
+                }
+            )
+
+        return fn
+
+    partials = a.map_batches(tag(True), batch_format="pandas").union(
+        b.map_batches(tag(False), batch_format="pandas")
+    )
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(key, as_index=False).agg(
+            in_a=("in_a", "max"), in_b=("in_b", "max")
+        )
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        if op == "intersect":
+            keep = (combined["in_a"] == 1) & (combined["in_b"] == 1)
+        else:
+            keep = (combined["in_a"] == 1) & (combined["in_b"] == 0)
+        return combined.loc[keep, [key]].reset_index(drop=True)
+
+    return merge_partials(partials, key, combine, finalize, num_buckets)
+
+
+def rollup_counts(docs, num_buckets: int = 16):
+    """Grouping-sets aggregate (SQL ``GROUP BY ROLLUP(lang, source)``):
+    document count + exact char sum at three granularities — (lang,
+    source), (lang), and the grand total — with ``'*'`` as the rolled-up
+    sentinel (the synthetic values never contain it).
+
+    Scale shape: ONE finest-grain combiner pass over the corpus; the
+    coarser levels are derived from the finest AGGREGATE (bounded at
+    |lang|x|source| rows), never from a second corpus pass — the classic
+    rollup-from-cube trick."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_chars": batch["n_chars"].astype("int64"),
+            }
+        )
+        g = b.groupby(["lang", "source"], as_index=False).agg(
+            n=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return g
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["lang", "source"], as_index=False).agg(
+            n=("n", "sum"), sum_chars=("sum_chars", "sum")
+        )
+
+    def finalize(fine: pd.DataFrame) -> pd.DataFrame:
+        lvl1 = fine.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), sum_chars=("sum_chars", "sum")
+        )
+        lvl1["source"] = "*"
+        lvl0 = pd.DataFrame(
+            {
+                "lang": ["*"],
+                "source": ["*"],
+                "n": [fine["n"].sum()],
+                "sum_chars": [fine["sum_chars"].sum()],
+            }
+        )
+        out = pd.concat(
+            [fine, lvl1[["lang", "source", "n", "sum_chars"]], lvl0],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    # |lang| x |source| is a bounded vocabulary: lazy tree merge
+    return merge_partials(
+        partials, ["lang", "source"], combine, finalize, num_buckets,
+        plan="tree",
+    )

@@ -131,3 +131,41 @@ def weighted_sample(ds, weight_col: str, scale: int = 10000,
         return batch[h < w]
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=None)
+
+
+def stratified_sample(
+    ds,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+    stratum_col: str = "lang",
+    key: str = "doc_id",
+    salt: str = "strat",
+):
+    """Deterministic stratified sampling: each stratum (e.g. language) is
+    kept at its own rate — the rebalancing step of a multilingual training
+    mix (e.g. downsample English, keep everything else). Strata absent
+    from ``rates_bp`` use ``default_bp``.
+
+    Same salted-hash keep rule as :func:`hash_sample`, so the decision is
+    per-row, reproducible, and layout-independent; the per-row rate lookup
+    is a C-level ``Series.map``. Narrow map, no shuffle, exact SQL mirror
+    (CASE over the rate table)."""
+    for s, r in rates_bp.items():
+        if not 0 <= r <= 10000:
+            raise ValueError(f"rate for {s!r} must be in [0, 10000], got {r}")
+    if not 0 <= default_bp <= 10000:
+        raise ValueError(f"default_bp must be in [0, 10000], got {default_bp}")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rate = (
+            batch[stratum_col]
+            .map(rates_bp)
+            .fillna(default_bp)
+            .astype("int64")
+            .to_numpy()
+        )
+        tagged = [f"{salt}:{k}" for k in batch[key].astype(str)]
+        keep = (md5int8_array(tagged) % 10000) < rate
+        return batch[keep]
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=None)

@@ -1031,3 +1031,95 @@ def fuzzy_token_pairs(docs, min_len: int = FUZZY_MIN_LEN,
         lambda b: b,
         num_buckets,
     )
+
+
+def bpe_pair_counts(docs, k: int = 20, num_buckets: int = 16):
+    """First merge round of BPE tokenizer training: the top-``k`` adjacent
+    token pairs by corpus frequency (count DESC, then (w1, w2) ASC) —
+    the counting kernel a distributed tokenizer-induction loop re-runs
+    after every merge. Returns (w1, w2, n, rank).
+
+    Scale shape: adjacent pairs are index arithmetic over the flat
+    dictionary-encoded token stream (no pair strings until the per-batch
+    C-level groupby); partials are one row per (pair, block), merged
+    through the measured plan — the pair key space is vocabulary-bounded,
+    not corpus-bounded."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        if len(codes) < 2:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype=str),
+                    "w2": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        adj = row_idx[1:] == row_idx[:-1]
+        c1, c2 = codes[:-1][adj], codes[1:][adj]
+        g = (
+            pd.DataFrame({"w1": vocab[c1], "w2": vocab[c2]})
+            .groupby(["w1", "w2"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["w1", "w2"], as_index=False)["n"].sum()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        b = combined.sort_values(
+            ["n", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+        b = b.reset_index(drop=True)
+        b["n"] = b["n"].astype("int64")
+        b["rank"] = np.arange(1, len(b) + 1, dtype=np.int64)
+        return b
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    return merge_partials(partials, ["w1", "w2"], combine, finalize, num_buckets)
+
+
+def doc_entropy(docs):
+    """Per-document unigram entropy in integer micro-nats:
+    ``entropy_fp = SUM over distinct tokens w of floor(c_w * ln(n / c_w)
+    * 1e6)`` where ``c_w`` is w's count and ``n`` the doc's token count —
+    the vocabulary-diversity quality signal (low entropy = template/spam).
+
+    Per-token-type contributions are floored to integers BEFORE the sum
+    (the bm25/bigram_nll discipline) so the oracle's unordered SQL SUM
+    matches the engine's accumulation order exactly. Single narrow pass,
+    no shuffle; the per-row type counts come from one lexsort over the
+    dictionary-encoded token stream."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, _ = _flat_token_codes(batch["text"])
+        n_rows = len(n_tok)
+        ent = np.zeros(n_rows, dtype=np.int64)
+        if len(codes):
+            order = np.lexsort((codes, row_idx))
+            r, c = row_idx[order], codes[order]
+            new = np.ones(len(r), dtype=bool)
+            new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts, len(r))).astype(np.int64)
+            rows = r[starts]
+            contrib = np.floor(
+                cnt * np.log(n_tok[rows] / cnt) * 1_000_000
+            ).astype(np.int64)
+            # integer-valued float64 sums below 2^53 are exact in any order
+            ent = np.bincount(rows, weights=contrib, minlength=n_rows).astype(
+                np.int64
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tok,
+                "entropy_fp": ent,
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
