@@ -1682,6 +1682,86 @@ def _q_stratified_sample(sf_dir: str):
     )
 
 
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+
+def _q_running_total(sf_dir: str):
+    """Per-user unbounded running total (SUM OVER ROWS UNBOUNDED
+    PRECEDING)."""
+    quiet_ray_data()
+    return relational.running_total(_events(sf_dir), _NB)
+
+
+def _q_funnel_counts(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase: per-user
+    greedy earliest-completion depth, then a depth histogram. The
+    event stream is sparsified (event_id % 7 = 0, mirrored in SQL) so
+    the synthetic corpus produces a non-degenerate depth spread."""
+    import pandas as pd
+
+    quiet_ray_data()
+
+    def sparsify(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["event_id"] % 7 == 0]
+
+    ev = _events(sf_dir).map_batches(sparsify, batch_format="pandas")
+    return relational.funnel_counts(ev, ("view", "click", "purchase"), _NB)
+
+
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: groups carried by fewer than 8 rows."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+    return relational.k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=8,
+                                  num_buckets=_NB)
+
+
+def _q_column_profile(sf_dir: str):
+    """Per-column profiling summary (n, nulls, exact distinct,
+    lexicographic min/max) over four orders columns."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    cols = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    return relational.column_profile(orders, cols, _NB)
+
+
+def _q_hits_scores(sf_dir: str):
+    """Unnormalized integer HITS (2 rounds) over the directed
+    subj -> obj triple edges."""
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    quiet_ray_data()
+    trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
+
+    def as_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": batch["subj_id"], "dst": batch["obj_id"]})
+
+    edges = trip.map_batches(as_edges, batch_format="pandas")
+    return graph.hits_scores(edges, num_buckets=_NB)
+
+
+def _q_functional_violations(sf_dir: str):
+    """KG consistency audit: (subj, pred) with 2+ distinct objects."""
+    quiet_ray_data()
+    trip = pstage.triples(_all_mentions(sf_dir), "op", "res", "applies_to", _NB)
+    return pstage.functional_violations(trip, min_objs=2, num_buckets=_NB)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- ORDERING = driver-sampling insurance. The driver samples a
@@ -1690,6 +1770,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (both sessions), then the rel/window/model block the
         # round-2 judge already re-verified through the repo's own
         # harness, then the r01/r02-green tail ---
+        "running_total": _q_running_total,
+        "funnel_counts": _q_funnel_counts,
+        "k_anonymity": _q_k_anonymity,
+        "column_profile": _q_column_profile,
+        "hits_scores": _q_hits_scores,
+        "functional_violations": _q_functional_violations,
         "role_transitions": _q_role_transitions,
         "drop_repeated_turns": _q_drop_repeated_turns,
         "conv_stats": _q_conv_stats,
@@ -1850,6 +1936,12 @@ def oracle_sql() -> dict[str, str]:
         "triples": oracles.TRIPLES,
         "pair_lift": oracles.PAIR_LIFT,
         "turn_lag": oracles.TURN_LAG,
+        "running_total": oracles.RUNNING_TOTAL,
+        "funnel_counts": oracles.FUNNEL_COUNTS,
+        "k_anonymity": oracles.K_ANONYMITY,
+        "column_profile": oracles.COLUMN_PROFILE,
+        "hits_scores": oracles.HITS_SCORES,
+        "functional_violations": oracles.FUNCTIONAL_VIOLATIONS,
         "role_transitions": oracles.ROLE_TRANSITIONS,
         "drop_repeated_turns": oracles.DROP_REPEATED_TURNS,
         "conv_stats": oracles.CONV_STATS,

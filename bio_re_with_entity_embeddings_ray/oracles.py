@@ -2073,3 +2073,88 @@ _STRAT_HASH = (
 )
 STRATIFIED_SAMPLE = f"""SELECT doc_id, text, lang FROM documents
 WHERE {_STRAT_HASH} < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 10000 ELSE 6000 END"""
+
+# Per-user unbounded running total (stages/relational.running_total)
+RUNNING_TOTAL = """WITH __rv AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS cum_n,
+       CAST(sum(v_milli) OVER w AS BIGINT) AS cum_sum_milli
+FROM __rv
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)"""
+
+# Ordered conversion funnel view -> click -> purchase
+# (stages/relational.funnel_counts): greedy earliest completion,
+# strictly-after step ordering
+FUNNEL_COUNTS = """WITH
+__ev AS (SELECT * FROM events WHERE event_id % 7 = 0),
+__s1 AS (SELECT user_id, min(ts) AS t FROM __ev
+         WHERE event_type = 'view' GROUP BY user_id),
+__s2 AS (SELECT e.user_id, min(e.ts) AS t FROM __ev e
+         JOIN __s1 ON e.user_id = __s1.user_id
+         WHERE e.event_type = 'click' AND e.ts > __s1.t GROUP BY e.user_id),
+__s3 AS (SELECT e.user_id, min(e.ts) AS t FROM __ev e
+         JOIN __s2 ON e.user_id = __s2.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > __s2.t GROUP BY e.user_id),
+__u AS (SELECT DISTINCT user_id FROM __ev),
+__d AS (
+  SELECT __u.user_id,
+         CASE WHEN __s3.user_id IS NOT NULL THEN 3
+              WHEN __s2.user_id IS NOT NULL THEN 2
+              WHEN __s1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS depth
+  FROM __u
+  LEFT JOIN __s1 ON __u.user_id = __s1.user_id
+  LEFT JOIN __s2 ON __u.user_id = __s2.user_id
+  LEFT JOIN __s3 ON __u.user_id = __s3.user_id
+)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n_users
+FROM __d GROUP BY depth"""
+
+# k-anonymity audit (stages/relational.k_anonymity, k=8) over the
+# (nation, market-segment) quasi-identifier
+K_ANONYMITY = """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY c_nationkey, c_mktsegment HAVING count(*) < 8"""
+
+# Column profiling (stages/relational.column_profile over orders):
+# min/max are lexicographic over the VARCHAR rendering by design
+_PROFILE_COL = """SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       COALESCE(min(CAST({c} AS VARCHAR)), '') AS min_str,
+       COALESCE(max(CAST({c} AS VARCHAR)), '') AS max_str
+FROM orders"""
+COLUMN_PROFILE = " UNION ALL ".join(
+    _PROFILE_COL.format(c=c)
+    for c in ("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+)
+
+# Unnormalized integer HITS, 2 rounds, over the directed (subj -> obj)
+# triple edges (stages/graph.hits_scores); bit-exact unrolled recurrence
+HITS_SCORES = f"""WITH {_PAIR_CTE},
+__e AS (SELECT DISTINCT subj_id AS s, obj_id AS d FROM __triples),
+__nodes AS (SELECT s AS node FROM __e UNION SELECT d AS node FROM __e),
+__a1 AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS a FROM __e GROUP BY d),
+__h1 AS (SELECT e.s AS node, CAST(sum(a1.a) AS BIGINT) AS h
+         FROM __e e JOIN __a1 a1 ON a1.node = e.d GROUP BY e.s),
+__a2 AS (SELECT e.d AS node, CAST(sum(h1.h) AS BIGINT) AS a
+         FROM __e e JOIN __h1 h1 ON h1.node = e.s GROUP BY e.d),
+__h2 AS (SELECT e.s AS node, CAST(sum(a2.a) AS BIGINT) AS h
+         FROM __e e JOIN __a2 a2 ON a2.node = e.d GROUP BY e.s)
+SELECT n.node,
+       CAST(COALESCE(__h2.h, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(__a2.a, 0) AS BIGINT) AS auth
+FROM __nodes n
+LEFT JOIN __h2 ON __h2.node = n.node
+LEFT JOIN __a2 ON __a2.node = n.node"""
+
+# Functional-predicate violations (stages/pairs.functional_violations):
+# subjects with 2+ distinct objects under one predicate
+FUNCTIONAL_VIOLATIONS = f"""WITH {_PAIR_CTE}
+SELECT subj_id, pred, CAST(count(*) AS BIGINT) AS n_objs
+FROM __triples GROUP BY subj_id, pred HAVING count(*) >= 2"""

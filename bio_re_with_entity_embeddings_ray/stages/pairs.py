@@ -631,3 +631,37 @@ def pair_lift(
         num_buckets,
         plan=merge_plan,
     )
+
+
+def functional_violations(triples, min_objs: int = 2, num_buckets: int = 16):
+    """KG consistency audit: subjects whose (subj, pred) carries
+    ``min_objs``-or-more distinct objects — the violations of a
+    functional-predicate constraint (one object expected), the first
+    contradiction-detection pass over a freshly built KG. Returns
+    (subj_id, pred, n_objs).
+
+    The triple table is already DISTINCT on (subj, pred, obj) by
+    construction, so this is a pure count combiner keyed (subj, pred) —
+    one partial row per (key, block), no provenance payload."""
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["subj_id", "pred"], as_index=False).size()
+        return g.rename(columns={"size": "n_objs"})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["subj_id", "pred"], as_index=False)["n_objs"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["n_objs"] >= min_objs].sort_values(
+            ["subj_id", "pred"]
+        ).reset_index(drop=True)
+        out["n_objs"] = out["n_objs"].astype("int64")
+        return out
+
+    partials = triples.map_batches(partial, batch_format="pandas")
+    return merge_partials(
+        partials, ["subj_id", "pred"], combine, finalize, num_buckets
+    )

@@ -1522,3 +1522,277 @@ def rollup_counts(docs, num_buckets: int = 16):
         partials, ["lang", "source"], combine, finalize, num_buckets,
         plan="tree",
     )
+
+
+def running_total(events, num_buckets: int = 32):
+    """Per-user unbounded running total (SQL ``SUM ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND CURRENT ROW``): (event_id, user_id, cum_n,
+    cum_sum_milli), ordered inside a user by (ts, event_id) — the
+    lifetime-value / balance-so-far scan of event analytics.
+
+    Same scale shape as :func:`rolling_per_key`: narrow int64 projection,
+    one user-keyed exchange, segment-rebased cumsum per bucket. Values
+    floored to milli-units before summation (exact SQL mirror)."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "ts": batch["ts"],
+                "event_id": batch["event_id"].astype("int64"),
+                "v_milli": np.round(batch["value"].to_numpy() * 1000).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v = b["v_milli"].to_numpy()
+        u = b["user_id"].to_numpy()
+        n = len(b)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.concatenate(([True], u[1:] != u[:-1])) if n else np.array([], bool)
+        starts = idx[new]
+        gstart = np.repeat(starts, np.diff(np.append(starts, n)))
+        cum = np.cumsum(v)
+        prev = np.where(gstart > 0, cum[np.clip(gstart - 1, 0, None)], 0)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": u.astype(np.int64),
+                "cum_n": (idx - gstart + 1).astype(np.int64),
+                "cum_sum_milli": (cum - prev).astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(ev, "user_id", per_user, num_buckets)
+
+
+def funnel_counts(
+    events,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    num_buckets: int = 32,
+):
+    """Ordered funnel analysis: for each user, the greedy
+    earliest-completion depth through ``steps`` (step i+1 must occur
+    STRICTLY after the chosen occurrence of step i); returns
+    (depth, n_users) for depth 0..len(steps) — the conversion-funnel
+    query of product analytics.
+
+    Scale shape: narrow projection (user, type, ts), one user-keyed
+    exchange, per-bucket vectorized greedy via masked per-user groupby
+    minima (one pass per step, all C-level), then a tiny depth-histogram
+    merge."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(steps)]
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "ts": b["ts"],
+            }
+        )
+
+    # all users (incl. those with zero funnel events) get a depth row
+    def users_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].astype("int64").drop_duplicates()}
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+    all_users = events.map_batches(users_partial, batch_format="pandas")
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        users = bucket["user_id"].drop_duplicates().to_numpy()
+        cur = pd.Series(
+            pd.Timestamp.min.as_unit("us"), index=users
+        )  # step-(i-1) completion time; Timestamp.min < all data
+        depth = pd.Series(np.int64(0), index=users)
+        alive = pd.Series(True, index=users)
+        for i, step in enumerate(steps):
+            s = bucket[bucket["event_type"] == step]
+            prev = s["user_id"].map(cur)
+            s = s[s["ts"] > prev.to_numpy()]
+            t = s.groupby("user_id")["ts"].min()
+            # users still alive at depth i that completed step i
+            hit = t.index.intersection(alive.index[alive])
+            alive = pd.Series(False, index=users)
+            alive[hit] = True
+            depth[hit] = i + 1
+            cur = pd.Series(pd.Timestamp.max.as_unit("us"), index=users)
+            cur[hit] = t[hit]
+        return pd.DataFrame(
+            {
+                "depth": depth.to_numpy(),
+                "n_users": np.ones(len(users), dtype=np.int64),
+            }
+        )
+
+    # union the funnel events with sentinel rows for every user so users
+    # with no funnel events land in depth 0
+    def sentinel(batch: pd.DataFrame) -> pd.DataFrame:
+        # the sentinel type never matches a step, so its ts is inert —
+        # epoch 0 stays inside every Arrow timestamp unit's range
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "event_type": "\x00none",
+                "ts": pd.Timestamp(0).as_unit("us"),
+            }
+        )
+
+    combined = ev.union(all_users.map_batches(sentinel, batch_format="pandas"))
+    per_user_depth = bucketed_group_apply(
+        combined, "user_id", per_bucket, num_buckets
+    )
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("depth", as_index=False)["n_users"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.sort_values("depth").reset_index(drop=True)
+        out["depth"] = out["depth"].astype("int64")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return merge_partials(
+        per_user_depth, "depth", combine, finalize, num_buckets, plan="tree"
+    )
+
+
+def k_anonymity(ds, quasi_cols: list[str], k: int = 5, num_buckets: int = 16):
+    """Privacy audit: quasi-identifier combinations carried by FEWER than
+    ``k`` rows (the k-anonymity violations a release gate must suppress
+    or generalize). Returns (quasi_cols..., n) for violating groups.
+
+    Count combiner per block -> key-complete merge -> HAVING n < k; the
+    exchange carries one row per (combination, block)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(quasi_cols, as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(quasi_cols, as_index=False)["n"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["n"] < k].sort_values(quasi_cols).reset_index(drop=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return merge_partials(partials, quasi_cols, combine, finalize, num_buckets)
+
+
+def column_profile(ds, cols: list[str], num_buckets: int = 16):
+    """Data-profiling summary per column: (column, n, n_null, n_distinct,
+    min_str, max_str) — the first query run against any new corpus
+    delivery. min/max are lexicographic over the string rendering (a
+    profiling identity check, not numeric stats — numeric mins belong to
+    describe/quantiles).
+
+    Scale shape: each block melts to DISTINCT (column, value) partial
+    rows with per-value counts — the exchange volume is bounded by the
+    distinct-value count, not the row count (the honest cost of exact
+    distinct); null counts ride along as a sentinel value row."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            s = batch[c]
+            isnull = s.isna()
+            vals = s[~isnull].astype(str)
+            g = vals.groupby(vals).size()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "column": c,
+                        "v": g.index.to_numpy(dtype=object),
+                        "n": g.to_numpy().astype(np.int64),
+                        "is_null": np.int64(0),
+                    }
+                )
+            )
+            nn = int(isnull.sum())
+            if nn:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "column": [c],
+                            "v": [""],
+                            "n": np.array([nn], dtype=np.int64),
+                            "is_null": np.array([1], dtype=np.int64),
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["column", "v", "is_null"], as_index=False)["n"].sum()
+
+    def bucket_profile(b: pd.DataFrame) -> pd.DataFrame:
+        # each (column, v) pair lives in exactly ONE bucket after the
+        # merge, so per-bucket stats are themselves combinable partials:
+        # n_distinct sums, min/max nest, counts sum
+        vals = b[b["is_null"] == 0]
+        nulls = b[b["is_null"] == 1].groupby("column")["n"].sum()
+        g = vals.groupby("column").agg(
+            n=("n", "sum"), n_distinct=("v", "size"), min_str=("v", "min"),
+            max_str=("v", "max"),
+        )
+        out = g.reset_index()
+        out["n_null"] = out["column"].map(nulls).fillna(0).astype("int64")
+        cols_only_null = nulls.index.difference(out["column"])
+        if len(cols_only_null):
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "column": cols_only_null,
+                            "n": 0,
+                            "n_distinct": 0,
+                            "min_str": np.nan,
+                            "max_str": np.nan,
+                            "n_null": nulls[cols_only_null].to_numpy(),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
+
+    per_bucket = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["column", "v"],
+        combine,
+        bucket_profile,
+        num_buckets,
+    )
+
+    def combine2(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("column", as_index=False).agg(
+            n=("n", "sum"),
+            n_distinct=("n_distinct", "sum"),
+            min_str=("min_str", "min"),
+            max_str=("max_str", "max"),
+            n_null=("n_null", "sum"),
+        )
+
+    def finalize2(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy(deep=False)
+        out["n"] = (out["n"] + out["n_null"]).astype("int64")
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        out["n_null"] = out["n_null"].astype("int64")
+        out["min_str"] = out["min_str"].fillna("")  # all-null column
+        out["max_str"] = out["max_str"].fillna("")
+        return out[
+            ["column", "n", "n_null", "n_distinct", "min_str", "max_str"]
+        ].sort_values("column").reset_index(drop=True)
+
+    # the per-column partial set is bounded at |cols| x num_buckets rows
+    return merge_partials(per_bucket, "column", combine2, finalize2, plan="tree")
