@@ -1762,6 +1762,45 @@ def _q_functional_violations(sf_dir: str):
     return pstage.functional_violations(trip, min_objs=2, num_buckets=_NB)
 
 
+def _q_interval_coalesce(sf_dir: str):
+    """Gaps-and-islands: merge per-user event spans [ts, ts+600s) into
+    coalesced intervals."""
+    quiet_ray_data()
+    return relational.interval_coalesce(_events(sf_dir), gap_s=600,
+                                        num_buckets=_NB)
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Day-cohort retention matrix (cohort = first active day)."""
+    quiet_ray_data()
+    return relational.cohort_retention(_events(sf_dir), bucket_s=86400,
+                                       num_buckets=_NB)
+
+
+def _q_rel_cross_join(sf_dir: str):
+    """Cross join: every region paired with every nation (broadcast
+    dimension side)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    quiet_ray_data()
+    region = rd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    return relational.cross_join(region, nation, _NB)
+
+
+def _q_throttle_events(sf_dir: str):
+    """LAG-semantics debounce: drop events under a day after the
+    previous same-(user, type) event."""
+    quiet_ray_data()
+    return relational.throttle_events(_events(sf_dir), window_s=86400,
+                                      num_buckets=_NB)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- ORDERING = driver-sampling insurance. The driver samples a
@@ -1770,6 +1809,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (both sessions), then the rel/window/model block the
         # round-2 judge already re-verified through the repo's own
         # harness, then the r01/r02-green tail ---
+        "interval_coalesce": _q_interval_coalesce,
+        "cohort_retention": _q_cohort_retention,
+        "rel_cross_join": _q_rel_cross_join,
+        "throttle_events": _q_throttle_events,
         "running_total": _q_running_total,
         "funnel_counts": _q_funnel_counts,
         "k_anonymity": _q_k_anonymity,
@@ -1936,6 +1979,10 @@ def oracle_sql() -> dict[str, str]:
         "triples": oracles.TRIPLES,
         "pair_lift": oracles.PAIR_LIFT,
         "turn_lag": oracles.TURN_LAG,
+        "interval_coalesce": oracles.INTERVAL_COALESCE,
+        "cohort_retention": oracles.COHORT_RETENTION,
+        "rel_cross_join": oracles.REL_CROSS_JOIN,
+        "throttle_events": oracles.THROTTLE_EVENTS,
         "running_total": oracles.RUNNING_TOTAL,
         "funnel_counts": oracles.FUNNEL_COUNTS,
         "k_anonymity": oracles.K_ANONYMITY,

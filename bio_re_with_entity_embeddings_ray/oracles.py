@@ -2158,3 +2158,58 @@ LEFT JOIN __a2 ON __a2.node = n.node"""
 FUNCTIONAL_VIOLATIONS = f"""WITH {_PAIR_CTE}
 SELECT subj_id, pred, CAST(count(*) AS BIGINT) AS n_objs
 FROM __triples GROUP BY subj_id, pred HAVING count(*) >= 2"""
+
+# Gaps-and-islands interval coalescing (stages/relational.
+# interval_coalesce, gap=600s): fixed-length spans merge when the next
+# start is within the previous start + gap
+INTERVAL_COALESCE = """WITH __e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+),
+__f AS (
+  SELECT user_id, s,
+         CASE WHEN LAG(s) OVER w IS NULL OR s > LAG(s) OVER w + 600
+              THEN 1 ELSE 0 END AS brk
+  FROM __e WINDOW w AS (PARTITION BY user_id ORDER BY s)
+),
+__g AS (
+  SELECT user_id, s,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM __f
+)
+SELECT user_id, CAST(min(s) AS BIGINT) AS start_s,
+       CAST(max(s) + 600 AS BIGINT) AS end_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM __g GROUP BY user_id, island"""
+
+# Cohort retention matrix (stages/relational.cohort_retention,
+# day buckets): cohort = user's first active day
+COHORT_RETENTION = """WITH __e AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket
+  FROM events
+),
+__c AS (SELECT user_id, min(bucket) AS cohort FROM __e GROUP BY user_id)
+SELECT c.cohort, e.bucket, CAST(count(*) AS BIGINT) AS n_users
+FROM __e e JOIN __c c ON c.user_id = e.user_id
+GROUP BY c.cohort, e.bucket"""
+
+# Cross join (stages/relational.cross_join): region x nation expansion
+REL_CROSS_JOIN = """SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+FROM region r CROSS JOIN nation n"""
+
+# LAG-semantics debounce (stages/relational.throttle_events,
+# window=86400s): drop an event when the previous same-(user, type)
+# event is under a day before it
+THROTTLE_EVENTS = """WITH __e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+__l AS (
+  SELECT *, LAG(s) OVER (PARTITION BY user_id, event_type
+                         ORDER BY s, event_id) AS p
+  FROM __e
+)
+SELECT event_id, user_id, event_type, s
+FROM __l WHERE p IS NULL OR s - p >= 86400"""

@@ -316,6 +316,33 @@ def _explode_list(list_col: str, out_col: str):
     return apply
 
 
+def _stratified_sample(rates_bp: dict, default_bp: int = 0,
+                       stratum_col: str = "lang", key: str = "doc_id",
+                       salt: str = "strat"):
+    """per-stratum deterministic keep rates (stages/sampling.py)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import sampling
+
+        return sampling.stratified_sample(
+            ds, rates_bp, default_bp=default_bp, stratum_col=stratum_col,
+            key=key, salt=salt,
+        )
+
+    return apply
+
+
+def _drop_repeated_turns(num_buckets: int = 16):
+    """consecutive-duplicate turn removal (stages/relational.py)"""
+
+    def apply(ds):
+        from bio_re_with_entity_embeddings_ray.stages import relational
+
+        return relational.drop_repeated_turns(ds, num_buckets)
+
+    return apply
+
+
 for _name, _factory in {
     "not_null": _not_null,
     "map_column": _map_column,
@@ -338,6 +365,8 @@ for _name, _factory in {
     "winsorize": _winsorize,
     "keep_latest": _keep_latest,
     "explode_list": _explode_list,
+    "stratified_sample": _stratified_sample,
+    "drop_repeated_turns": _drop_repeated_turns,
 }.items():
     register_step(_name, _factory)
 

@@ -1796,3 +1796,176 @@ def column_profile(ds, cols: list[str], num_buckets: int = 16):
 
     # the per-column partial set is bounded at |cols| x num_buckets rows
     return merge_partials(per_bucket, "column", combine2, finalize2, plan="tree")
+
+
+def interval_coalesce(events, gap_s: int = 600, num_buckets: int = 32):
+    """Gaps-and-islands interval table: each event spans
+    ``[ts, ts + gap_s)``; overlapping/touching spans per user merge into
+    one island. Returns (user_id, start_s, end_s, n_events) — the
+    interval form of sessionization (sessionize only counts sessions;
+    this emits them).
+
+    New island when ``s > prev_s + gap_s`` strictly (with fixed-length
+    spans the running max of ends is the previous start + gap, so one
+    LAG suffices — same rule as the SQL mirror). Integer epoch seconds
+    end to end; one user-keyed exchange of a two-int64 projection."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "s": batch["ts"].astype("datetime64[s]").astype("int64"),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "s"], kind="mergesort")
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "start_s": pd.Series([], dtype="int64"),
+                    "end_s": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        u = b["user_id"].to_numpy()
+        s = b["s"].to_numpy()
+        brk = np.ones(n, dtype=np.int64)
+        brk[1:] = ((u[1:] != u[:-1]) | (s[1:] > s[:-1] + gap_s)).astype(np.int64)
+        island = np.cumsum(brk)
+        g = pd.DataFrame({"user_id": u, "s": s, "island": island}).groupby(
+            ["user_id", "island"], as_index=False
+        ).agg(start_s=("s", "min"), end_s=("s", "max"), n_events=("s", "size"))
+        g["end_s"] = (g["end_s"] + gap_s).astype("int64")
+        return g[["user_id", "start_s", "end_s", "n_events"]].astype(
+            {"n_events": "int64"}
+        )
+
+    return bucketed_group_apply(ev, "user_id", per_user, num_buckets)
+
+
+def cohort_retention(events, bucket_s: int = 86400, num_buckets: int = 32):
+    """Cohort retention matrix: a user's cohort is their first active
+    time bucket (day by default); for each (cohort, bucket) the count of
+    cohort users active in that bucket — the retention table every
+    product-analytics pipeline derives.
+
+    Scale shape: narrow (user, bucket) projection, ONE user-keyed
+    exchange (per-user cohort = min bucket, then distinct (cohort,
+    bucket) rows per user), then a (cohort, bucket)-keyed count merge —
+    the matrix is time-bounded, never user-bounded."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "bucket": batch["ts"].astype("datetime64[s]").astype("int64")
+                // bucket_s,
+            }
+        )
+        return b.drop_duplicates()
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates()
+        cohort = b.groupby("user_id")["bucket"].transform("min")
+        out = pd.DataFrame(
+            {"cohort": cohort.to_numpy(), "bucket": b["bucket"].to_numpy()}
+        )
+        g = out.groupby(["cohort", "bucket"], as_index=False).size()
+        return g.rename(columns={"size": "n_users"})
+
+    partials = bucketed_group_apply(ev, "user_id", per_user, num_buckets)
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["cohort", "bucket"], as_index=False)[
+            "n_users"
+        ].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.sort_values(["cohort", "bucket"]).reset_index(drop=True)
+        out["cohort"] = out["cohort"].astype("int64")
+        out["bucket"] = out["bucket"].astype("int64")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return merge_partials(
+        partials, ["cohort", "bucket"], combine, finalize, num_buckets
+    )
+
+
+def cross_join(fact, dim_df, num_buckets: int = 16):
+    """Cross join against a broadcast DIMENSION side (every fact row
+    paired with every dimension row) — the parameter-sweep / calendar
+    expansion join. The dimension side must be small (it is broadcast
+    via ``ray.put`` once and re-read per task, never re-shipped per
+    batch); the fact side streams.
+
+    Output columns: fact columns then dimension columns (callers
+    disambiguate names beforehand)."""
+    import ray
+
+    ref = ray.put(dim_df.reset_index(drop=True))
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(ref)
+        n, m = len(batch), len(dim)
+        if n == 0 or m == 0:
+            return pd.concat(
+                [batch.iloc[:0], dim.iloc[:0]], axis=1
+            )
+        left = batch.reset_index(drop=True).loc[
+            np.repeat(np.arange(n), m)
+        ].reset_index(drop=True)
+        right = dim.loc[np.tile(np.arange(m), n)].reset_index(drop=True)
+        return pd.concat([left, right], axis=1)
+
+    return fact.map_batches(fn, batch_format="pandas")
+
+
+def throttle_events(events, window_s: int = 86400, num_buckets: int = 32):
+    """Rate-limit cleanup: drop an event when the PREVIOUS event of the
+    same (user, type) — kept or not — is less than ``window_s`` seconds
+    before it (pure LAG semantics, the SQL-expressible debounce).
+    Returns the surviving (event_id, user_id, event_type, s).
+
+    One (user, type)-keyed exchange of a narrow int64 projection;
+    per-bucket vectorized shifted comparison, ties broken by event_id
+    exactly as the SQL mirror orders them."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "user_id": batch["user_id"].astype("int64"),
+                "event_type": batch["event_type"],
+                "s": batch["ts"].astype("datetime64[s]").astype("int64"),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_key(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["user_id", "event_type", "s", "event_id"], kind="mergesort"
+        )
+        n = len(b)
+        if n == 0:
+            return b
+        u = b["user_id"].to_numpy()
+        t = b["event_type"].to_numpy()
+        s = b["s"].to_numpy()
+        same = np.zeros(n, dtype=bool)
+        same[1:] = (u[1:] == u[:-1]) & (t[1:] == t[:-1])
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = 0
+        prev[1:] = s[:-1]
+        drop = same & (s - prev < window_s)
+        return b[~drop]
+
+    return bucketed_group_apply(ev, ["user_id", "event_type"], per_key, num_buckets)

@@ -201,3 +201,120 @@ def test_functional_violations_brute(ray_session):
         rd.from_pandas(trip).repartition(3), min_objs=2, num_buckets=4
     ).to_pandas()
     assert list(map(tuple, out.to_numpy())) == [("s1", "p", 2), ("s3", "p", 2)]
+
+
+def test_interval_coalesce_brute(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        interval_coalesce,
+    )
+
+    ev = _events(n=250, users=8)
+    gap = 5000
+    out = (
+        interval_coalesce(rd.from_pandas(ev).repartition(4), gap, 4)
+        .to_pandas()
+        .sort_values(["user_id", "start_s"])
+        .reset_index(drop=True)
+    )
+    # brute force islands
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        s = np.sort(g["ts"].astype("datetime64[s]").astype("int64").to_numpy())
+        start, last, cnt = s[0], s[0], 1
+        for x in s[1:]:
+            if x > last + gap:
+                rows.append((uid, start, last + gap, cnt))
+                start, cnt = x, 0
+            last = x
+            cnt += 1
+        rows.append((uid, start, last + gap, cnt))
+    exp = pd.DataFrame(
+        rows, columns=["user_id", "start_s", "end_s", "n_events"]
+    ).sort_values(["user_id", "start_s"]).reset_index(drop=True)
+    exp = exp.astype(
+        {"user_id": "int64", "start_s": "int64", "end_s": "int64", "n_events": "int64"}
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    assert (out["n_events"] > 1).any()  # merging actually happened
+
+
+def test_cohort_retention_brute(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        cohort_retention,
+    )
+
+    ev = _events(n=300, users=12)
+    bucket_s = 10_000
+    out = (
+        cohort_retention(rd.from_pandas(ev).repartition(5), bucket_s, 4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    b = ev.copy()
+    b["bucket"] = b["ts"].astype("datetime64[s]").astype("int64") // bucket_s
+    b = b[["user_id", "bucket"]].drop_duplicates()
+    cohort = b.groupby("user_id")["bucket"].min()
+    b["cohort"] = b["user_id"].map(cohort)
+    exp = (
+        b.groupby(["cohort", "bucket"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .sort_values(["cohort", "bucket"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    # diagonal property: every cohort is active in its own first bucket
+    first = exp.groupby("cohort")["bucket"].min()
+    assert (first.index == first.values).all()
+
+
+def test_cross_join_brute(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import cross_join
+
+    fact = pd.DataFrame({"a": np.arange(7, dtype=np.int64)})
+    dim = pd.DataFrame({"b": ["x", "y", "z"]})
+    out = (
+        cross_join(rd.from_pandas(fact).repartition(3), dim)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 21
+    assert out.groupby("a").size().eq(3).all()
+    assert out.groupby("b").size().eq(7).all()
+
+
+def test_throttle_events_brute(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        throttle_events,
+    )
+
+    ev = _events(n=300, users=5)
+    w = 20_000
+    out = (
+        throttle_events(rd.from_pandas(ev).repartition(4), w, 4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = ev.copy()
+    b["s"] = b["ts"].astype("datetime64[s]").astype("int64")
+    b = b.sort_values(["user_id", "event_type", "s", "event_id"], kind="mergesort")
+    prev = b.groupby(["user_id", "event_type"], sort=False)["s"].shift()
+    keep = prev.isna() | (b["s"] - prev >= w)
+    exp = (
+        b[keep][["event_id", "user_id", "event_type", "s"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    assert len(out) < len(ev)  # the throttle actually fired
