@@ -1801,6 +1801,55 @@ def _q_throttle_events(sf_dir: str):
                                       num_buckets=_NB)
 
 
+def _q_json_props(sf_dir: str):
+    """Semi-structured ingest: extract the integer "k" field out of the
+    events props JSON blob (Arrow RE2, no per-row json.loads)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+    return relational.json_field_int(ev, "props", "k", out_col="k")
+
+
+def _q_unpivot(sf_dir: str):
+    """Wide->long melt of lineitem integer measures keyed by
+    (l_orderkey, l_linenumber)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    return relational.unpivot(
+        li, ["l_orderkey", "l_linenumber"], ["l_partkey", "l_suppkey"]
+    )
+
+
+def _q_histogram(sf_dir: str):
+    """Equi-width histogram (width 25) over events.value."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return relational.histogram(ev, "value", width=25.0)
+
+
+def _q_window_deltas(sf_dir: str):
+    """Aggregate-then-LAG: per (event_type, day) counts + day-over-day
+    delta."""
+    quiet_ray_data()
+    return relational.window_deltas(_events(sf_dir), bucket_s=86400)
+
+
+def _q_dense_counts(sf_dir: str):
+    """Gap-filled per-type daily counts (missing days emitted as 0)."""
+    quiet_ray_data()
+    return relational.dense_counts(_events(sf_dir), bucket_s=86400)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- ORDERING = driver-sampling insurance. The driver samples a
@@ -1809,6 +1858,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (both sessions), then the rel/window/model block the
         # round-2 judge already re-verified through the repo's own
         # harness, then the r01/r02-green tail ---
+        "json_props": _q_json_props,
+        "unpivot": _q_unpivot,
+        "histogram": _q_histogram,
+        "window_deltas": _q_window_deltas,
+        "dense_counts": _q_dense_counts,
         "interval_coalesce": _q_interval_coalesce,
         "cohort_retention": _q_cohort_retention,
         "rel_cross_join": _q_rel_cross_join,
@@ -1979,6 +2033,11 @@ def oracle_sql() -> dict[str, str]:
         "triples": oracles.TRIPLES,
         "pair_lift": oracles.PAIR_LIFT,
         "turn_lag": oracles.TURN_LAG,
+        "json_props": oracles.JSON_PROPS,
+        "unpivot": oracles.UNPIVOT,
+        "histogram": oracles.HISTOGRAM,
+        "window_deltas": oracles.WINDOW_DELTAS,
+        "dense_counts": oracles.DENSE_COUNTS,
         "interval_coalesce": oracles.INTERVAL_COALESCE,
         "cohort_retention": oracles.COHORT_RETENTION,
         "rel_cross_join": oracles.REL_CROSS_JOIN,

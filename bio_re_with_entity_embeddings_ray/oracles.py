@@ -2213,3 +2213,57 @@ __l AS (
 )
 SELECT event_id, user_id, event_type, s
 FROM __l WHERE p IS NULL OR s - p >= 86400"""
+
+# Semi-structured extraction (stages/relational.json_field_int): integer
+# "k" field out of the props JSON blob; missing field -> NULL
+JSON_PROPS = """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events"""
+
+# Wide->long melt (stages/relational.unpivot): lineitem integer measures
+UNPIVOT = """SELECT l_orderkey, l_linenumber,
+       'l_partkey' AS measure, CAST(l_partkey AS BIGINT) AS value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber,
+       'l_suppkey' AS measure, CAST(l_suppkey AS BIGINT) AS value
+FROM lineitem"""
+
+# Equi-width histogram (stages/relational.histogram, width=25): IEEE
+# double division + floor is bit-identical in both engines
+HISTOGRAM = """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1"""
+
+# Aggregate-then-LAG (stages/relational.window_deltas, day buckets):
+# day-over-day delta vs the type's previous OBSERVED day
+WINDOW_DELTAS = """WITH __c AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(coalesce(
+         n - LAG(n) OVER (PARTITION BY event_type ORDER BY day), 0
+       ) AS BIGINT) AS delta
+FROM __c"""
+
+# Gap-filled daily counts (stages/relational.dense_counts): every day in
+# the type's [min, max] range, missing days as 0
+DENSE_COUNTS = """WITH __c AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+__r AS (
+  SELECT event_type, min(day) AS lo, max(day) AS hi FROM __c GROUP BY 1
+),
+__d AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM __r
+)
+SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM __d d LEFT JOIN __c c
+  ON c.event_type = d.event_type AND c.day = d.day"""

@@ -1969,3 +1969,164 @@ def throttle_events(events, window_s: int = 86400, num_buckets: int = 32):
         return b[~drop]
 
     return bucketed_group_apply(ev, ["user_id", "event_type"], per_key, num_buckets)
+
+
+def json_field_int(ds, col: str, field: str, out_col: str = "v"):
+    """Semi-structured extraction: pull an integer scalar ``field`` out of
+    a JSON-object string column — the "parse the props blob" ingest step
+    every event pipeline runs first.
+
+    Scale shape: a pure NARROW map, zero exchange. The hot path is Arrow's
+    RE2 ``extract_regex`` (one compiled scan per batch, no per-row
+    ``json.loads``) — sound for scalar numeric fields because JSON numbers
+    are unquoted and RE2 anchors on the quoted key; rows missing the field
+    yield null, exactly like SQL ``json_extract``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pat = '"' + field + '"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column(col), pat)
+        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        cols = [c for c in batch.column_names if c != col]
+        out = batch.select(cols) if cols else pa.table({})
+        return out.append_column(out_col, v)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str]):
+    """Wide->long melt: one output row per (input row, measure column),
+    with columns ``id_cols + (measure, value)``. Values must be int64
+    (callers quantize floats first, per the repo's integer discipline).
+
+    Scale shape: a pure NARROW map (pd.melt per batch, C-level), zero
+    exchange; output is |value_cols| x input rows but streams block by
+    block."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.melt(
+            id_vars=id_cols,
+            value_vars=value_cols,
+            var_name="measure",
+            value_name="value",
+        )
+        out["value"] = out["value"].astype("int64")
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def histogram(ds, col: str, width: float, num_buckets: int = 16):
+    """Equi-width histogram over a numeric column: ``bin = floor(col /
+    width)`` (IEEE double division + floor — bit-identical in any engine),
+    count per occupied bin.
+
+    Scale shape: per-batch bincount partials (bounded at occupied-bins
+    rows per block), lazy tree merge — the histogram itself is
+    value-range-bounded, never data-bounded."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(batch[col].to_numpy() / width).astype("int64")
+        bins, n = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": bins, "n": n.astype("int64")})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("bin", as_index=False)["n"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.sort_values("bin").reset_index(drop=True)
+        return out.astype({"bin": "int64", "n": "int64"})
+
+    return merge_partials(partials, "bin", combine, finalize, plan="tree")
+
+
+def window_deltas(events, bucket_s: int = 86400):
+    """Aggregate-then-LAG: per (event_type, day) counts plus the delta vs
+    the type's PREVIOUS OBSERVED day (null on each type's first day) —
+    the day-over-day trend table.
+
+    Scale shape: per-batch (type, day) count partials (time-bounded), one
+    tiny tree merge; the LAG runs in the finalize over the key-complete
+    frame. The merged table is |types| x |days| — never event-bounded."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "day": batch["ts"].astype("datetime64[s]").astype("int64")
+                // bucket_s,
+            }
+        )
+        return b.groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    partials = events.map_batches(partial, batch_format="pandas")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["event_type", "day"], as_index=False)["n"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.sort_values(["event_type", "day"], kind="mergesort").reset_index(
+            drop=True
+        )
+        prev = out.groupby("event_type")["n"].shift(1)
+        # first observed day per type has no predecessor -> delta 0 (kept
+        # integer, not null, so the unordered hash compare is dtype-exact)
+        out["delta"] = (out["n"] - prev).fillna(0).astype("int64")
+        out["day"] = out["day"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return merge_partials(
+        partials, ["event_type", "day"], combine, finalize, plan="tree"
+    )
+
+
+def dense_counts(events, bucket_s: int = 86400):
+    """Gap-filled time series: per (event_type, day) counts with every
+    missing day inside the type's [min_day, max_day] range emitted as 0 —
+    the densification step before any rolling/forecast pass.
+
+    Scale shape: same time-bounded partial+tree-merge as window_deltas;
+    the fill is a vectorized per-type arange in the finalize (output is
+    range-bounded, not event-bounded)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "day": batch["ts"].astype("datetime64[s]").astype("int64")
+                // bucket_s,
+            }
+        )
+        return b.groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    partials = events.map_batches(partial, batch_format="pandas")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["event_type", "day"], as_index=False)["n"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["event_type", "day"], kind="mergesort")
+        frames = []
+        for et, g in b.groupby("event_type", sort=True):
+            lo, hi = int(g["day"].min()), int(g["day"].max())
+            full = np.arange(lo, hi + 1, dtype=np.int64)
+            n = np.zeros(len(full), dtype=np.int64)
+            n[g["day"].to_numpy() - lo] = g["n"].to_numpy()
+            frames.append(
+                pd.DataFrame({"event_type": et, "day": full, "n": n})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return merge_partials(
+        partials, ["event_type", "day"], combine, finalize, plan="tree"
+    )
