@@ -1850,6 +1850,55 @@ def _q_dense_counts(sf_dir: str):
     return relational.dense_counts(_events(sf_dir), bucket_s=86400)
 
 
+def _q_rel_q3(sf_dir: str):
+    """TPC-H Q3 shape: segment-filtered 3-table join, per-order revenue
+    cents, global top-10."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    return relational.tpch_q3(cust, orders, li, "BUILDING", "1998-06-01",
+                              k=10, num_buckets=_NB)
+
+
+def _q_anomaly_days(sf_dir: str):
+    """Integer-exact spike detection: day count > 2x the trailing-7-day
+    mean (cross-multiplied) over the gap-filled series."""
+    quiet_ray_data()
+    return relational.anomaly_days(_events(sf_dir), bucket_s=86400,
+                                   trail=7, factor=2, num_buckets=_NB)
+
+
+def _q_mode_per_group(sf_dir: str):
+    """Per-user modal event type (ties -> lexicographically smallest)."""
+    quiet_ray_data()
+    return relational.mode_per_group(_events(sf_dir), num_buckets=_NB)
+
+
+def _q_forward_fill(sf_dir: str):
+    """Per-type daily last value, gap-filled and carried forward
+    (LOCF)."""
+    quiet_ray_data()
+    return relational.forward_fill(_events(sf_dir), bucket_s=86400,
+                                   num_buckets=_NB)
+
+
+def _q_share_bp(sf_dir: str):
+    """Ratio-to-report: per-type share of all events in basis points."""
+    quiet_ray_data()
+    return relational.share_bp(_events(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- ORDERING = driver-sampling insurance. The driver samples a
@@ -1858,6 +1907,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (both sessions), then the rel/window/model block the
         # round-2 judge already re-verified through the repo's own
         # harness, then the r01/r02-green tail ---
+        "rel_q3": _q_rel_q3,
+        "anomaly_days": _q_anomaly_days,
+        "mode_per_group": _q_mode_per_group,
+        "forward_fill": _q_forward_fill,
+        "share_bp": _q_share_bp,
         "json_props": _q_json_props,
         "unpivot": _q_unpivot,
         "histogram": _q_histogram,
@@ -2033,6 +2087,11 @@ def oracle_sql() -> dict[str, str]:
         "triples": oracles.TRIPLES,
         "pair_lift": oracles.PAIR_LIFT,
         "turn_lag": oracles.TURN_LAG,
+        "rel_q3": oracles.REL_Q3,
+        "anomaly_days": oracles.ANOMALY_DAYS,
+        "mode_per_group": oracles.MODE_PER_GROUP,
+        "forward_fill": oracles.FORWARD_FILL,
+        "share_bp": oracles.SHARE_BP,
         "json_props": oracles.JSON_PROPS,
         "unpivot": oracles.UNPIVOT,
         "histogram": oracles.HISTOGRAM,

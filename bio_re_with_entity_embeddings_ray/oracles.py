@@ -2267,3 +2267,109 @@ SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
        CAST(coalesce(c.n, 0) AS BIGINT) AS n
 FROM __d d LEFT JOIN __c c
   ON c.event_type = d.event_type AND c.day = d.day"""
+
+# TPC-H Q3 shape (stages/relational.tpch_q3): BUILDING segment, orders
+# before / ships after 1998-06-01; revenue floored to cents PER ROW (the
+# engine's order-independent integer discipline); deterministic top-10
+REL_Q3 = """WITH __rev AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(
+           l_extendedprice * (1 - l_discount) * 100
+         ) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey AS l_orderkey, r.revenue_cents,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_orderdate_s,
+       o.o_orderpriority
+FROM __rev r
+JOIN orders o ON o.o_orderkey = r.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+ORDER BY r.revenue_cents DESC, o_orderdate_s, l_orderkey
+LIMIT 10"""
+
+# Spike detection (stages/relational.anomaly_days): over the GAP-FILLED
+# daily series, flag days where 7*n > 2*trailing-7-day sum; full windows
+# only (the first 7 days of each type's range are skipped)
+ANOMALY_DAYS = """WITH __c AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+__r AS (
+  SELECT event_type, min(day) AS lo, max(day) AS hi FROM __c GROUP BY 1
+),
+__d AS (
+  SELECT r.event_type, CAST(u.day AS BIGINT) AS day,
+         CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM (SELECT event_type, unnest(generate_series(lo, hi)) AS day
+        FROM __r) u
+  JOIN __r r ON r.event_type = u.event_type
+  LEFT JOIN __c c ON c.event_type = u.event_type AND c.day = u.day
+),
+__w AS (
+  SELECT event_type, day, n,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS trail_sum,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM __d
+)
+SELECT event_type, day, n, trail_sum,
+       CAST(CASE WHEN 7 * n > 2 * trail_sum THEN 1 ELSE 0 END AS BIGINT)
+         AS is_spike
+FROM __w WHERE rn > 7"""
+
+# Categorical argmax (stages/relational.mode_per_group): per-user modal
+# event type, ties -> lexicographically smallest
+MODE_PER_GROUP = """WITH __c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+__r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rn
+  FROM __c
+)
+SELECT user_id, event_type AS mode_type, n FROM __r WHERE rn = 1"""
+
+# LOCF densify (stages/relational.forward_fill): per (type, day) last
+# event's value (by ts, event_id) in milli-units, gap-filled and carried
+# forward across the type's day range
+FORWARD_FILL = """WITH __e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(round(value * 1000) AS BIGINT) AS v_milli,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+__o AS (SELECT event_type, day, v_milli FROM __e WHERE rn = 1),
+__r AS (
+  SELECT event_type, min(day) AS lo, max(day) AS hi FROM __o GROUP BY 1
+),
+__d AS (
+  SELECT event_type, CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS day
+  FROM __r
+)
+SELECT d.event_type, d.day,
+       CAST(last_value(o.v_milli IGNORE NULLS) OVER (
+         PARTITION BY d.event_type ORDER BY d.day
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS v_milli
+FROM __d d
+LEFT JOIN __o o ON o.event_type = d.event_type AND o.day = d.day"""
+
+# Ratio-to-report (stages/relational.share_bp): per-type share of all
+# events in integer basis points (floor division)
+SHARE_BP = """WITH __c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       CAST((n * 10000) // (SELECT sum(n) FROM __c) AS BIGINT) AS share_bp
+FROM __c"""

@@ -2130,3 +2130,264 @@ def dense_counts(events, bucket_s: int = 86400):
     return merge_partials(
         partials, ["event_type", "day"], combine, finalize, plan="tree"
     )
+
+
+def tpch_q3(customer, orders, lineitem, segment: str = "BUILDING",
+            cutoff: str = "1998-06-01", k: int = 10, num_buckets: int = 64):
+    """Shipping-priority composition (TPC-H Q3 shape, adapted to this
+    schema's columns): revenue per open order for one market segment —
+    a 3-table join + aggregate + global top-k, the classic multi-join
+    probe of an engine's plan quality.
+
+    Scale shape: customer keys are filtered FIRST and flow through the
+    measured broadcast/hash semi-join (the fact side never shuffles on
+    the broadcast plan); lineitem revenue is pre-aggregated per orderkey
+    with a per-batch combiner BEFORE the join (the exchange carries one
+    row per (orderkey, block), never per line item); the joined table is
+    order-bounded, and the top-k is a sort+limit on it. Revenue is
+    floor(extprice * (1 - disc) * 100) cents PER ROW — IEEE-identical in
+    any engine, order-independent under integer summation."""
+    cutoff_ts = pd.Timestamp(cutoff)
+
+    def cust_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["c_mktsegment"] == segment]
+        return b[["c_custkey"]]
+
+    keys = customer.map_batches(cust_keys, batch_format="pandas")
+
+    def ord_proj(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_orderdate"] < cutoff_ts]
+        return b[["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]]
+
+    open_orders = key_semi_anti_join(
+        orders.map_batches(ord_proj, batch_format="pandas"),
+        keys,
+        "o_custkey",
+        "c_custkey",
+        num_buckets=num_buckets,
+        other_cols={
+            "o_orderkey": np.int64(0),
+            "o_orderdate": pd.Timestamp(0),
+            "o_orderpriority": "",
+        },
+    )
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"] > cutoff_ts]
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy())
+            * 100.0
+        ).astype("int64")
+        return pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].to_numpy(), "rev": rev}
+        ).groupby("l_orderkey", as_index=False)["rev"].sum()
+
+    partials = lineitem.map_batches(li_partial, batch_format="pandas")
+    revenue = merge_partials(
+        partials,
+        "l_orderkey",
+        lambda b: b.groupby("l_orderkey", as_index=False)["rev"].sum(),
+        lambda b: b.astype({"l_orderkey": "int64", "rev": "int64"}),
+        num_buckets,
+    )
+
+    joined = hash_join(
+        revenue, open_orders, "l_orderkey", "o_orderkey",
+        num_buckets=num_buckets,
+    )
+
+    def out_proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].astype("int64"),
+                "revenue_cents": batch["rev"].astype("int64"),
+                "o_orderdate_s": batch["o_orderdate"]
+                .astype("datetime64[s]")
+                .astype("int64"),
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    return (
+        joined.map_batches(out_proj, batch_format="pandas")
+        .sort(
+            ["revenue_cents", "o_orderdate_s", "l_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )
+
+
+def anomaly_days(events, bucket_s: int = 86400, trail: int = 7,
+                 factor: int = 2, num_buckets: int = 16):
+    """Integer-exact spike detection over the gap-filled daily series:
+    a (type, day) is a spike when ``trail * n > factor * trailing_sum``
+    (its count exceeds ``factor``x the trailing-``trail``-day mean,
+    cross-multiplied so no division ever happens). Only days with a FULL
+    trailing window are emitted.
+
+    Scale shape: the dense series is time-bounded (dense_counts); the
+    trailing sum is a per-type cumsum diff over contiguous gap-filled
+    days — one tiny type-keyed pass."""
+    dense = dense_counts(events, bucket_s)
+
+    def per_type(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["event_type", "day"], kind="mergesort")
+        frames = []
+        for et, g in b.groupby("event_type", sort=True):
+            n = g["n"].to_numpy()
+            if len(n) <= trail:
+                continue
+            c = np.concatenate(([0], np.cumsum(n)))
+            # trailing sum over days [i-trail, i-1] (full windows only)
+            tsum = c[trail:-1] - c[:-trail - 1]
+            day = g["day"].to_numpy()[trail:]
+            nn = n[trail:]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "day": day,
+                        "n": nn,
+                        "trail_sum": tsum,
+                        "is_spike": (trail * nn > factor * tsum).astype(
+                            "int64"
+                        ),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "day": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "trail_sum": pd.Series([], dtype="int64"),
+                    "is_spike": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return bucketed_group_apply(dense, "event_type", per_type, num_buckets)
+
+
+def mode_per_group(events, num_buckets: int = 32):
+    """Per-user modal event type (the most frequent; ties broken by the
+    lexicographically smallest type) — the categorical argmax every
+    feature pipeline computes.
+
+    Scale shape: per-batch (user, type) count partials (the combiner
+    bounds the exchange at users x types x blocks rows), user-keyed
+    merge, vectorized argmax in the user-complete finalize."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(
+            ["user_id", "event_type"], as_index=False
+        ).size().rename(columns={"size": "n"})
+
+    partials = events.map_batches(partial, batch_format="pandas")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = b.groupby("user_id", as_index=False).first()
+        out = out.rename(columns={"event_type": "mode_type"})
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "mode_type", "n"]]
+
+    return merge_partials(partials, "user_id", combine, finalize, num_buckets)
+
+
+def forward_fill(events, bucket_s: int = 86400, num_buckets: int = 16):
+    """Per-type daily last-observed value, gap-filled and carried forward
+    (LOCF) — the densify-then-ffill step before any time-series model.
+    The day's value is the LAST event's (by ts then event_id) value in
+    integer milli-units; missing days repeat the previous observed day's.
+
+    Scale shape: per-batch keep-max combiner (one row per (type, day,
+    block)), type-keyed merge, vectorized arange + repeat fill in the
+    type-complete finalize. Output is range-bounded."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["ts"].astype("datetime64[s]").astype("int64")
+        b = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "day": s // bucket_s,
+                "s": s,
+                "event_id": batch["event_id"].astype("int64"),
+                "v_milli": np.round(
+                    batch["value"].to_numpy() * 1000
+                ).astype("int64"),
+            }
+        )
+        b = b.sort_values(["s", "event_id"], kind="mergesort")
+        return b.groupby(["event_type", "day"], as_index=False).last()
+
+    partials = events.map_batches(partial, batch_format="pandas")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["s", "event_id"], kind="mergesort")
+        return b.groupby(["event_type", "day"], as_index=False).last()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["event_type", "day"], kind="mergesort")
+        frames = []
+        for et, g in b.groupby("event_type", sort=True):
+            lo, hi = int(g["day"].min()), int(g["day"].max())
+            full = np.arange(lo, hi + 1, dtype=np.int64)
+            # index of the last observed day at or before each day:
+            # searchsorted over the observed days (LOCF)
+            obs = g["day"].to_numpy()
+            idx = np.searchsorted(obs, full, side="right") - 1
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "day": full,
+                        "v_milli": g["v_milli"].to_numpy()[idx],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return merge_partials(partials, "event_type", combine, finalize,
+                          num_buckets)
+
+
+def share_bp(events):
+    """Ratio-to-report: each event type's share of ALL events in integer
+    basis points (floor(n * 10000 / total)) — the percent-of-total window
+    aggregate, exact under integer floor division.
+
+    Scale shape: per-batch count partials, lazy TREE merge (the type
+    space is bounded, so the finalize sees the key-complete frame and the
+    global total is computable without a second pass)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("event_type", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    partials = events.map_batches(partial, batch_format="pandas")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_type", as_index=False)["n"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        total = int(b["n"].sum())
+        out = b.sort_values("event_type").reset_index(drop=True)
+        out["n"] = out["n"].astype("int64")
+        out["share_bp"] = (out["n"] * 10000 // total).astype("int64")
+        return out
+
+    return merge_partials(partials, "event_type", combine, finalize,
+                          plan="tree")

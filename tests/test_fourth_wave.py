@@ -157,3 +157,148 @@ def test_dense_counts_fills_gaps(ray_session):
     assert out["n"].tolist() == [2, 0, 0, 1]
     days = out["day"].to_numpy()
     assert (np.diff(days) == 1).all()
+
+
+def test_tpch_q3_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import tpch_q3
+
+    sf = "/root/testdata/sf0.001"
+    cust = rd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = rd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    out = tpch_q3(cust, orders, li, "BUILDING", "1998-06-01", k=10,
+                  num_buckets=8).to_pandas()
+
+    c = pd.read_parquet(f"{sf}/customer.parquet")
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    l = pd.read_parquet(f"{sf}/lineitem.parquet")
+    cut = pd.Timestamp("1998-06-01")
+    l = l[l["l_shipdate"] > cut].copy()
+    l["rev"] = np.floor(
+        l["l_extendedprice"].to_numpy() * (1.0 - l["l_discount"].to_numpy())
+        * 100.0
+    ).astype(np.int64)
+    rev = l.groupby("l_orderkey", as_index=False)["rev"].sum()
+    oo = o[(o["o_orderdate"] < cut)
+           & o["o_custkey"].isin(c[c["c_mktsegment"] == "BUILDING"]
+                                 ["c_custkey"])]
+    j = rev.merge(oo, left_on="l_orderkey", right_on="o_orderkey")
+    j["o_orderdate_s"] = (
+        j["o_orderdate"].astype("datetime64[s]").astype("int64")
+    )
+    exp = (
+        j.sort_values(["rev", "o_orderdate_s", "l_orderkey"],
+                      ascending=[False, True, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert out["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert out["revenue_cents"].tolist() == exp["rev"].tolist()
+
+
+def test_anomaly_days_flags_planted_spike(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import anomaly_days
+
+    # 1 event/day for 14 days, then a 10-event day -> spike
+    rows = []
+    eid = 0
+    for d in range(14):
+        rows.append((eid, 0, pd.Timestamp("2025-01-01")
+                     + pd.Timedelta(days=d), "view", 1.0)); eid += 1
+    for _ in range(10):
+        rows.append((eid, 0, pd.Timestamp("2025-01-15"), "view", 1.0))
+        eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type", "value"])
+    out = (
+        anomaly_days(rd.from_pandas(ev).repartition(3), trail=7, factor=2,
+                     num_buckets=4)
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    # days 8..15 of the range emitted (full windows)
+    assert len(out) == 8
+    assert out["is_spike"].tolist() == [0] * 7 + [1]
+    spike = out.iloc[-1]
+    assert spike["n"] == 10 and spike["trail_sum"] == 7
+
+
+def test_mode_per_group_tie_break(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import mode_per_group
+
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 1, 2, 2], dtype=np.int64),
+            "ts": pd.to_datetime(["2025-01-01"] * 6),
+            "event_type": ["view", "view", "click", "click", "b", "a"],
+            "value": np.ones(6),
+        }
+    )
+    out = (
+        mode_per_group(rd.from_pandas(ev).repartition(3), num_buckets=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # user 1: click/view tied 2-2 -> 'click' (lexicographic); user 2: a/b
+    # tied 1-1 -> 'a'
+    assert out["mode_type"].tolist() == ["click", "a"]
+    assert out["n"].tolist() == [2, 1]
+
+
+def test_forward_fill_carries_last_value(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import forward_fill
+
+    ev = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1, 2], dtype=np.int64),
+            "user_id": np.zeros(3, dtype=np.int64),
+            # two events on day 0 (later one wins), gap, then day 3
+            "ts": pd.to_datetime(
+                ["2025-01-01 01:00", "2025-01-01 02:00", "2025-01-04 05:00"]
+            ),
+            "event_type": ["view", "view", "view"],
+            "value": [1.5, 2.5, 9.0],
+        }
+    )
+    out = (
+        forward_fill(rd.from_pandas(ev).repartition(2), num_buckets=4)
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    # day 0 takes the LAST event's value (2500), days 1-2 carry it forward
+    assert out["v_milli"].tolist() == [2500, 2500, 2500, 9000]
+
+
+def test_share_bp_sums_under_10000(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import share_bp
+
+    ev = _events()
+    out = share_bp(rd.from_pandas(ev).repartition(5)).to_pandas()
+    exp = ev.groupby("event_type").size()
+    total = int(exp.sum())
+    for _, r in out.iterrows():
+        assert r["share_bp"] == r["n"] * 10000 // total
+    assert out["n"].sum() == total
+    assert 10000 - len(out) < out["share_bp"].sum() <= 10000
