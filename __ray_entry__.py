@@ -1850,6 +1850,33 @@ def _q_dense_counts(sf_dir: str):
     return relational.dense_counts(_events(sf_dir), bucket_s=86400)
 
 
+def _q_render_conversations(sf_dir: str):
+    """Chat-template flatten: one newline-joined document per
+    conversation."""
+    from bio_re_with_entity_embeddings_ray.stages import chat
+
+    quiet_ray_data()
+    return chat.render_conversations(derive_transcripts(sf_dir), _NB)
+
+
+def _q_sft_examples(sf_dir: str):
+    """SFT (context, target) pairs: one per assistant turn, 4-turn
+    context."""
+    from bio_re_with_entity_embeddings_ray.stages import chat
+
+    quiet_ray_data()
+    return chat.sft_examples(derive_transcripts(sf_dir), ctx_turns=4,
+                             num_buckets=_NB)
+
+
+def _q_tool_chains(sf_dir: str):
+    """Per-conversation ordered tool-call chain signature."""
+    from bio_re_with_entity_embeddings_ray.stages import chat
+
+    quiet_ray_data()
+    return chat.tool_chains(derive_transcripts(sf_dir), _NB)
+
+
 def _q_rel_q3(sf_dir: str):
     """TPC-H Q3 shape: segment-filtered 3-table join, per-order revenue
     cents, global top-10."""
@@ -1907,6 +1934,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (both sessions), then the rel/window/model block the
         # round-2 judge already re-verified through the repo's own
         # harness, then the r01/r02-green tail ---
+        "render_conversations": _q_render_conversations,
+        "sft_examples": _q_sft_examples,
+        "tool_chains": _q_tool_chains,
         "rel_q3": _q_rel_q3,
         "anomaly_days": _q_anomaly_days,
         "mode_per_group": _q_mode_per_group,
@@ -2087,6 +2117,9 @@ def oracle_sql() -> dict[str, str]:
         "triples": oracles.TRIPLES,
         "pair_lift": oracles.PAIR_LIFT,
         "turn_lag": oracles.TURN_LAG,
+        "render_conversations": oracles.RENDER_CONVERSATIONS,
+        "sft_examples": oracles.SFT_EXAMPLES,
+        "tool_chains": oracles.TOOL_CHAINS,
         "rel_q3": oracles.REL_Q3,
         "anomaly_days": oracles.ANOMALY_DAYS,
         "mode_per_group": oracles.MODE_PER_GROUP,

@@ -2373,3 +2373,40 @@ SHARE_BP = """WITH __c AS (
 SELECT event_type, n,
        CAST((n * 10000) // (SELECT sum(n) FROM __c) AS BIGINT) AS share_bp
 FROM __c"""
+
+# Chat-template flatten (stages/chat.render_conversations): one document
+# per conversation, newline-joined "role: text" in turn order
+RENDER_CONVERSATIONS = f"""WITH {transcripts_sql_cte()}
+SELECT conv_id,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+         AS rendered,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts_v GROUP BY conv_id"""
+
+# SFT pair construction (stages/chat.sft_examples, ctx_turns=4): one
+# (context, target) per assistant turn; context = previous 4 turns
+# rendered and newline-joined, '' when the assistant speaks first
+SFT_EXAMPLES = f"""WITH {transcripts_sql_cte()},
+__r AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+         role || ': ' || text AS rend
+  FROM transcripts_v
+),
+__w AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(string_agg(rend, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING
+         ), '') AS context
+  FROM __r
+)
+SELECT conv_id, turn_idx, context, text AS target
+FROM __w WHERE role = 'assistant'"""
+
+# Tool-call trace signature (stages/chat.tool_chains): per-conv ordered
+# ';;;'-joined tool names over tool turns; tool-free convs absent
+TOOL_CHAINS = f"""WITH {transcripts_sql_cte()}
+SELECT conv_id,
+       string_agg(tool, ';;;' ORDER BY turn_idx) AS chain,
+       CAST(count(*) AS BIGINT) AS n_calls
+FROM transcripts_v WHERE role = 'tool' GROUP BY conv_id"""
