@@ -292,6 +292,21 @@ def bench_window(sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_sft(sf_dir: str, replicas: int) -> float:
+    """SFT example construction over the full replicated transcript
+    corpus: the bench layout keeps each conversation in one block, so the
+    conv_partitioned zero-exchange path applies — context strings are
+    built per block and never cross the wire (the generic path's full-
+    text conv shuffle is the cost this layout avoids)."""
+    from bio_re_with_entity_embeddings_ray.stages.chat import sft_examples
+
+    t0 = time.perf_counter()
+    sft_examples(
+        _transcripts(sf_dir, replicas), ctx_turns=4, conv_partitioned=True
+    ).count()
+    return time.perf_counter() - t0
+
+
 def run_once() -> dict:
     import ray
 
@@ -337,6 +352,7 @@ def run_once() -> dict:
                 "pagerank_cooc": round(
                     bench_graph(sf_dir, replicas, num_buckets), 3
                 ),
+                "sft_examples": round(bench_sft(sf_dir, replicas), 3),
             }
         )
     result = {

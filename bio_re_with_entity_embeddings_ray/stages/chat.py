@@ -29,13 +29,19 @@ def _rendered(b: pd.DataFrame) -> pd.Series:
     return b["role"].astype(str) + ": " + b["text"].astype(str)
 
 
-def render_conversations(transcripts, num_buckets: int = 32):
+def render_conversations(transcripts, num_buckets: int = 32,
+                         conv_partitioned: bool = False):
     """Flatten each conversation into ONE chat-template document:
     newline-joined ``role: text`` lines in turn order, plus the turn
     count — the conv-level document every conversation-granularity pass
     (dedup, quality, packing) runs on.
 
-    Returns (conv_id, rendered, n_turns)."""
+    Returns (conv_id, rendered, n_turns).
+
+    ``conv_partitioned=True`` asserts every conversation's turns already
+    sit in ONE block (the bench corpus layout) and skips the conv-keyed
+    exchange entirely — per-block apply, zero shuffle (same contract as
+    graph.cooccurrence_graph's conv_partitioned)."""
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -55,10 +61,14 @@ def render_conversations(transcripts, num_buckets: int = 32):
         out["n_turns"] = n.loc[out["conv_id"]].to_numpy().astype("int64")
         return out
 
+    if conv_partitioned:
+        return proj.map_batches(per_conv, batch_format="pandas",
+                                batch_size=None)
     return bucketed_group_apply(proj, "conv_id", per_conv, num_buckets)
 
 
-def sft_examples(transcripts, ctx_turns: int = 4, num_buckets: int = 32):
+def sft_examples(transcripts, ctx_turns: int = 4, num_buckets: int = 32,
+                 conv_partitioned: bool = False):
     """(context, target) SFT pairs: one example per ASSISTANT turn, the
     context being the previous ``ctx_turns`` turns rendered ``role: text``
     and newline-joined (empty string when the assistant speaks first) and
@@ -69,7 +79,9 @@ def sft_examples(transcripts, ctx_turns: int = 4, num_buckets: int = 32):
     throughout) — the per-example Python join a naive implementation
     would do is exactly the hot-path anti-pattern this engine bans.
 
-    Returns (conv_id, turn_idx, context, target)."""
+    Returns (conv_id, turn_idx, context, target). ``conv_partitioned``
+    as in :func:`render_conversations` — per-block apply, zero exchange
+    (context text never crosses the wire)."""
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -116,16 +128,21 @@ def sft_examples(transcripts, ctx_turns: int = 4, num_buckets: int = 32):
             }
         )
 
+    if conv_partitioned:
+        return proj.map_batches(per_conv, batch_format="pandas",
+                                batch_size=None)
     return bucketed_group_apply(proj, "conv_id", per_conv, num_buckets)
 
 
-def tool_chains(transcripts, num_buckets: int = 32):
+def tool_chains(transcripts, num_buckets: int = 32,
+                conv_partitioned: bool = False):
     """Per-conversation ordered tool-call chain: the ';;;'-joined sequence
     of tool names over the conversation's TOOL turns, plus the call count
     — the trace signature agent-analytics pipelines group by.
 
     Conversations with no tool turns are absent (the SQL-join-free
-    semantics). Returns (conv_id, chain, n_calls)."""
+    semantics). Returns (conv_id, chain, n_calls). ``conv_partitioned``
+    as in :func:`render_conversations`."""
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[batch["role"] == "tool"]
@@ -146,4 +163,7 @@ def tool_chains(transcripts, num_buckets: int = 32):
         out["n_calls"] = n.loc[out["conv_id"]].to_numpy().astype("int64")
         return out
 
+    if conv_partitioned:
+        return proj.map_batches(per_conv, batch_format="pandas",
+                                batch_size=None)
     return bucketed_group_apply(proj, "conv_id", per_conv, num_buckets)

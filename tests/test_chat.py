@@ -122,3 +122,32 @@ def test_tool_chains(ray_session):
     assert out["conv_id"].tolist() == ["a"]
     assert out["chain"].tolist() == ["srch;;;calc"]
     assert out["n_calls"].tolist() == [2]
+
+
+def test_chat_conv_partitioned_equivalence(ray_session):
+    """conv_partitioned=True (zero-exchange per-block apply) must equal
+    the generic conv-keyed shuffle when convs are block-contiguous."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import chat
+
+    t = _transcripts()  # conv-sorted -> contiguous in the single block
+    ds = rd.from_pandas(t)
+    for fn, kw, sort_cols in [
+        (chat.render_conversations, {}, ["conv_id"]),
+        (chat.sft_examples, {"ctx_turns": 3}, ["conv_id", "turn_idx"]),
+        (chat.tool_chains, {}, ["conv_id"]),
+    ]:
+        a = (
+            fn(ds, num_buckets=4, **kw)
+            .to_pandas()
+            .sort_values(sort_cols)
+            .reset_index(drop=True)
+        )
+        b = (
+            fn(ds, conv_partitioned=True, **kw)
+            .to_pandas()
+            .sort_values(sort_cols)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
