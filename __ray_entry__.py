@@ -1877,6 +1877,23 @@ def _q_tool_chains(sf_dir: str):
     return chat.tool_chains(derive_transcripts(sf_dir), _NB)
 
 
+def _q_conv_dedup(sf_dir: str):
+    """Conversation-level exact dedup keep set (render -> digest-only
+    min-combiner)."""
+    from bio_re_with_entity_embeddings_ray.stages import chat
+
+    quiet_ray_data()
+    return chat.conv_dedup(derive_transcripts(sf_dir), _NB)
+
+
+def _q_tool_transitions(sf_dir: str):
+    """Tool-name Markov transition counts within conversations."""
+    from bio_re_with_entity_embeddings_ray.stages import chat
+
+    quiet_ray_data()
+    return chat.tool_transitions(derive_transcripts(sf_dir), _NB)
+
+
 def _q_rel_q3(sf_dir: str):
     """TPC-H Q3 shape: segment-filtered 3-table join, per-order revenue
     cents, global top-10."""
@@ -1937,6 +1954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_conversations": _q_render_conversations,
         "sft_examples": _q_sft_examples,
         "tool_chains": _q_tool_chains,
+        "conv_dedup": _q_conv_dedup,
+        "tool_transitions": _q_tool_transitions,
         "rel_q3": _q_rel_q3,
         "anomaly_days": _q_anomaly_days,
         "mode_per_group": _q_mode_per_group,
@@ -2120,6 +2139,8 @@ def oracle_sql() -> dict[str, str]:
         "render_conversations": oracles.RENDER_CONVERSATIONS,
         "sft_examples": oracles.SFT_EXAMPLES,
         "tool_chains": oracles.TOOL_CHAINS,
+        "conv_dedup": oracles.CONV_DEDUP,
+        "tool_transitions": oracles.TOOL_TRANSITIONS,
         "rel_q3": oracles.REL_Q3,
         "anomaly_days": oracles.ANOMALY_DAYS,
         "mode_per_group": oracles.MODE_PER_GROUP,

@@ -2410,3 +2410,28 @@ SELECT conv_id,
        string_agg(tool, ';;;' ORDER BY turn_idx) AS chain,
        CAST(count(*) AS BIGINT) AS n_calls
 FROM transcripts_v WHERE role = 'tool' GROUP BY conv_id"""
+
+# Conversation-level exact dedup (stages/chat.conv_dedup): min conv_id
+# per distinct rendered chat-template document
+CONV_DEDUP = f"""WITH {transcripts_sql_cte()},
+__r AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+           AS rendered
+  FROM transcripts_v GROUP BY conv_id
+)
+SELECT min(conv_id) AS conv_id, md5(rendered) AS content_md5
+FROM __r GROUP BY md5(rendered)"""
+
+# Tool-name Markov transitions (stages/chat.tool_transitions): tool B
+# called after tool A within a conversation, non-tool turns skipped
+TOOL_TRANSITIONS = f"""WITH {transcripts_sql_cte()},
+__t AS (
+  SELECT conv_id, turn_idx, tool,
+         LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_tool
+  FROM transcripts_v WHERE role = 'tool'
+)
+SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
+FROM __t WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool"""

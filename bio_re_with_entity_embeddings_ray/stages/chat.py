@@ -19,7 +19,10 @@ import numpy as np
 import pandas as pd
 
 from bio_re_with_entity_embeddings_ray.stages.aggregate import group_join
-from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+from bio_re_with_entity_embeddings_ray.stages.common import (
+    bucketed_group_apply,
+    merge_partials,
+)
 
 _NL = "\n"
 
@@ -167,3 +170,96 @@ def tool_chains(transcripts, num_buckets: int = 32,
         return proj.map_batches(per_conv, batch_format="pandas",
                                 batch_size=None)
     return bucketed_group_apply(proj, "conv_id", per_conv, num_buckets)
+
+
+def conv_dedup(transcripts, num_buckets: int = 32,
+               conv_partitioned: bool = False):
+    """Conversation-level exact dedup: flatten each conversation to its
+    chat-template document (:func:`render_conversations`), then keep the
+    lexicographically-smallest conv_id per distinct rendered content —
+    the composition that removes verbatim-duplicate conversations before
+    training. Returns the keep set (conv_id, content_md5).
+
+    Scale shape: rendering is conv-keyed (or zero-exchange under
+    ``conv_partitioned``); the dedup exchange then ships only ~40-byte
+    digests (dedup.exact_dedup_hashed's min-combiner), never the rendered
+    text."""
+    from bio_re_with_entity_embeddings_ray.stages.dedup import exact_dedup_hashed
+
+    rendered = render_conversations(
+        transcripts, num_buckets, conv_partitioned=conv_partitioned
+    )
+
+    def as_docs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["conv_id"], "text": b["rendered"]}
+        )
+
+    keep = exact_dedup_hashed(
+        rendered.map_batches(as_docs, batch_format="pandas"), num_buckets
+    )
+    return keep.map_batches(
+        lambda b: b.rename(columns={"doc_id": "conv_id"}),
+        batch_format="pandas",
+    )
+
+
+def tool_transitions(transcripts, num_buckets: int = 16):
+    """Markov transition counts over TOOL names: how often tool B is
+    called after tool A within a conversation (intervening non-tool turns
+    skipped) — the agent-behavior analog of relational.role_transitions.
+
+    Scale shape: filter to tool turns first (the projection is
+    tool-turn-bounded), one conv-keyed exchange, vectorized shift +
+    C-level count partials, lazy tree merge (|tools|^2-bounded)."""
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["role"] == "tool"]
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].astype("int64"),
+                "tool": b["tool"].astype(str),
+            }
+        )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "prev_tool": pd.Series([], dtype=str),
+                    "tool": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        cid = b["conv_id"].to_numpy()
+        tool = b["tool"].to_numpy()
+        same = np.zeros(n, dtype=bool)
+        same[1:] = cid[1:] == cid[:-1]
+        prev = np.empty(n, dtype=object)
+        prev[0] = ""
+        prev[1:] = tool[:-1]
+        t = pd.DataFrame({"prev_tool": prev[same], "tool": tool[same]})
+        g = t.groupby(["prev_tool", "tool"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    slimmed = transcripts.map_batches(slim, batch_format="pandas")
+    partials = bucketed_group_apply(slimmed, "conv_id", per_bucket,
+                                    num_buckets)
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["prev_tool", "tool"], as_index=False)["n"].sum()
+
+    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+        out = combined.sort_values(["prev_tool", "tool"]).reset_index(
+            drop=True
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return merge_partials(
+        partials, ["prev_tool", "tool"], combine, finalize, num_buckets,
+        plan="tree",
+    )

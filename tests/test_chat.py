@@ -151,3 +151,45 @@ def test_chat_conv_partitioned_equivalence(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_conv_dedup_keeps_min_conv(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.chat import conv_dedup
+
+    t = _transcripts()
+    # clone conv "b" as conv "x" (identical turns -> identical rendered)
+    dup = t[t["conv_id"] == "b"].copy()
+    dup["conv_id"] = "x"
+    t2 = pd.concat([t, dup], ignore_index=True).sample(frac=1,
+                                                       random_state=5)
+    out = conv_dedup(rd.from_pandas(t2).repartition(3), 4).to_pandas()
+    # 3 distinct contents survive; "x" lost to "b" (lexicographic min)
+    assert sorted(out["conv_id"]) == ["a", "b", "c"]
+    assert out["content_md5"].nunique() == 3
+
+
+def test_tool_transitions_counts(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.chat import tool_transitions
+
+    rows = []
+    for conv, tools in [("a", ["s", "t", "s"]), ("b", ["t", "s"])]:
+        for i, tl in enumerate(tools):
+            rows.append((conv, i * 4 + 3, "tool", "x", tl,
+                         pd.Timestamp("2025-01-01")))
+        rows.append((conv, 0, "user", "q", None, pd.Timestamp("2025-01-01")))
+    t = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                    "tool", "ts"])
+    out = (
+        tool_transitions(rd.from_pandas(t).repartition(3), 4)
+        .to_pandas()
+        .sort_values(["prev_tool", "tool"])
+        .reset_index(drop=True)
+    )
+    # a: s->t, t->s ; b: t->s  => (s,t):1, (t,s):2
+    assert list(zip(out["prev_tool"], out["tool"], out["n"])) == [
+        ("s", "t", 1), ("t", "s", 2)
+    ]
