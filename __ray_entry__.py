@@ -1894,6 +1894,23 @@ def _q_tool_transitions(sf_dir: str):
     return chat.tool_transitions(derive_transcripts(sf_dir), _NB)
 
 
+def _q_attribution(sf_dir: str):
+    """Last-touch attribution for purchase events."""
+    quiet_ray_data()
+    return relational.attribution(_events(sf_dir), "purchase", _NB)
+
+
+def _q_approx_quantile(sf_dir: str):
+    """Histogram-sketch quantiles (p25/p50/p99 at bin resolution) over
+    events.value."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return relational.approx_quantile_hist(ev, "value",
+                                           [2500, 5000, 9900], 25.0)
+
+
 def _q_rel_q3(sf_dir: str):
     """TPC-H Q3 shape: segment-filtered 3-table join, per-order revenue
     cents, global top-10."""
@@ -1955,6 +1972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_examples": _q_sft_examples,
         "tool_chains": _q_tool_chains,
         "conv_dedup": _q_conv_dedup,
+        "attribution": _q_attribution,
+        "approx_quantile_hist": _q_approx_quantile,
         "tool_transitions": _q_tool_transitions,
         "rel_q3": _q_rel_q3,
         "anomaly_days": _q_anomaly_days,
@@ -2140,6 +2159,8 @@ def oracle_sql() -> dict[str, str]:
         "sft_examples": oracles.SFT_EXAMPLES,
         "tool_chains": oracles.TOOL_CHAINS,
         "conv_dedup": oracles.CONV_DEDUP,
+        "attribution": oracles.ATTRIBUTION,
+        "approx_quantile_hist": oracles.APPROX_QUANTILE_HIST,
         "tool_transitions": oracles.TOOL_TRANSITIONS,
         "rel_q3": oracles.REL_Q3,
         "anomaly_days": oracles.ANOMALY_DAYS,

@@ -2435,3 +2435,44 @@ __t AS (
 SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
 FROM __t WHERE prev_tool IS NOT NULL
 GROUP BY prev_tool, tool"""
+
+# Last-touch attribution (stages/relational.attribution): most recent
+# strictly-preceding non-purchase event type per purchase
+ATTRIBUTION = """WITH __e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+__w AS (
+  SELECT *,
+         last_value(
+           CASE WHEN event_type <> 'purchase' THEN event_type END
+           IGNORE NULLS
+         ) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS attrib_type
+  FROM __e
+)
+SELECT event_id, user_id, s, attrib_type
+FROM __w WHERE event_type = 'purchase' AND attrib_type IS NOT NULL"""
+
+# Histogram-sketch quantiles (stages/relational.approx_quantile_hist,
+# width=25, q in {2500, 5000, 9900}): smallest bin whose cumulative
+# count reaches ceil(q * total / 10000)
+APPROX_QUANTILE_HIST = """WITH __b AS (
+  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+__c AS (
+  SELECT bin, sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT sum(n) FROM __b) AS total
+  FROM __b
+),
+__q AS (SELECT unnest([2500, 5000, 9900]) AS q_bp)
+SELECT CAST(q.q_bp AS BIGINT) AS q_bp,
+       CAST(min(c.bin) AS BIGINT) AS bin
+FROM __q q JOIN __c c
+  ON c.cum >= (q.q_bp * c.total + 9999) // 10000
+GROUP BY q.q_bp"""

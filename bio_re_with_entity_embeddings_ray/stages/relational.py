@@ -2391,3 +2391,103 @@ def share_bp(events):
 
     return merge_partials(partials, "event_type", combine, finalize,
                           plan="tree")
+
+
+def attribution(events, target_type: str = "purchase",
+                num_buckets: int = 32):
+    """Last-touch attribution: for every ``target_type`` event, the type
+    of the user's most recent STRICTLY-PRECEDING non-target event (order
+    (ts, event_id)) — the conversion-attribution join every funnel
+    pipeline runs. Target events with no preceding touch are excluded.
+
+    Scale shape: narrow projection, ONE user-keyed exchange; inside the
+    bucket the last-touch index is a masked ``np.maximum.accumulate``
+    (segment-reset by comparing against each user's segment start), no
+    per-row scan."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "user_id": batch["user_id"].astype("int64"),
+                "event_type": batch["event_type"],
+                "s": batch["ts"].astype("datetime64[s]").astype("int64"),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_user(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "s", "event_id"], kind="mergesort")
+        n = len(b)
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "attrib_type": pd.Series([], dtype="object"),
+            }
+        )
+        if n == 0:
+            return empty
+        u = b["user_id"].to_numpy()
+        et = b["event_type"].to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        # segment start index of each row's user run
+        change = np.concatenate(([True], u[1:] != u[:-1]))
+        seg_start = np.repeat(idx[change], np.diff(np.append(idx[change], n)))
+        src_idx = np.where(et != target_type, idx, -1)
+        acc = np.maximum.accumulate(src_idx)
+        prev_acc = np.concatenate(([-1], acc[:-1]))
+        is_target = et == target_type
+        valid = is_target & (prev_acc >= seg_start)
+        if not valid.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy()[valid],
+                "user_id": u[valid],
+                "s": b["s"].to_numpy()[valid],
+                "attrib_type": et[prev_acc[valid]],
+            }
+        )
+
+    return bucketed_group_apply(ev, "user_id", per_user, num_buckets)
+
+
+def approx_quantile_hist(ds, col: str, qs_bp: list[int], width: float,
+                         fanin: int = 16):
+    """Histogram-sketch quantiles: bin-resolution quantile estimates from
+    an equi-width histogram — the fixed-memory scale path next to
+    textstats.exact_quantiles (error bounded by ``width``, one streaming
+    pass, combiner state bounded by occupied bins). The q-th quantile is
+    the smallest bin whose cumulative count reaches ``ceil(q * total)``
+    (integer rank arithmetic, deterministic).
+
+    Returns (q_bp, bin) — callers map bin -> value range via width."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(batch[col].to_numpy() / width).astype("int64")
+        bins, n = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": bins, "n": n.astype("int64")})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("bin", as_index=False)["n"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("bin").reset_index(drop=True)
+        cum = b["n"].to_numpy().cumsum()
+        total = int(cum[-1]) if len(cum) else 0
+        rows = []
+        for q in qs_bp:
+            rank = (q * total + 9999) // 10000  # ceil
+            i = int(np.searchsorted(cum, rank, side="left"))
+            rows.append((int(q), int(b["bin"].iloc[min(i, len(b) - 1)])))
+        return pd.DataFrame(rows, columns=["q_bp", "bin"]).astype(
+            {"q_bp": "int64", "bin": "int64"}
+        )
+
+    return merge_partials(partials, "bin", combine, finalize, plan="tree",
+                          fanin=fanin)

@@ -302,3 +302,63 @@ def test_share_bp_sums_under_10000(ray_session):
         assert r["share_bp"] == r["n"] * 10000 // total
     assert out["n"].sum() == total
     assert 10000 - len(out) < out["share_bp"].sum() <= 10000
+
+
+def test_attribution_brute_force(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import attribution
+
+    ev = _events()
+    ev["event_type"] = np.where(
+        np.arange(len(ev)) % 5 == 0, "purchase", ev["event_type"]
+    )
+    out = (
+        attribution(rd.from_pandas(ev).repartition(5), "purchase",
+                    num_buckets=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    exp = []
+    b = ev.copy()
+    b["s"] = b["ts"].astype("datetime64[s]").astype("int64")
+    for uid, g in b.groupby("user_id"):
+        g = g.sort_values(["s", "event_id"], kind="mergesort")
+        last = None
+        for _, r in g.iterrows():
+            if r["event_type"] == "purchase":
+                if last is not None:
+                    exp.append((r["event_id"], uid, r["s"], last))
+            else:
+                last = r["event_type"]
+    exp = pd.DataFrame(
+        exp, columns=["event_id", "user_id", "s", "attrib_type"]
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype({"event_id": "int64", "user_id": "int64", "s": "int64"}),
+        exp.astype({"event_id": "int64", "user_id": "int64", "s": "int64"}),
+    )
+
+
+def test_approx_quantile_hist_bin_resolution(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        approx_quantile_hist,
+    )
+
+    ev = _events()
+    out = approx_quantile_hist(
+        rd.from_pandas(ev[["value"]]).repartition(5), "value",
+        [2500, 5000, 9900], width=10.0
+    ).to_pandas()
+    v = np.sort(ev["value"].to_numpy())
+    n = len(v)
+    for _, r in out.iterrows():
+        rank = (r["q_bp"] * n + 9999) // 10000
+        exact = v[int(rank) - 1]
+        lo = r["bin"] * 10.0
+        # the exact quantile falls inside the reported bin
+        assert lo <= exact < lo + 10.0
