@@ -1911,6 +1911,19 @@ def _q_approx_quantile(sf_dir: str):
                                            [2500, 5000, 9900], 25.0)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label exact-integer embedding pooling (class centroids)."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import scoring
+
+    quiet_ray_data()
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return scoring.label_centroids(emb)
+
+
 def _q_rel_q3(sf_dir: str):
     """TPC-H Q3 shape: segment-filtered 3-table join, per-order revenue
     cents, global top-10."""
@@ -1973,6 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_chains": _q_tool_chains,
         "conv_dedup": _q_conv_dedup,
         "attribution": _q_attribution,
+        "label_centroids": _q_label_centroids,
         "approx_quantile_hist": _q_approx_quantile,
         "tool_transitions": _q_tool_transitions,
         "rel_q3": _q_rel_q3,
@@ -2160,6 +2174,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_chains": oracles.TOOL_CHAINS,
         "conv_dedup": oracles.CONV_DEDUP,
         "attribution": oracles.ATTRIBUTION,
+        "label_centroids": oracles.LABEL_CENTROIDS,
         "approx_quantile_hist": oracles.APPROX_QUANTILE_HIST,
         "tool_transitions": oracles.TOOL_TRANSITIONS,
         "rel_q3": oracles.REL_Q3,

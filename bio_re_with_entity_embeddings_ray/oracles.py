@@ -2476,3 +2476,17 @@ SELECT CAST(q.q_bp AS BIGINT) AS q_bp,
 FROM __q q JOIN __c c
   ON c.cum >= (q.q_bp * c.total + 9999) // 10000
 GROUP BY q.q_bp"""
+
+# Grouped vector pooling (stages/scoring.label_centroids): per-label
+# exact-integer component sums (floor(v * 1e6) per vector) + counts
+LABEL_CENTROIDS = """WITH __u AS (
+  SELECT label,
+         unnest(embedding) AS v,
+         unnest(range(0, len(embedding))) AS dim_idx
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n
+FROM __u GROUP BY label, dim_idx"""

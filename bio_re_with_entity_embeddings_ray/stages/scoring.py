@@ -542,3 +542,67 @@ def ann_lsh_search(
         return batch
 
     return res.map_batches(cast, batch_format="pandas")
+
+
+def label_centroids(emb, scale: float = 1_000_000.0, num_buckets: int = 16):
+    """Grouped vector pooling: per-label component sums of the quantized
+    embeddings plus the vector count — the mean-pool / class-centroid
+    aggregate (doc embedding from turn embeddings, class prototype from
+    labeled vectors). Emitted as exact integers so the result is
+    order-independent: components are floor(v * scale) PER VECTOR before
+    summation; the mean is sum_q / n downstream.
+
+    Scale shape: per-batch label-grouped ``np.add.reduceat`` partials
+    (|labels| x dim rows per block — label-bounded, never row-bounded),
+    lazy tree merge. Returns (label, dim_idx, sum_q, n)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "dim_idx": pd.Series([], dtype="int64"),
+                    "sum_q": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        labels = batch["label"].to_numpy().astype(np.int64)
+        M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+        Q = np.floor(M * scale).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        labels = labels[order]
+        Q = Q[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(labels[1:] != labels[:-1]) + 1)
+        )
+        sums = np.add.reduceat(Q, starts, axis=0)
+        uniq = labels[starts]
+        counts = np.diff(np.append(starts, len(labels)))
+        dim = Q.shape[1]
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq, dim),
+                "dim_idx": np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+                "sum_q": sums.reshape(-1),
+                "n": np.repeat(counts.astype(np.int64), dim),
+            }
+        )
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    partials = emb.map_batches(partial, batch_format="pandas")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["label", "dim_idx"], as_index=False)[
+            ["sum_q", "n"]
+        ].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.sort_values(["label", "dim_idx"]).reset_index(drop=True)
+        return out.astype(
+            {"label": "int64", "dim_idx": "int64", "sum_q": "int64",
+             "n": "int64"}
+        )
+
+    return merge_partials(partials, ["label", "dim_idx"], combine, finalize,
+                          plan="tree")

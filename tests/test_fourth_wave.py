@@ -362,3 +362,30 @@ def test_approx_quantile_hist_bin_resolution(ray_session):
         lo = r["bin"] * 10.0
         # the exact quantile falls inside the reported bin
         assert lo <= exact < lo + 10.0
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.scoring import label_centroids
+
+    rng = np.random.RandomState(5)
+    n, d = 60, 8
+    emb = pd.DataFrame(
+        {
+            "label": rng.randint(0, 3, n).astype(np.int64),
+            "embedding": [rng.randn(d).astype(np.float32) for _ in range(n)],
+        }
+    )
+    out = label_centroids(
+        rd.from_pandas(emb).repartition(4)
+    ).to_pandas()
+    M = np.floor(
+        np.array(emb["embedding"].tolist(), dtype=np.float64) * 1e6
+    ).astype(np.int64)
+    for lbl in range(3):
+        mask = emb["label"].to_numpy() == lbl
+        exp = M[mask].sum(axis=0)
+        got = out[out["label"] == lbl].sort_values("dim_idx")
+        assert got["sum_q"].tolist() == exp.tolist()
+        assert (got["n"] == mask.sum()).all()
