@@ -2490,3 +2490,25 @@ SELECT CAST(label AS BIGINT) AS label, CAST(dim_idx AS BIGINT) AS dim_idx,
             AS BIGINT) AS sum_q,
        CAST(count(*) AS BIGINT) AS n
 FROM __u GROUP BY label, dim_idx"""
+
+
+# fixed-size overlapping character chunking (stages/textstats.
+# chunk_documents, size=120 overlap=24): unnest over the per-doc chunk
+# count; DuckDB length/substring are codepoint-based, matching the
+# engine's utf8_slice_codeunits
+_CHUNK_SIZE, _CHUNK_STEP = 120, 96
+CHUNK_DOCS = f"""WITH __m AS (
+  SELECT doc_id, text,
+         1 + GREATEST(0, (length(text) - {_CHUNK_SIZE} + {_CHUNK_STEP} - 1)
+                         // {_CHUNK_STEP}) AS m
+  FROM documents
+),
+__u AS (SELECT doc_id, text, unnest(range(0, m)) AS j FROM __m)
+SELECT doc_id,
+       CAST(j AS BIGINT) AS chunk_id,
+       CAST(j * {_CHUNK_STEP} AS BIGINT) AS start,
+       CAST(length(substring(text, CAST(j * {_CHUNK_STEP} + 1 AS INT),
+                             {_CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+       substring(text, CAST(j * {_CHUNK_STEP} + 1 AS INT),
+                 {_CHUNK_SIZE}) AS chunk_text
+FROM __u"""

@@ -1123,3 +1123,65 @@ def doc_entropy(docs):
         )
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def chunk_documents(docs, size: int = 120, overlap: int = 24):
+    """Fixed-size overlapping character chunking — the RAG / embedding
+    prep step (split every document into ``size``-codepoint windows
+    starting every ``step = size - overlap`` codepoints; the final chunk
+    may be short, and an empty document yields one empty chunk). Rows:
+    ``(doc_id, chunk_id, start, chunk_len, chunk_text)``.
+
+    Scale shape: pure narrow map, no exchange — the ~len/step x fan-out
+    streams straight to the consumer (an embedder actor pool or a
+    partitioned parquet sink). Slicing is O(max_chunks_per_batch) Arrow
+    ``utf8_slice_codeunits`` kernel calls over column-masked takes
+    (codepoint-identical to Python slicing, unicode-safe), never a
+    per-row Python loop."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_id": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "chunk_len": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        }
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        texts = batch["text"].combine_chunks()
+        doc_ids = batch["doc_id"].combine_chunks().cast(pa.int64())
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        # chunks per doc: 1 for len<=size, else 1 + ceil((len-size)/step)
+        m = 1 + np.maximum(0, (lens - size + step - 1) // step)
+        pieces = []
+        for j in range(int(m.max())):
+            idx = pa.array(np.flatnonzero(m > j))
+            tj = texts.take(idx)
+            sliced = pc.utf8_slice_codeunits(
+                tj, start=j * step, stop=j * step + size
+            )
+            n = len(idx)
+            pieces.append(
+                pa.table(
+                    {
+                        "doc_id": doc_ids.take(idx),
+                        "chunk_id": pa.array(np.full(n, j, dtype=np.int64)),
+                        "start": pa.array(np.full(n, j * step, dtype=np.int64)),
+                        "chunk_len": pc.utf8_length(sliced).cast(pa.int64()),
+                        "chunk_text": sliced,
+                    }
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    return docs.map_batches(fn, batch_format="pyarrow")

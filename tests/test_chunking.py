@@ -1,0 +1,63 @@
+"""chunk_documents: brute-force parity (incl. unicode, empty docs,
+exact-boundary lengths) and stream-shape invariants."""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def _brute(df: pd.DataFrame, size: int, overlap: int):
+    step = size - overlap
+    rows = []
+    for _, r in df.iterrows():
+        t = r["text"]
+        n = len(t)
+        m = 1 if n <= size else 1 + -(-(n - size) // step)
+        for j in range(m):
+            c = t[j * step : j * step + size]
+            rows.append((int(r["doc_id"]), j, j * step, len(c), c))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "chunk_id", "start", "chunk_len", "chunk_text"]
+    )
+
+
+@pytest.mark.parametrize("size,overlap", [(120, 24), (8, 3), (5, 0)])
+def test_chunk_documents_matches_brute_force(ray_session, size, overlap):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.textstats import chunk_documents
+
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                "",                         # empty -> one empty chunk
+                "a" * (size - 1),           # just under one chunk
+                "b" * size,                 # exactly one chunk
+                "c" * (size + 1),           # just over -> two chunks
+                "héllo wörld ありがとう " * 9,  # unicode codepoints
+                "x y z " * 40,
+                "d" * (2 * size - overlap),  # exactly two full chunks
+                "single",
+            ],
+        }
+    )
+    out = (
+        chunk_documents(rd.from_pandas(df), size=size, overlap=overlap)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    exp = _brute(df, size, overlap).astype(
+        {"doc_id": "int64", "chunk_id": "int64", "start": "int64", "chunk_len": "int64"}
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_chunk_documents_rejects_full_overlap(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.textstats import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_items([{"doc_id": 1, "text": "x"}]), size=4, overlap=4)
