@@ -1973,6 +1973,13 @@ def _q_share_bp(sf_dir: str):
     return relational.share_bp(_events(sf_dir))
 
 
+def _q_rank_in_group(sf_dir: str):
+    """Per-user RANK / DENSE_RANK / PERCENT_RANK by value (window ranking
+    family; global_rank covers the unpartitioned ROW_NUMBER case)."""
+    quiet_ray_data()
+    return relational.rank_in_group(_events(sf_dir), num_buckets=_NB)
+
+
 def _q_chunk_docs(sf_dir: str):
     """Fixed-size overlapping character chunking (RAG / embedding prep)."""
     quiet_ray_data()
@@ -1988,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-2 judge already re-verified through the repo's own
         # harness, then the r01/r02-green tail ---
         "chunk_docs": _q_chunk_docs,
+        "rank_in_group": _q_rank_in_group,
         "render_conversations": _q_render_conversations,
         "sft_examples": _q_sft_examples,
         "tool_chains": _q_tool_chains,
@@ -2177,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_lift": oracles.PAIR_LIFT,
         "turn_lag": oracles.TURN_LAG,
         "chunk_docs": oracles.CHUNK_DOCS,
+        "rank_in_group": oracles.RANK_IN_GROUP,
         "render_conversations": oracles.RENDER_CONVERSATIONS,
         "sft_examples": oracles.SFT_EXAMPLES,
         "tool_chains": oracles.TOOL_CHAINS,

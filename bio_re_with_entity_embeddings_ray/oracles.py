@@ -2512,3 +2512,21 @@ SELECT doc_id,
        substring(text, CAST(j * {_CHUNK_STEP} + 1 AS INT),
                  {_CHUNK_SIZE}) AS chunk_text
 FROM __u"""
+
+
+# per-user RANK/DENSE_RANK/PERCENT_RANK by value desc (stages/relational.
+# rank_in_group); pr_bp = floor((rank-1)*10000/(n-1)), 0 for n=1
+RANK_IN_GROUP = """WITH __rv AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(rank() OVER w AS BIGINT) AS rank,
+       CAST(dense_rank() OVER w AS BIGINT) AS dense_rank,
+       CAST(CASE WHEN count(*) OVER (PARTITION BY user_id) = 1 THEN 0
+                 ELSE (rank() OVER w - 1) * 10000
+                      // (count(*) OVER (PARTITION BY user_id) - 1) END
+            AS BIGINT) AS pr_bp
+FROM __rv
+WINDOW w AS (PARTITION BY user_id ORDER BY v_milli DESC)"""

@@ -2491,3 +2491,73 @@ def approx_quantile_hist(ds, col: str, qs_bp: list[int], width: float,
 
     return merge_partials(partials, "bin", combine, finalize, plan="tree",
                           fanin=fanin)
+
+
+def rank_in_group(events, num_buckets: int = 32):
+    """Per-user value ranking — SQL ``RANK()`` / ``DENSE_RANK()`` /
+    ``PERCENT_RANK()`` over ``(PARTITION BY user_id ORDER BY v_milli
+    DESC, event_id)`` with gap/dense tie semantics on the value alone
+    (event_id only fixes row order). ``pr_bp`` = floor((rank-1) * 10000
+    / (n-1)) with 0 for single-row groups (SQL PERCENT_RANK in basis
+    points, exact under integer floor).
+
+    Scale shape: narrow int64 projection, one user-keyed exchange
+    (:func:`bucketed_group_apply`), vectorized segment-rebased tie-group
+    arithmetic per bucket — no per-row Python."""
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "v_milli": np.round(batch["value"].to_numpy() * 1000).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.copy(deep=False)
+        b["__negv"] = -b["v_milli"].to_numpy()
+        b = b.sort_values(["user_id", "__negv", "event_id"], kind="mergesort")
+        u = b["user_id"].to_numpy()
+        v = b["v_milli"].to_numpy()
+        n = len(b)
+        idx = np.arange(n, dtype=np.int64)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": np.array([], np.int64),
+                    "user_id": np.array([], np.int64),
+                    "rank": np.array([], np.int64),
+                    "dense_rank": np.array([], np.int64),
+                    "pr_bp": np.array([], np.int64),
+                }
+            )
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        new_tie = new_user | np.concatenate(([True], v[1:] != v[:-1]))
+        gstart = np.repeat(idx[new_user], np.diff(np.append(idx[new_user], n)))
+        tstart = np.repeat(idx[new_tie], np.diff(np.append(idx[new_tie], n)))
+        rank = tstart - gstart + 1  # tie group shares its first row's rank
+        dense = np.cumsum(new_tie)  # global tie-group counter ...
+        dense = dense - np.repeat(
+            dense[new_user], np.diff(np.append(idx[new_user], n))
+        ) + 1  # ... rebased to 1 at each user start
+        gsize = np.repeat(
+            np.diff(np.append(idx[new_user], n)), np.diff(np.append(idx[new_user], n))
+        )
+        pr = np.where(gsize > 1, (rank - 1) * 10000 // np.maximum(gsize - 1, 1), 0)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": u,
+                "rank": rank.astype(np.int64),
+                "dense_rank": dense.astype(np.int64),
+                "pr_bp": pr.astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(ev, "user_id", per_user, num_buckets)

@@ -193,3 +193,44 @@ def test_turn_lag_matches_pandas_lag(ray_session):
         }
     ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_rank_in_group_matches_pandas_with_ties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import relational
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            # coarse grid forces plenty of exact v_milli ties per user
+            "value": rng.integers(0, 5, n) / 2.0,
+        }
+    )
+    out = (
+        relational.rank_in_group(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    v = np.round(df["value"].to_numpy() * 1000).astype(np.int64)
+    exp = df.assign(v_milli=v)
+    g = exp.groupby("user_id")["v_milli"]
+    exp["rank"] = g.rank(method="min", ascending=False).astype(np.int64)
+    exp["dense_rank"] = g.rank(method="dense", ascending=False).astype(np.int64)
+    size = exp.groupby("user_id")["v_milli"].transform("size").to_numpy()
+    exp["pr_bp"] = np.where(
+        size > 1,
+        (exp["rank"].to_numpy() - 1) * 10000 // np.maximum(size - 1, 1),
+        0,
+    ).astype(np.int64)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["event_id", "user_id", "rank", "dense_rank", "pr_bp"]],
+        exp[["event_id", "user_id", "rank", "dense_rank", "pr_bp"]],
+    )
