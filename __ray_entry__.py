@@ -1980,6 +1980,20 @@ def _q_rank_in_group(sf_dir: str):
     return relational.rank_in_group(_events(sf_dir), num_buckets=_NB)
 
 
+def _q_skyline(sf_dir: str):
+    """Distributed skyline (Pareto front) over orders: max price, min
+    order date; per-block front combiner + lazy reduction tree."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    return relational.skyline(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+        )
+    )
+
+
 def _q_chunk_docs(sf_dir: str):
     """Fixed-size overlapping character chunking (RAG / embedding prep)."""
     quiet_ray_data()
@@ -1996,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # harness, then the r01/r02-green tail ---
         "chunk_docs": _q_chunk_docs,
         "rank_in_group": _q_rank_in_group,
+        "skyline_orders": _q_skyline,
         "render_conversations": _q_render_conversations,
         "sft_examples": _q_sft_examples,
         "tool_chains": _q_tool_chains,
@@ -2186,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_lag": oracles.TURN_LAG,
         "chunk_docs": oracles.CHUNK_DOCS,
         "rank_in_group": oracles.RANK_IN_GROUP,
+        "skyline_orders": oracles.SKYLINE,
         "render_conversations": oracles.RENDER_CONVERSATIONS,
         "sft_examples": oracles.SFT_EXAMPLES,
         "tool_chains": oracles.TOOL_CHAINS,

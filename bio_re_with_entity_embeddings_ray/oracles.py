@@ -2530,3 +2530,27 @@ SELECT event_id, user_id,
             AS BIGINT) AS pr_bp
 FROM __rv
 WINDOW w AS (PARTITION BY user_id ORDER BY v_milli DESC)"""
+
+
+# distributed skyline / Pareto front (stages/relational.skyline):
+# maximize price, minimize order date. Window mirror of the engine's
+# dominance sweep (a point survives iff no strictly-higher-price point
+# has date <= its own AND it holds its price run's min date) — same
+# result as the quadratic NOT-EXISTS form but O(n log n)
+SKYLINE = """WITH __o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         datediff('day', DATE '1970-01-01', o_orderdate) AS d_days
+  FROM orders
+),
+__w AS (
+  SELECT *,
+         min(d_days) OVER (PARTITION BY price_cents) AS run_min,
+         min(d_days) OVER (ORDER BY price_cents DESC
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           EXCLUDE GROUP) AS strict_min
+  FROM __o
+)
+SELECT o_orderkey, price_cents, CAST(d_days AS BIGINT) AS d_days
+FROM __w
+WHERE (strict_min IS NULL OR strict_min > d_days) AND d_days = run_min"""

@@ -2561,3 +2561,62 @@ def rank_in_group(events, num_buckets: int = 32):
         )
 
     return bucketed_group_apply(ev, "user_id", per_user, num_buckets)
+
+
+def skyline(orders, fanin: int = 16):
+    """Distributed skyline (Pareto front): orders not dominated by any
+    other order on (higher-or-equal price, earlier-or-equal date, strict
+    somewhere) — the multi-criteria "best trade-offs" query. Rows:
+    ``(o_orderkey, price_cents, d_days)``; exact-duplicate points are
+    both kept (neither strictly dominates).
+
+    Scale shape: the skyline of a union is the skyline of the per-part
+    skylines, so the per-block combiner IS the operator — each block
+    reduces to its own (typically tiny, ~log n for independent dims)
+    front, then a lazy reduction tree re-applies it to one block. No
+    all-pairs comparison anywhere: the per-block front is one sort
+    (price desc, date asc) + a prefix-min dominance sweep."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            batch["o_orderdate"]
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].astype("int64"),
+                "price_cents": np.round(
+                    batch["o_totalprice"].to_numpy() * 100
+                ).astype(np.int64),
+                "d_days": d,
+            }
+        )
+
+    def front(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        b = b.copy(deep=False)
+        b["__negp"] = -b["price_cents"].to_numpy()
+        b = b.sort_values(["__negp", "d_days", "o_orderkey"], kind="mergesort")
+        p = b["price_cents"].to_numpy()
+        d = b["d_days"].to_numpy()
+        newrun = np.concatenate(([True], p[1:] != p[:-1]))
+        run_id = np.cumsum(newrun) - 1
+        run_first_d = d[newrun]  # min date per equal-price run (d asc in run)
+        # min date among STRICTLY higher-price points = prefix-min of the
+        # preceding runs' minima
+        prev = np.concatenate(
+            ([np.iinfo(np.int64).max], np.minimum.accumulate(run_first_d)[:-1])
+        )
+        dominated = (prev[run_id] <= d) | (d > run_first_d[run_id])
+        return b.loc[~dominated, ["o_orderkey", "price_cents", "d_days"]]
+
+    partials = orders.map_batches(
+        lambda b: front(prep(b)), batch_format="pandas"
+    )
+    return merge_partials(
+        partials, "price_cents", front, front, plan="tree", fanin=fanin
+    )

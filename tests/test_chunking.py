@@ -61,3 +61,47 @@ def test_chunk_documents_rejects_full_overlap(ray_session):
 
     with pytest.raises(ValueError):
         chunk_documents(rd.from_items([{"doc_id": 1, "text": "x"}]), size=4, overlap=4)
+
+
+def test_skyline_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import relational
+
+    rng = np.random.default_rng(11)
+    n = 300
+    # coarse grids force price ties and duplicate points
+    price = rng.integers(1, 20, n) * 10.0
+    days = rng.integers(0, 15, n)
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_totalprice": price,
+            "o_orderdate": pd.Timestamp("1995-01-01")
+            + pd.to_timedelta(days, unit="D"),
+        }
+    )
+    out = (
+        relational.skyline(rd.from_pandas(df), fanin=4)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    p = np.round(price * 100).astype(np.int64)
+    d = (
+        df["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    )
+    keep = [
+        i
+        for i in range(n)
+        if not any(
+            p[j] >= p[i] and d[j] <= d[i] and (p[j] > p[i] or d[j] < d[i])
+            for j in range(n)
+        )
+    ]
+    exp = pd.DataFrame(
+        {"o_orderkey": np.array(keep, np.int64), "price_cents": p[keep], "d_days": d[keep]}
+    )
+    pd.testing.assert_frame_equal(out, exp)
