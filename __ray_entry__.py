@@ -1980,6 +1980,36 @@ def _q_rank_in_group(sf_dir: str):
     return relational.rank_in_group(_events(sf_dir), num_buckets=_NB)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Corpus snapshot CDC: documents vs a deterministically perturbed
+    second snapshot (removals, text edits, additions; oracle mirrors the
+    perturbation). Digest-only full-outer exchange."""
+    import pandas as pd
+
+    quiet_ray_data()
+
+    old = _docs(sf_dir)
+
+    def perturb(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        b = batch[batch["doc_id"] % 7 != 0].copy(deep=False)
+        b["text"] = np.where(
+            b["doc_id"] % 5 == 0, b["text"] + " v2", b["text"]
+        )
+        return b
+
+    def adds(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["doc_id"] % 11 == 0].copy(deep=False)
+        b["doc_id"] = b["doc_id"] + 5_000_000
+        return b
+
+    new = old.map_batches(perturb, batch_format="pandas").union(
+        old.map_batches(adds, batch_format="pandas")
+    )
+    return relational.snapshot_diff(old, new, num_buckets=_NB)
+
+
 def _q_skyline(sf_dir: str):
     """Distributed skyline (Pareto front) over orders: max price, min
     order date; per-block front combiner + lazy reduction tree."""
@@ -2011,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "rank_in_group": _q_rank_in_group,
         "skyline_orders": _q_skyline,
+        "snapshot_diff": _q_snapshot_diff,
         "render_conversations": _q_render_conversations,
         "sft_examples": _q_sft_examples,
         "tool_chains": _q_tool_chains,
@@ -2202,6 +2233,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": oracles.CHUNK_DOCS,
         "rank_in_group": oracles.RANK_IN_GROUP,
         "skyline_orders": oracles.SKYLINE,
+        "snapshot_diff": oracles.SNAPSHOT_DIFF,
         "render_conversations": oracles.RENDER_CONVERSATIONS,
         "sft_examples": oracles.SFT_EXAMPLES,
         "tool_chains": oracles.TOOL_CHAINS,

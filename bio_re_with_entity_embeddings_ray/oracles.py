@@ -2554,3 +2554,22 @@ __w AS (
 SELECT o_orderkey, price_cents, CAST(d_days AS BIGINT) AS d_days
 FROM __w
 WHERE (strict_min IS NULL OR strict_min > d_days) AND d_days = run_min"""
+
+
+# corpus snapshot CDC (stages/relational.snapshot_diff): new snapshot =
+# documents minus doc_id%7==0 (removed), text suffixed where doc_id%5==0
+# (changed), plus shifted copies of doc_id%11==0 (added); digest
+# equality in the engine == text equality here
+SNAPSHOT_DIFF = """WITH __new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM documents o FULL OUTER JOIN __new n USING (doc_id)
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text"""

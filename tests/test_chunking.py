@@ -105,3 +105,36 @@ def test_skyline_matches_brute_force(ray_session):
         {"o_orderkey": np.array(keep, np.int64), "price_cents": p[keep], "d_days": d[keep]}
     )
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_snapshot_diff_classifies_all_three_statuses(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import relational
+
+    old = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["alpha", "beta", "gamma", "delta"],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            # 2 removed; 3 changed; 5 added; 1 and 4 unchanged
+            "doc_id": [1, 3, 4, 5],
+            "text": ["alpha", "gamma EDIT", "delta", "epsilon"],
+        }
+    )
+    out = (
+        relational.snapshot_diff(
+            rd.from_pandas(old), rd.from_pandas(new), num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {"doc_id": [2, 3, 5], "status": ["removed", "changed", "added"]}
+    ).astype({"doc_id": "int64"})
+    pd.testing.assert_frame_equal(out, exp)
