@@ -2628,42 +2628,48 @@ def snapshot_diff(old_docs, new_docs, num_buckets: int = 64):
     (docs whose text is identical in both snapshots are dropped) — the
     incremental-ingest primitive that turns a full recrawl into a delta.
 
-    Scale shape: each side reduces to (doc_id, md5int8(text)) in a
-    narrow map first, so the full-outer hash exchange ships ~16 B/doc
-    and text never crosses it; classification is a vectorized null/
-    digest compare on the co-partitioned result. Complements
-    :func:`keep_latest` (which compacts a changelog; this derives one)."""
+    Scale shape: each side reduces to (doc_id, md5int8(text), side) in a
+    narrow map first, so the doc_id-keyed exchange ships ~24 B/doc and
+    text never crosses it; the full-outer merge + classification is a
+    C-level ``pd.merge`` per key-complete bucket
+    (:func:`~bio_re_with_entity_embeddings_ray.stages.common.bucketed_group_apply`
+    — whose buckets stay schema-typed when empty, unlike Ray's native
+    ``Dataset.join`` which fails on empty shuffle partitions for tiny or
+    skewed inputs). Complements :func:`keep_latest` (which compacts a
+    changelog; this derives one)."""
     from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
 
-    def dig(col):
+    def dig(side):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"].astype("int64"),
-                    col: md5int8_array(batch["text"].tolist()),
+                    "h": md5int8_array(batch["text"].tolist()),
+                    "side": np.full(len(batch), side, dtype=np.int64),
                 }
             )
 
         return fn
 
-    old_h = old_docs.map_batches(dig("h_old"), batch_format="pandas")
-    new_h = new_docs.map_batches(dig("h_new"), batch_format="pandas")
-    j = hash_join(
-        old_h, new_h, "doc_id", how="outer", num_buckets=num_buckets
+    both = old_docs.map_batches(dig(0), batch_format="pandas").union(
+        new_docs.map_batches(dig(1), batch_format="pandas")
     )
 
-    def classify(batch: pd.DataFrame) -> pd.DataFrame:
-        ho = batch["h_old"]
-        hn = batch["h_new"]
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        o = b.loc[b["side"] == 0, ["doc_id", "h"]]
+        n = b.loc[b["side"] == 1, ["doc_id", "h"]]
+        m = o.merge(n, on="doc_id", how="outer", suffixes=("_old", "_new"))
+        ho, hn = m["h_old"], m["h_new"]
         status = np.where(
             ho.isna(), "added", np.where(hn.isna(), "removed", "changed")
         )
-        keep = ho.isna() | hn.isna() | (ho != hn)
+        keep = (ho.isna() | hn.isna() | (ho != hn)).to_numpy()
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"].astype("int64"),
-                "status": status,
+                "doc_id": m["doc_id"].astype("int64"),
+                "status": pd.Series(status, dtype=object),
             }
-        )[keep.to_numpy()]
+        )[keep]
 
-    return j.map_batches(classify, batch_format="pandas")
+    return bucketed_group_apply(both, "doc_id", per_bucket, num_buckets)

@@ -62,6 +62,9 @@ PATHO_QUERIES = {
     "fuzzy_token_pairs",
     "paragraph_dedup",
     "duplicate_spans", "bigram_nll", "token_counts_regex",
+    # round-3 final session: chunking survives unicode/empty/short docs;
+    # snapshot CDC survives exact-duplicate texts
+    "chunk_docs", "snapshot_diff",
 }
 
 
