@@ -1980,6 +1980,13 @@ def _q_rank_in_group(sf_dir: str):
     return relational.rank_in_group(_events(sf_dir), num_buckets=_NB)
 
 
+def _q_event_paths(sf_dir: str):
+    """Top user journeys: first-3 event-type paths, global top-20."""
+    quiet_ray_data()
+    return relational.event_paths(_events(sf_dir), k=3, top=20,
+                                  num_buckets=_NB)
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Corpus snapshot CDC: documents vs a deterministically perturbed
     second snapshot (removals, text edits, additions; oracle mirrors the
@@ -2042,6 +2049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_in_group": _q_rank_in_group,
         "skyline_orders": _q_skyline,
         "snapshot_diff": _q_snapshot_diff,
+        "event_paths": _q_event_paths,
         "render_conversations": _q_render_conversations,
         "sft_examples": _q_sft_examples,
         "tool_chains": _q_tool_chains,
@@ -2234,6 +2242,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_in_group": oracles.RANK_IN_GROUP,
         "skyline_orders": oracles.SKYLINE,
         "snapshot_diff": oracles.SNAPSHOT_DIFF,
+        "event_paths": oracles.EVENT_PATHS,
         "render_conversations": oracles.RENDER_CONVERSATIONS,
         "sft_examples": oracles.SFT_EXAMPLES,
         "tool_chains": oracles.TOOL_CHAINS,

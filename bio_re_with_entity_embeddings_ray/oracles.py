@@ -2573,3 +2573,20 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM documents o FULL OUTER JOIN __new n USING (doc_id)
 WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text"""
+
+
+# top session-opening event-type paths (stages/relational.event_paths,
+# k=3, top=20): per-user first-3 types joined '>', counted, global top
+EVENT_PATHS = """WITH __e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+__p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM __e WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM __p GROUP BY path
+ORDER BY n DESC, path LIMIT 20"""

@@ -2673,3 +2673,76 @@ def snapshot_diff(old_docs, new_docs, num_buckets: int = 64):
         )[keep]
 
     return bucketed_group_apply(both, "doc_id", per_bucket, num_buckets)
+
+
+def event_paths(events, k: int = 3, top: int = 20, num_buckets: int = 32):
+    """Top user journeys: each user's first ``k`` event types (order
+    (ts, event_id)) joined with '>' into a path, counted across users,
+    global top-``top`` by (count desc, path) — the Sankey / entry-flow
+    query of product analytics.
+
+    Scale shape: narrow projection, one user-keyed exchange; each
+    key-complete bucket emits (path, n) COUNT PARTIALS (bounded by
+    |event_types|^k rows per bucket, not users), which tree-merge to the
+    tiny global top-k. Path assembly is positional-pivot numpy string
+    adds, not per-user Python joins."""
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+        merge_partials,
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "ts": batch["ts"],
+                "event_id": batch["event_id"].astype("int64"),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(
+                {"path": pd.Series([], dtype=object),
+                 "n": np.array([], np.int64)}
+            )
+        b = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = b["user_id"].to_numpy()
+        n = len(b)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = idx[new]
+        pos = idx - np.repeat(starts, np.diff(np.append(starts, n)))
+        b = b[pos < k]
+        pos = pos[pos < k]
+        # positional pivot: one object-array string add per position
+        et = b["event_type"].to_numpy()
+        uu = b["user_id"].to_numpy()
+        users, first_row = np.unique(uu, return_index=True)
+        path = np.full(len(users), "", dtype=object)
+        owner = np.searchsorted(users, uu)
+        for j in range(k):
+            sel = pos == j
+            add = et[sel].astype(object)
+            if j > 0:
+                add = ">" + add
+            path[owner[sel]] = path[owner[sel]] + add
+        out = pd.DataFrame({"path": path})
+        g = out.groupby("path", as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    partials = bucketed_group_apply(ev, "user_id", per_bucket, num_buckets)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("path", as_index=False)["n"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["__negn"] = -b["n"].to_numpy()
+        b = b.sort_values(["__negn", "path"], kind="mergesort").head(top)
+        return b[["path", "n"]].astype({"n": "int64"}).reset_index(drop=True)
+
+    return merge_partials(partials, "path", combine, finalize, plan="tree")

@@ -138,3 +138,42 @@ def test_snapshot_diff_classifies_all_three_statuses(ray_session):
         {"doc_id": [2, 3, 5], "status": ["removed", "changed", "added"]}
     ).astype({"doc_id": "int64"})
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_event_paths_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import relational
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 60, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10000, n), unit="s"),
+            "event_type": rng.choice(["view", "click", "purchase"], n),
+        }
+    )
+    out = (
+        relational.event_paths(rd.from_pandas(df), k=3, top=10, num_buckets=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    s["rn"] = s.groupby("user_id").cumcount()
+    paths = (
+        s[s["rn"] < 3]
+        .groupby("user_id")["event_type"]
+        .agg(">".join)
+        .value_counts()
+        .rename_axis("path")
+        .reset_index(name="n")
+    )
+    paths = paths.sort_values(
+        ["n", "path"], ascending=[False, True], kind="mergesort"
+    ).head(10).reset_index(drop=True).astype({"n": "int64"})
+    pd.testing.assert_frame_equal(out, paths[["path", "n"]])
