@@ -27,6 +27,20 @@ def md5int8_array(values) -> np.ndarray:
     )
 
 
+# SQL equivalent: CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+def md5int15_array(values) -> np.ndarray:
+    """First 15 hex chars of md5 as int64 (60 bits). For EQUALITY checks
+    (e.g. CDC changed-doc detection) where 32 bits gives a ~2^-32 per-key
+    false-negative — non-trivial at billions of docs; 60 bits is ~2^-60
+    while the exchange payload stays 8 B/key."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int(md5(v.encode("utf-8")).hexdigest()[:15], 16) for v in values),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
 def hash_bucket(values, num_buckets: int) -> np.ndarray:
     """Deterministic partition bucket for arbitrary string keys.
 

@@ -1978,18 +1978,29 @@ def json_field_int(ds, col: str, field: str, out_col: str = "v"):
 
     Scale shape: a pure NARROW map, zero exchange. The hot path is Arrow's
     RE2 ``extract_regex`` (one compiled scan per batch, no per-row
-    ``json.loads``) — sound for scalar numeric fields because JSON numbers
-    are unquoted and RE2 anchors on the quoted key; rows missing the field
-    yield null, exactly like SQL ``json_extract``.
+    ``json.loads``) — rows missing the field yield null, like SQL
+    ``json_extract``. Non-integer numbers (``12.5``, ``1e3``) yield null
+    rather than a truncated integer prefix (the greedy digit run is
+    followed by a captured tail char; a ``.``/``e`` tail nulls the row).
+
+    CONTRACT: the blob must be a FLAT object of scalar fields. A regex
+    scan cannot see nesting depth — a key that also appears inside a
+    nested object or inside a string value ('{"a": {"k": 1}}',
+    '{"s": "\\"k\\": 1"}') matches anywhere in the blob and is OUT of
+    contract; use a real JSON parser stage for nested documents.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    pat = '"' + field + '"\\s*:\\s*(?P<v>-?\\d+)'
+    # \d+ is greedy, so tail can only catch a following '.', 'e'/'E'
+    # (fraction/exponent => not an integer) or be empty
+    pat = '"' + field + '"\\s*:\\s*(?P<v>-?\\d+)(?P<tail>[.eE]?)'
 
     def fn(batch: pa.Table) -> pa.Table:
         ex = pc.extract_regex(batch.column(col), pat)
         v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        tail = pc.struct_field(ex, "tail")
+        v = pc.if_else(pc.equal(tail, ""), v, pa.nulls(len(v), pa.int64()))
         cols = [c for c in batch.column_names if c != col]
         out = batch.select(cols) if cols else pa.table({})
         return out.append_column(out_col, v)
@@ -2628,8 +2639,10 @@ def snapshot_diff(old_docs, new_docs, num_buckets: int = 64):
     (docs whose text is identical in both snapshots are dropped) — the
     incremental-ingest primitive that turns a full recrawl into a delta.
 
-    Scale shape: each side reduces to (doc_id, md5int8(text), side) in a
-    narrow map first, so the doc_id-keyed exchange ships ~24 B/doc and
+    Scale shape: each side reduces to (doc_id, md5int15(text), side) in a
+    narrow map first (60-bit digest: a 32-bit one silently classifies a
+    changed doc as unchanged with ~2^-32 per-doc odds — real at billions
+    of docs), so the doc_id-keyed exchange ships ~24 B/doc and
     text never crosses it; the full-outer merge + classification is a
     C-level ``pd.merge`` per key-complete bucket
     (:func:`~bio_re_with_entity_embeddings_ray.stages.common.bucketed_group_apply`
@@ -2637,7 +2650,7 @@ def snapshot_diff(old_docs, new_docs, num_buckets: int = 64):
     ``Dataset.join`` which fails on empty shuffle partitions for tiny or
     skewed inputs). Complements :func:`keep_latest` (which compacts a
     changelog; this derives one)."""
-    from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+    from bio_re_with_entity_embeddings_ray.functions.textfns import md5int15_array
     from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
 
     def dig(side):
@@ -2645,7 +2658,7 @@ def snapshot_diff(old_docs, new_docs, num_buckets: int = 64):
             return pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"].astype("int64"),
-                    "h": md5int8_array(batch["text"].tolist()),
+                    "h": md5int15_array(batch["text"].tolist()),
                     "side": np.full(len(batch), side, dtype=np.int64),
                 }
             )

@@ -1070,8 +1070,22 @@ def bpe_pair_counts(docs, k: int = 20, num_buckets: int = 16):
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby(["w1", "w2"], as_index=False)["n"].sum()
 
-    def finalize(combined: pd.DataFrame) -> pd.DataFrame:
+    def bucket_topk(combined: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket-SAFE partial for a global top-k: each hash bucket
+        # holds the COMPLETE count for every key it owns, so its local
+        # top-k is a superset-contributing candidate set; the global
+        # top-k over <= k*num_buckets candidate rows runs in one final
+        # single-block pass below (fixes the plan='auto' shuffle path,
+        # which used to emit k rows PER bucket with duplicate ranks)
         b = combined.sort_values(
+            ["n", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+        b = b.reset_index(drop=True)
+        b["n"] = b["n"].astype("int64")
+        return b
+
+    def global_final(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(
             ["n", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
         ).head(k)
         b = b.reset_index(drop=True)
@@ -1080,7 +1094,11 @@ def bpe_pair_counts(docs, k: int = 20, num_buckets: int = 16):
         return b
 
     partials = docs.map_batches(partial, batch_format="pandas")
-    return merge_partials(partials, ["w1", "w2"], combine, finalize, num_buckets)
+    cand = merge_partials(partials, ["w1", "w2"], combine, bucket_topk, num_buckets)
+    # <= k rows per bucket regardless of plan; one tiny final block
+    return cand.repartition(1).map_batches(
+        global_final, batch_format="pandas", batch_size=None
+    )
 
 
 def doc_entropy(docs):
