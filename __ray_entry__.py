@@ -1539,6 +1539,45 @@ def _q_sessionize(sf_dir: str):
     return relational.sessionize(ev)
 
 
+def _q_ontology_paths(sf_dir: str):
+    """Transitive root-to-term ancestor paths over an is_a DAG (reference
+    append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
+    iterative broadcast closure over the ontology dimension table. The
+    DAG derives from nation: binary-tree parent (id-1)//2 plus a second
+    parent id-2 for every third node (diamonds; id=3 gets the SAME
+    parent twice — duplicate chains preserved, like the reference's list
+    concatenation). Recursive-CTE oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.sources.obo import (
+        ontology_parent_paths,
+    )
+
+    quiet_ray_data()
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        doids, parents = [], []
+        for i in batch["n_nationkey"].to_pylist():
+            i = int(i)
+            ps = []
+            if i > 0:
+                ps.append(f"DOID:{(i - 1) // 2}")
+            if i % 3 == 0 and i > 2:
+                ps.append(f"DOID:{i - 2}")
+            doids.append(f"DOID:{i}")
+            parents.append(ps)
+        return pa.table(
+            {
+                "doid": pa.array(doids, pa.string()),
+                "parent_ids": pa.array(parents, pa.list_(pa.string())),
+            }
+        )
+
+    return ontology_parent_paths(nat.map_batches(mk, batch_format="pyarrow"))
+
+
 # ------------------------- model scoring (oracle-checked via bp projection)
 
 
@@ -2046,6 +2085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (graph, generic joins, safety, ordered/packing, sketches, ...).
         # All 62 lead entries verified green locally via
         # tools/check_oracles.py at sf0.01 before this reorder. ---
+        "ontology_paths": _q_ontology_paths,
         "learned_embeddings": _q_learned_embeddings,
         "scored_triples": _q_scored_triples,
         "classified_triples": _q_classified_triples,
@@ -2399,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oracles.SESSIONIZE,
         # model training/scoring: checked through integer micro-unit
         # (bp) projections — see oracles.py "model scoring oracles"
+        "ontology_paths": oracles.ONTOLOGY_PATHS,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

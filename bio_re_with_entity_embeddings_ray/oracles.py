@@ -2590,3 +2590,25 @@ __p AS (
 SELECT path, CAST(count(*) AS BIGINT) AS n
 FROM __p GROUP BY path
 ORDER BY n DESC, path LIMIT 20"""
+
+
+# DOID-style ancestor paths (sources/obo.ontology_parent_paths; reference
+# append_paths/get_parent_paths, data/disease_ontology.py:227-270): a
+# synthetic is_a DAG over the nation dimension — binary-tree edges plus a
+# second parent for every third node (diamonds AND a duplicate-edge case
+# at id=3, where both rules yield parent 1 — duplicates preserved on both
+# sides). Chains build top-down; a non-root's chain IS its full path.
+ONTOLOGY_PATHS = """WITH RECURSIVE
+__nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+__edges AS (
+  SELECT id AS child, (id - 1) // 2 AS parent FROM __nodes WHERE id > 0
+  UNION ALL
+  SELECT id, id - 2 FROM __nodes WHERE id % 3 = 0 AND id > 2
+),
+__chains(node, path) AS (
+  SELECT id, 'DOID:' || id || '#' FROM __nodes WHERE id = 0
+  UNION ALL
+  SELECT e.child, c.path || '>DOID:' || e.child || '#'
+  FROM __chains c JOIN __edges e ON e.parent = c.node
+)
+SELECT 'DOID:' || node AS doid, path FROM __chains WHERE node <> 0"""

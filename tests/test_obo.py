@@ -65,3 +65,74 @@ def test_feeds_disease_normalizer():
     mesh_map = {m: d for m, ds in obo.mesh_to_doid(tbl).items() for d in ds}
     fn = normalize.make_normalize_disease(mesh_map)
     assert fn("MESH:D003141") == ["DOID:50117"]
+
+
+def _ref_parent_paths(terms: dict[str, list[str]]) -> list[tuple[str, str]]:
+    """Single-process reimplementation of the reference's
+    append_paths/get_parent_paths/get_paths recursion
+    (data/disease_ontology.py:68-81,227-270) for oracle comparison."""
+
+    def get_parent_paths(doid: str) -> list[list[str]]:
+        if doid not in terms:
+            return [[]]
+        parents = terms[doid]
+        if not parents:
+            return [[doid + "#"]]
+        return [
+            path + [doid + "#"]
+            for p in parents
+            for path in get_parent_paths(p)
+        ]
+
+    out = []
+    for doid, parents in terms.items():
+        if not parents:
+            continue  # append_paths: None parents -> "[]" -> get_paths {}
+        for p in parents:
+            for chain in get_parent_paths(p):
+                out.append((doid, ">".join(chain) + ">" + doid + "#"))
+    return sorted(out)
+
+
+def _paths_table(terms: dict[str, list[str]]):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doid": pa.array(list(terms), pa.string()),
+            "parent_ids": pa.array(list(terms.values()), pa.list_(pa.string())),
+        }
+    )
+
+
+def test_parent_paths_diamond_duplicates_and_unknowns(ray_session):
+    # diamond (D via B and C), duplicate parent edge (E lists B twice),
+    # unknown direct parent (F -> GHOST), root-parent chains
+    terms = {
+        "A": [],
+        "B": ["A"],
+        "C": ["A"],
+        "D": ["B", "C"],
+        "E": ["B", "B"],
+        "F": ["GHOST"],
+        "G": ["D"],
+    }
+    got = sorted(
+        (r["doid"], r["path"])
+        for r in obo.ontology_parent_paths(_paths_table(terms)).take_all()
+    )
+    assert got == _ref_parent_paths(terms)
+    # reference-literal spot checks
+    assert ("D", "A#>B#>D#") in got and ("D", "A#>C#>D#") in got
+    assert got.count(("E", "A#>B#>E#")) == 2  # duplicates preserved
+    assert ("F", ">F#") in got  # missing direct parent: leading '>'
+    assert not any(d == "A" for d, _ in got)  # roots emit nothing
+    assert ("G", "A#>B#>D#>G#") in got and ("G", "A#>C#>D#>G#") in got
+
+
+def test_parent_paths_cycle_raises(ray_session):
+    import pytest
+
+    terms = {"A": ["B"], "B": ["A"], "C": []}
+    with pytest.raises(ValueError, match="cycle"):
+        obo.ontology_parent_paths(_paths_table(terms)).take_all()
