@@ -142,11 +142,12 @@ def cooccurrence_graph(
     return und.map_batches(flip, batch_format="pandas")
 
 
-def degree_table(edges, src: str = "src", dst: str = "dst",
-                 num_buckets: int = 16) -> pd.DataFrame:
-    """(node, deg) out-degree over a distinct directed edge list, plus
-    zero-degree rows for nodes appearing only as ``dst``. One combiner
-    pass over the edges; the merged result is node-vocabulary bounded."""
+def degree_ds(edges, src: str = "src", dst: str = "dst",
+              num_buckets: int = 16):
+    """(node, deg) out-degree over a distinct directed edge list as a
+    DATASET (no driver materialization), plus zero-degree rows for nodes
+    appearing only as ``dst``. One combiner pass over the edges; the
+    merged result is node-vocabulary bounded."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         out_deg = batch[src].value_counts()
@@ -168,14 +169,82 @@ def degree_table(edges, src: str = "src", dst: str = "dst",
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("node", as_index=False, sort=False)["deg"].sum()
 
-    merged = merge_partials(
+    return merge_partials(
         edges.map_batches(partial, batch_format="pandas"),
         "node",
         combine,
         lambda b: b,
         num_buckets,
     )
-    return merged.to_pandas()
+
+
+def degree_table(edges, src: str = "src", dst: str = "dst",
+                 num_buckets: int = 16) -> pd.DataFrame:
+    """Driver-side pandas view of :func:`degree_ds` (node-bounded)."""
+    return degree_ds(edges, src, dst, num_buckets).to_pandas()
+
+
+def _filter_edges_by_nodes(
+    edges,
+    keep,
+    src: str,
+    dst: str,
+    plan: str = "auto",
+    num_buckets: int = 16,
+    broadcast_max_nodes: int = 5_000_000,
+):
+    """Keep edges whose BOTH endpoints appear in the ``keep`` dataset's
+    ``node`` column — the per-round peel filter of :func:`kcore`, with
+    the measured broadcast-vs-hash crossover discipline of
+    :func:`~bio_re_with_entity_embeddings_ray.stages.relational.key_semi_anti_join`:
+
+    - ``broadcast`` (node count <= ``broadcast_max_nodes``): the keep set
+      crosses the wire ONCE as a compact Arrow array (``ray.put``,
+      zero-copy deserialization per worker — never a Python set at
+      ~50 B/entry), and one fused Arrow pass filters both endpoints.
+    - ``hash``: two chained endpoint semi-joins; the edge list crosses
+      two exchanges, nothing node-bounded ever sits on the driver — the
+      plan for billion-node graphs where even an array broadcast is too
+      big.
+    - ``auto``: count the keep side (measured, not guessed) and pick.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    if plan == "auto":
+        keep = keep.materialize()
+        plan = "broadcast" if keep.count() <= broadcast_max_nodes else "hash"
+    if plan == "broadcast":
+        kdf = keep.to_pandas()
+        vals = kdf["node"].unique() if "node" in kdf.columns else []
+        ref = ray.put(pa.array(vals))
+
+        def efilter(batch: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            if len(ks) == 0:
+                return batch.slice(0, 0)
+            m = pc.and_(
+                pc.is_in(batch[src], value_set=ks),
+                pc.is_in(batch[dst], value_set=ks),
+            )
+            return batch.filter(m)
+
+        return edges.map_batches(efilter, batch_format="pyarrow", batch_size=None)
+    if plan != "hash":
+        raise ValueError(f"unknown node-filter plan {plan!r}")
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        key_semi_anti_join,
+    )
+
+    half = key_semi_anti_join(
+        edges, keep, src, keys_key_col="node", plan="hash",
+        num_buckets=num_buckets, other_cols={dst: ""},
+    )
+    return key_semi_anti_join(
+        half, keep, dst, keys_key_col="node", plan="hash",
+        num_buckets=num_buckets, other_cols={src: ""},
+    )
 
 
 def pagerank(
@@ -641,6 +710,8 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     num_buckets: int = 16,
+    plan: str = "auto",
+    broadcast_max_nodes: int = 5_000_000,
 ):
     """Fixed-round k-core peeling over a symmetric distinct edge list:
     each round drops nodes of degree < k and the edges touching them
@@ -652,25 +723,24 @@ def kcore(
     survivors with their residual degree.
 
     Scale shape per round: one combiner degree pass (node-bounded
-    result), keep-set broadcast via ``ray.put``, one narrow edge filter
-    — the edges never shuffle; total cost is ``rounds`` streaming passes
-    over a monotonically shrinking edge list.
+    DATASET — never parked on the driver), then the measured
+    :func:`_filter_edges_by_nodes` plan: keep-set broadcast as ONE
+    compact Arrow array while it fits (<= ``broadcast_max_nodes``), else
+    two chained hash semi-joins of the edge list against the survivors —
+    so the 100x story never depends on a Python-set broadcast. The edge
+    list shrinks monotonically; ``plan``/"auto" re-measures per round.
     """
-    import ray
-
     cur = edges.materialize()  # re-read every round; pin the input once
-    deg_df = None
     for _ in range(rounds):
-        deg_df = degree_table(cur, src, dst, num_buckets)
-        keep = set(deg_df.loc[deg_df["deg"] >= k, "node"].tolist())
-        kref = ray.put(keep)
+        deg = degree_ds(cur, src, dst, num_buckets)
 
-        def efilter(batch: pd.DataFrame) -> pd.DataFrame:
-            ks = ray.get(kref)
-            m = batch[src].isin(ks).to_numpy() & batch[dst].isin(ks).to_numpy()
-            return batch[m]
+        def survivors(b: pd.DataFrame) -> pd.DataFrame:
+            return b.loc[b["deg"] >= k, ["node"]]
 
-        cur = cur.map_batches(efilter, batch_format="pandas").materialize()
+        keep = deg.map_batches(survivors, batch_format="pandas")
+        cur = _filter_edges_by_nodes(
+            cur, keep, src, dst, plan, num_buckets, broadcast_max_nodes
+        ).materialize()
     deg_df = degree_table(cur, src, dst, num_buckets)
     out = deg_df[deg_df["deg"] >= k].sort_values("node").reset_index(drop=True)
     out["deg"] = out["deg"].astype("int64")
@@ -688,49 +758,62 @@ def reachable_k(edges, seed_prefix: str = "TOOL:", k: int = 2,
     Scale shape (same node-bounded contract as :func:`kcore` /
     :func:`pagerank`): the edge list is pinned once and NEVER shuffles;
     each of the <= ``k`` rounds is one streaming semi-join pass with the
-    current frontier broadcast via ``ray.put`` (frontier and result are
-    node-bounded), emitting per-block distinct successor nodes. BFS
-    first-discovery depth IS the minimum distance, so no min-merge is
-    needed. Returns a pandas (node, dist) frame sorted by node.
+    current frontier broadcast ONCE as a compact Arrow array (``ray.put``
+    + zero-copy per-worker get + ``pc.is_in`` — never a Python set at
+    ~50 B/entry), emitting per-block distinct successor nodes. Driver
+    state is two flat node-bounded arrays (reached nodes + dists),
+    deduplicated with C-level ``pd.Index.difference`` — no per-node
+    Python dict/set ops. BFS first-discovery depth IS the minimum
+    distance, so no min-merge is needed. Returns a pandas (node, dist)
+    frame sorted by node.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray
 
     cur = edges.materialize()  # k passes over the same edge working set
 
-    def seed_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        u = batch[src].unique()
-        return pd.DataFrame(
-            {"node": [n for n in u if str(n).startswith(seed_prefix)]}
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch[src])
+        return pa.table(
+            {"node": u.filter(pc.starts_with(pc.cast(u, pa.string()),
+                                             seed_prefix))}
         )
 
-    def _nodes(ds) -> "np.ndarray":
+    def _nodes(ds) -> np.ndarray:
         df = ds.to_pandas()
         if "node" not in df.columns:  # fully-empty output loses the schema
             return np.array([], dtype=object)
         return df["node"].unique()
 
-    seeds = _nodes(cur.map_batches(seed_partial, batch_format="pandas"))
-    reached: dict = {n: 0 for n in seeds}
-    frontier = set(seeds)
+    seeds = _nodes(cur.map_batches(seed_partial, batch_format="pyarrow"))
+    reached_nodes = seeds.astype(object)
+    reached_dist = np.zeros(len(seeds), dtype=np.int64)
+    frontier = seeds
     for d in range(1, k + 1):
-        if not frontier:
+        if not len(frontier):
             break
-        fref = ray.put(frontier)
+        fref = ray.put(pa.array(frontier))
 
-        def step(batch: pd.DataFrame, _f=fref) -> pd.DataFrame:
+        def step(batch: pa.Table, _f=fref) -> pa.Table:
             fs = ray.get(_f)
-            m = batch[batch[src].isin(fs)]
-            return pd.DataFrame({"node": m[dst].unique()})
+            m = pc.is_in(batch[src], value_set=fs)
+            return pa.table({"node": pc.unique(batch.filter(m)[dst])})
 
-        nxt = _nodes(cur.map_batches(step, batch_format="pandas"))
-        frontier = {n for n in nxt if n not in reached}
-        for n in frontier:
-            reached[n] = d
-    out = pd.DataFrame(
-        sorted(reached.items()), columns=["node", "dist"]
+        nxt = _nodes(cur.map_batches(step, batch_format="pyarrow"))
+        frontier = (
+            pd.Index(nxt).difference(pd.Index(reached_nodes)).to_numpy()
+        )
+        reached_nodes = np.concatenate([reached_nodes, frontier])
+        reached_dist = np.concatenate(
+            [reached_dist, np.full(len(frontier), d, dtype=np.int64)]
+        )
+    out = (
+        pd.DataFrame({"node": reached_nodes.astype(str),
+                      "dist": reached_dist})
+        .sort_values("node")
+        .reset_index(drop=True)
     )
-    out["dist"] = out["dist"].astype("int64")
-    out["node"] = out["node"].astype(str)
     return out
 
 

@@ -397,3 +397,26 @@ def test_reachable_k_no_seeds(ray_session):
     )
     out = graph.reachable_k(edges, "TOOL:", k=2)
     assert len(out) == 0
+
+
+def test_kcore_hash_plan_equals_broadcast(ray_session):
+    """The two _filter_edges_by_nodes physical plans (compact-array
+    broadcast vs chained hash semi-joins) must agree — the measured
+    crossover is a plan choice, never a semantics choice."""
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7), (4, 5)]
+    rows = []
+    for a, b in und:
+        rows.append({"src": f"n{a}", "dst": f"n{b}"})
+        rows.append({"src": f"n{b}", "dst": f"n{a}"})
+    df = pd.DataFrame(rows)
+    bc = graph.kcore(
+        ray.data.from_pandas(df), k=2, rounds=3, num_buckets=3, plan="broadcast"
+    )
+    hs = graph.kcore(
+        ray.data.from_pandas(df), k=2, rounds=3, num_buckets=3, plan="hash"
+    )
+    pd.testing.assert_frame_equal(bc, hs)
