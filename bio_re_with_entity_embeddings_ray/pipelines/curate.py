@@ -29,19 +29,23 @@ def quality_filter(docs, min_tokens: int = 5, min_distinct_bp: int = 3000):
     """documents(doc_id, text) -> (doc_id, text, n_tokens) rows passing the
     length + distinct-token-ratio heuristics (narrow per-batch map; the
     shared front stage of curate / curate_neardup). Token statistics come
-    from the flattened-factorize kernel (textstats.token_quality_arrays) —
-    no per-row Python in this hottest full-corpus map."""
+    from the flattened-factorize kernel (textstats.token_quality_arrays),
+    fed the ARROW text column directly (round-4 memcpy push: the pandas
+    variant paid an object-string materialization of every document on
+    the hottest full-corpus map just to convert back)."""
+    import pyarrow as pa
 
-    def score_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
+    def score_and_filter(batch: pa.Table) -> pa.Table:
         n_tok, n_distinct, _ = token_quality_arrays(batch["text"])
         keep = (n_tok >= min_tokens) & (
             10000 * n_distinct // n_tok >= min_distinct_bp
         )
-        out = batch.loc[keep, ["doc_id", "text"]].copy()
-        out["n_tokens"] = n_tok[keep]
-        return out
+        out = batch.select(["doc_id", "text"]).append_column(
+            "n_tokens", pa.array(n_tok, pa.int64())
+        )
+        return out.filter(pa.array(keep))
 
-    return docs.map_batches(score_and_filter, batch_format="pandas", batch_size=None)
+    return docs.map_batches(score_and_filter, batch_format="pyarrow", batch_size=None)
 
 
 CACHE_MAX_BYTES = 4 << 30  # cache the filtered stream below this input size

@@ -37,10 +37,15 @@ def _role_of(turn_idx: int) -> str:
 def derive_batch(batch: pa.Table) -> pa.Table:
     """documents(doc_id, text) -> transcripts rows. Pure, deterministic.
 
-    Vectorized: a turn's text is a character-range slice of the (single-
-    space-separated) document text, so all boundaries are numpy cumsums
-    over token lengths — the only per-row Python is the final substring
-    slice per TURN (not per token)."""
+    Fully Arrow-native (round-4 memcpy push: this is the single hottest
+    full-corpus stage, and the round-3 version materialized every doc AND
+    every turn as a Python string): turns exactly TILE the token stream
+    produced by ``split_pattern``, so a turn's text is
+    ``binary_join`` over a re-offsetted ``LargeListArray`` view of the
+    same token values buffer — zero Python string objects, zero
+    per-token copies. Matches the oracle's ``string_agg(w, ' ')``
+    literally (the engine contract is single-space-separated document
+    text, same as the round-3 char-slice arithmetic assumed)."""
     import pyarrow.compute as pc
 
     batch = batch.replace_schema_metadata(None)
@@ -56,46 +61,43 @@ def derive_batch(batch: pa.Table) -> pa.Table:
             }
         )
     doc_ids = batch["doc_id"].to_numpy()
-    texts = batch["text"].to_pylist()
     tok = pc.split_pattern(batch["text"], " ")
     la = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok
     offs = la.offsets.to_numpy().astype(np.int64)  # ndocs+1 token offsets
-    lens = pc.utf8_length(la.values).to_numpy().astype(np.int64)
     ndocs = len(doc_ids)
     ntok = int(offs[-1])
     n_per_doc = np.diff(offs)
     doc_idx = np.repeat(np.arange(ndocs), n_per_doc)
     pos = np.arange(ntok, dtype=np.int64) - offs[:-1][doc_idx]
 
-    # char offset of each token within its doc
-    cs = np.zeros(ntok + 1, dtype=np.int64)
-    np.cumsum(lens + 1, out=cs[1:])
-    tok_start = cs[:-1] - cs[offs[:-1]][doc_idx]
-    tok_end = tok_start + lens
-
     first = np.flatnonzero(pos % TURN_WORDS == 0)  # first token of each turn
-    last = np.append(first[1:] - 1, ntok - 1)
     t_doc = doc_idx[first]
     t_idx = (pos[first] // TURN_WORDS).astype(np.int32)
-    t_start = tok_start[first]
-    t_end = tok_end[last]
-    text_out = [texts[d][s:e] for d, s, e in zip(t_doc, t_start, t_end)]
+
+    # turn boundaries tile [0, ntok): a LargeListArray view over the SAME
+    # token values buffer, then one C-level join per turn
+    turn_offs = pa.array(np.append(first, ntok), pa.int64())
+    turns = pa.LargeListArray.from_arrays(turn_offs, la.values)
+    text_arr = pc.binary_join(turns, " ")
 
     mod4 = t_idx % 4
-    roles = np.where(mod4 == 3, "tool", np.where(t_idx % 2 == 0, "user", "assistant"))
-    first_len = lens[first]
-    tool_out: list[str | None] = [None] * len(t_idx)
-    for j in np.flatnonzero(mod4 == 3):
-        tool_out[j] = texts[t_doc[j]][t_start[j] : t_start[j] + first_len[j]]
+    # turn_idx%4 -> role; %4==3 is tool, else even=user / odd=assistant
+    roles = pa.array(["user", "assistant", "user", "tool"], pa.string()).take(
+        pa.array(mod4.astype(np.int64))
+    )
+    first_tok = la.values.take(pa.array(first))
+    tool_arr = pc.if_else(
+        pa.array(mod4 == 3), first_tok, pa.nulls(len(first), pa.string())
+    )
     ts_us = (doc_ids[t_doc] * _TS_BASE_STRIDE + t_idx) * 1_000_000
 
     return pa.table(
         {
             "conv_id": pc.cast(pa.array(doc_ids[t_doc]), pa.string()),
             "turn_idx": pa.array(t_idx, pa.int32()),
-            "role": pa.array(roles, pa.string()),
-            "text": pa.array(text_out, pa.string()),
-            "tool": pa.array(tool_out, pa.string()),
+            "role": roles,
+            "text": text_arr,
+            "tool": tool_arr,
             "ts": pa.array(ts_us, pa.timestamp("us")),
         }
     )

@@ -42,7 +42,12 @@ def _flat_token_codes(texts):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.array(texts, type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(texts, type=pa.string())
     lists = pc.split_pattern(arr, " ")
     n_tok = pc.list_value_length(lists).to_numpy().astype(np.int64)
     row_idx = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
