@@ -1539,6 +1539,19 @@ def _q_sessionize(sf_dir: str):
     return relational.sessionize(ev)
 
 
+def _q_image_features(sf_dir: str):
+    """Real-PNG decode feature extraction (actor-pool ImageFeaturizer):
+    the engine parses/inflates/unfilters actual PNG containers; the
+    oracle recomputes features from the generating pixel formula."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.multimodal import image_features
+
+    quiet_ray_data()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return image_features(docs)
+
+
 def _q_ontology_paths(sf_dir: str):
     """Transitive root-to-term ancestor paths over an is_a DAG (reference
     append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
@@ -2086,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # All 62 lead entries verified green locally via
         # tools/check_oracles.py at sf0.01 before this reorder. ---
         "ontology_paths": _q_ontology_paths,
+        "image_features": _q_image_features,
         "learned_embeddings": _q_learned_embeddings,
         "scored_triples": _q_scored_triples,
         "classified_triples": _q_classified_triples,
@@ -2440,6 +2454,7 @@ def oracle_sql() -> dict[str, str]:
         # model training/scoring: checked through integer micro-unit
         # (bp) projections — see oracles.py "model scoring oracles"
         "ontology_paths": oracles.ONTOLOGY_PATHS,
+        "image_features": oracles.IMAGE_FEATURES,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

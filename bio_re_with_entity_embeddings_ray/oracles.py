@@ -2612,3 +2612,27 @@ __chains(node, path) AS (
   FROM __chains c JOIN __edges e ON e.parent = c.node
 )
 SELECT 'DOID:' || node AS doid, path FROM __chains WHERE node <> 0"""
+
+
+# real-PNG image features (stages/multimodal.image_features): the engine
+# parses/inflates/unfilters actual PNG bytes built by attach_images; the
+# oracle recomputes the same features from the generating pixel formula
+# (w = 4 + id%5, h = 3 + id%4, v[j] = (id*7 + j*11) % 256) — the
+# attach_audio/AUDIO_FEATURES discipline for the image container.
+IMAGE_FEATURES = """WITH __p AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+),
+__v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 7 + unnest(range(0, w * h * 3)) * 11) % 256 AS v
+  FROM __p
+),
+__a AS (
+  SELECT doc_id, any_value(w) AS w, any_value(h) AS h, SUM(v) AS s
+  FROM __v GROUP BY doc_id
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels, CAST(s AS BIGINT) AS sum_rgb,
+       CAST(1000 * s // (w * h * 3) AS BIGINT) AS mean_milli
+FROM __a"""

@@ -142,7 +142,13 @@ class MediaFeaturizer:
 
                 self.decode = _pil_decode
             except ImportError:
-                self.decode = decode_ppm  # built-in no-dependency codec
+                # built-in no-dependency codecs (PPM + stdlib-zlib PNG)
+                def _builtin_decode(payload: bytes):
+                    if _is_ppm(payload):
+                        return decode_ppm(payload)
+                    return decode_png(payload)
+
+                self.decode = _builtin_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -152,7 +158,7 @@ class MediaFeaturizer:
         h = batch["height"].to_numpy().astype(np.int64).copy()
         if self.decode is not None:
             for i, payload in enumerate(batch["payload"].to_pylist()):
-                if _is_ppm(payload):
+                if _is_ppm(payload) or _is_png(payload):
                     dw, dh, _ = self.decode(payload)
                     w[i], h[i] = dw, dh
         return pa.table(
@@ -441,6 +447,200 @@ def featurize_audio(audio, concurrency: int = 4):
     """audio -> features via an AudioFeaturizer actor pool."""
     return audio.map_batches(
         AudioFeaturizer,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+
+
+# ------------------------------------------------------------------ PNG codec
+# Pure-stdlib (zlib) RGB8 PNG: the real image container next to the PPM
+# teaching codec — gives the image path the same "actual bytes parsed"
+# status as the audio family's RIFF/WAV codec (round-3 review item). The
+# decoder handles all five PNG scanline filters, so it reads PNGs from
+# real adaptive-filter encoders, not just its own output.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """H x W x 3 uint8 pixels -> 8-bit truecolor PNG bytes (filter 0
+    scanlines, one zlib-deflated IDAT)."""
+    import struct
+    import zlib
+
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError(f"encode_png expects HxWx3 uint8, got {rgb.shape}")
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8, no interlace
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rgb.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(flt: int, line: np.ndarray, prior: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct one scanline (int32 in, uint8 out). None/Up are vector
+    adds, Sub is a per-channel cumsum mod 256; Average/Paeth depend on the
+    reconstructed left neighbor and run a per-pixel loop (they only occur
+    in externally-encoded PNGs — our encoder writes filter 0)."""
+    n = len(line)
+    if flt == 0:
+        return line.astype(np.uint8)
+    if flt == 2:
+        return ((line + prior) % 256).astype(np.uint8)
+    if flt == 1:
+        out = line.reshape(-1, bpp)
+        return (np.cumsum(out, axis=0, dtype=np.int64) % 256).astype(
+            np.uint8
+        ).reshape(n)
+    out = np.zeros(n, dtype=np.int64)
+    if flt == 3:
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            out[i] = (line[i] + (left + prior[i]) // 2) % 256
+        return out.astype(np.uint8)
+    if flt == 4:
+        for i in range(n):
+            a = out[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+            out[i] = (line[i] + pred) % 256
+        return out.astype(np.uint8)
+    raise ValueError(f"unknown PNG filter {flt}")
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG bytes -> (width, height, H x W x 3 uint8). Supports 8-bit
+    truecolor (color type 2), no interlace, multi-IDAT, all five scanline
+    filters; anything else (palette, alpha, 16-bit, truncation) raises."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    h = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"only 8-bit truecolor non-interlaced PNG supported "
+                    f"(depth={depth}, color={ctype}, interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * 3 + 1
+    if len(raw) != h * stride:
+        raise ValueError("PNG raster size mismatch")
+    raw = raw.reshape(h, stride).astype(np.int32)
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    prior = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        rec = _png_unfilter(int(raw[y, 0]), raw[y, 1:].astype(np.int64), prior, 3)
+        out[y] = rec
+        prior = rec.astype(np.int64)
+    return w, h, out.reshape(h, w, 3)
+
+
+def _is_png(payload: bytes) -> bool:
+    return payload[: len(_PNG_SIG)] == _PNG_SIG
+
+
+def attach_images(docs) -> "object":
+    """documents(doc_id, ...) -> images(doc_id, payload) with REAL PNG
+    bytes. Deterministic synthetic RGB (mirrored arithmetically by the
+    SQL oracle, which cannot inflate a PNG): ``w = 4 + doc_id % 5``,
+    ``h = 3 + doc_id % 4``, flat pixel value
+    ``v[j] = (doc_id * 7 + j * 11) % 256`` over j in [0, w*h*3). The
+    oracle recomputes features from the formula while the ENGINE only
+    sees the encoded container — the comparison validates the actual
+    chunk parse + inflate + unfilter end to end (the audio family's
+    attach_audio discipline)."""
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        payloads = []
+        for did in ids:
+            did = int(did)
+            w, h = 4 + did % 5, 3 + did % 4
+            j = np.arange(w * h * 3, dtype=np.int64)
+            rgb = ((did * 7 + j * 11) % 256).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(encode_png(rgb))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(build, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+
+
+class ImageFeaturizer:
+    """Actor-pool stage: images(doc_id, payload) -> per-image feature row
+    (width, height, n_pixels, sum_rgb, mean_milli) from the DECODED
+    pixels. ``mean_milli = 1000 * sum_rgb // (w*h*3)`` — exact int64, so
+    the SQL oracle agrees without float ordering concerns."""
+
+    def __init__(self):
+        self.decode = decode_png  # the once-per-actor codec load seam
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("width", "height", "n_pixels", "sum_rgb",
+                               "mean_milli")}
+        for payload in batch["payload"].to_pylist():
+            w, h, rgb = self.decode(payload)
+            s = int(rgb.astype(np.int64).sum())
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pixels"].append(w * h)
+            out["sum_rgb"].append(s)
+            out["mean_milli"].append(1000 * s // (w * h * 3))
+        cols = {"doc_id": batch["doc_id"]}
+        cols.update({k: pa.array(v, pa.int64()) for k, v in out.items()})
+        return pa.table(cols)
+
+
+def image_features(docs, concurrency: int = 4):
+    """documents -> attach_images -> ImageFeaturizer actor pool."""
+    return attach_images(docs).map_batches(
+        ImageFeaturizer,
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,

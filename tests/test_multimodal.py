@@ -191,3 +191,89 @@ def test_audio_features_from_decoded_samples(ray_session):
         assert row["duration_ms"] == n * 1000 // sr
         assert row["peak"] == np.abs(x).max()
         assert row["rms_milli"] == int(np.floor(np.sqrt((x * x).sum() / n) * 1000))
+
+
+def test_png_roundtrip_and_filters():
+    """Roundtrip our encoder, then hand-filter scanlines with every PNG
+    filter type (Sub/Up/Average/Paeth) and check the decoder reconstructs
+    the same pixels — the decoder must read real adaptive-filter PNGs,
+    not just its own filter-0 output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert mm.decode_png(mm.encode_png(rgb))[2].tolist() == rgb.tolist()
+
+    # hand-build a PNG whose rows use filters 1..4 (+0 for row 0)
+    h, w = rgb.shape[:2]
+    bpp, filters = 3, [0, 1, 2, 3, 4, 0][:h]
+    lines = []
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for y, flt in enumerate(filters):
+        cur = rgb[y].reshape(-1).astype(np.int64)
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+        pleft = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]])
+        if flt == 0:
+            f = cur
+        elif flt == 1:
+            f = cur - left
+        elif flt == 2:
+            f = cur - prior
+        elif flt == 3:
+            f = cur - (left + prior) // 2
+        else:
+            p = left + prior - pleft
+            pa_, pb, pc_ = abs(p - left), abs(p - prior), abs(p - pleft)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prior, pleft)
+            )
+            f = cur - pred
+        lines.append(bytes([flt]) + (f % 256).astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    dw, dh, got = mm.decode_png(payload)
+    assert (dw, dh) == (w, h)
+    assert got.tolist() == rgb.tolist()
+
+
+def test_png_rejects_bad_payloads():
+    import numpy as np
+    import pytest
+
+    from bio_re_with_entity_embeddings_ray.stages import multimodal as mm
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"JUNK")
+    good = mm.encode_png(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(ValueError):
+        mm.decode_png(good[:30])  # truncated chunk
+
+
+def test_image_features_formula(ray_session):
+    """Engine decodes the real PNG container; expected values recomputed
+    from the attach_images pixel formula (the oracle's view)."""
+    import numpy as np
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import multimodal as mm
+
+    docs = rd.from_items([{"doc_id": i} for i in range(12)])
+    got = {r["doc_id"]: r for r in mm.image_features(docs, concurrency=2).take_all()}
+    for did in range(12):
+        w, h = 4 + did % 5, 3 + did % 4
+        j = np.arange(w * h * 3, dtype=np.int64)
+        s = int(((did * 7 + j * 11) % 256).sum())
+        r = got[did]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["sum_rgb"] == s and r["mean_milli"] == 1000 * s // (w * h * 3)
