@@ -1552,6 +1552,37 @@ def _q_image_features(sf_dir: str):
     return image_features(docs)
 
 
+def _q_minhash_verified(sf_dir: str):
+    """LSH candidates + exact shingle-Jaccard verification (the
+    production near-dup chain: LSH recall, exact precision)."""
+    quiet_ray_data()
+    return dedup.minhash_verified_pairs(
+        _corpus(sf_dir), k=3, threshold_bp=5000, num_buckets=_NB
+    )
+
+
+def _q_similar_docs(sf_dir: str):
+    """Global top-20 similar document pairs by exact integer
+    idf^2-weighted sparse dot product (inverted-index expansion)."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages.textstats import similar_doc_pairs
+
+    return similar_doc_pairs(_docs(sf_dir), top=20, num_buckets=_NB)
+
+
+def _q_scd2_history(sf_dir: str):
+    """SCD type-2 validity intervals from the events changelog (state =
+    event_type; consecutive repeats collapse; open row is_current)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return relational.scd2_history(ev, num_buckets=_NB)
+
+
 def _q_ontology_paths(sf_dir: str):
     """Transitive root-to-term ancestor paths over an is_a DAG (reference
     append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
@@ -2100,6 +2131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tools/check_oracles.py at sf0.01 before this reorder. ---
         "ontology_paths": _q_ontology_paths,
         "image_features": _q_image_features,
+        "minhash_verified": _q_minhash_verified,
+        "similar_docs": _q_similar_docs,
+        "scd2_history": _q_scd2_history,
         "learned_embeddings": _q_learned_embeddings,
         "scored_triples": _q_scored_triples,
         "classified_triples": _q_classified_triples,
@@ -2455,6 +2489,9 @@ def oracle_sql() -> dict[str, str]:
         # (bp) projections — see oracles.py "model scoring oracles"
         "ontology_paths": oracles.ONTOLOGY_PATHS,
         "image_features": oracles.IMAGE_FEATURES,
+        "minhash_verified": oracles.MINHASH_VERIFIED,
+        "similar_docs": oracles.SIMILAR_DOCS,
+        "scd2_history": oracles.SCD2_HISTORY,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

@@ -2636,3 +2636,107 @@ SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
        CAST(w * h AS BIGINT) AS n_pixels, CAST(s AS BIGINT) AS sum_rgb,
        CAST(1000 * s // (w * h * 3) AS BIGINT) AS mean_milli
 FROM __a"""
+
+
+# LSH-candidates + exact-Jaccard verification chain
+# (stages/dedup.minhash_verified_pairs): the NGRAM_JACCARD exact pair
+# table semi-joined against the MINHASH_LSH band-collision candidate set
+# — CTE namespaces are disjoint (__sizes/__cool/__pairs vs
+# __shh/__sig/__band), so both chains splice into one WITH.
+MINHASH_VERIFIED = f"""WITH {_SHINGLES},
+__sizes AS (SELECT doc_id, count(*) AS size FROM __sh GROUP BY doc_id),
+__cool AS (
+  SELECT shingle FROM __sh GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}
+),
+__pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM __sh a
+  JOIN __cool c ON a.shingle = c.shingle
+  JOIN __sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+__shh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS x
+  FROM __sh
+),
+__sig AS (
+  SELECT doc_id, perm.p, min((perm.a * x + perm.b) % 2147483647) AS mh
+  FROM __shh, {_perm_values()} GROUP BY 1, 2
+),
+__band AS (
+  SELECT doc_id, CAST((p - 1) // 4 AS INT) AS band_id,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY p) AS band_key
+  FROM __sig GROUP BY 1, 2
+),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM __band a
+  JOIN __band b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.inter, sa.size AS size_a, sb.size AS size_b
+FROM __pairs p
+JOIN __sizes sa ON p.doc_a = sa.doc_id
+JOIN __sizes sb ON p.doc_b = sb.doc_id
+JOIN __cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+WHERE 10000 * p.inter >= 5000 * (sa.size + sb.size - p.inter)"""
+
+
+# sparse idf^2-weighted document-pair similarity mining
+# (stages/textstats.similar_doc_pairs): global top-20 pairs by the exact
+# integer dot SUM(tf_a * tf_b * W), W = 1e6 // df^2 (zero-weight terms
+# pruned before pairing — the hot-term guard IS the scoring function)
+SIMILAR_DOCS = """WITH __p AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+__tok AS (SELECT doc_id, unnest(parts) AS w FROM __p),
+__tf AS (
+  SELECT doc_id, w AS token, CAST(count(*) AS BIGINT) AS tf
+  FROM __tok GROUP BY 1, 2
+),
+__df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM __tf GROUP BY token),
+__w AS (
+  SELECT token, CAST(1000000 // (df * df) AS BIGINT) AS w
+  FROM __df WHERE 1000000 // (df * df) > 0
+),
+__post AS (SELECT t.doc_id, t.token, t.tf, w.w FROM __tf t JOIN __w w USING (token)),
+__dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(a.tf * b.tf * a.w) AS dot
+  FROM __post a JOIN __post b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+__norm AS (SELECT doc_id, SUM(tf * tf * w) AS norm FROM __post GROUP BY doc_id),
+__r AS (
+  SELECT d.*, row_number() OVER (ORDER BY dot DESC, doc_a, doc_b) AS rnk
+  FROM __dots d
+)
+SELECT r.doc_a, r.doc_b, CAST(r.dot AS BIGINT) AS dot,
+       CAST(na.norm AS BIGINT) AS norm_a, CAST(nb.norm AS BIGINT) AS norm_b,
+       CAST(r.rnk AS BIGINT) AS rank
+FROM __r r
+JOIN __norm na ON r.doc_a = na.doc_id
+JOIN __norm nb ON r.doc_b = nb.doc_id
+WHERE r.rnk <= 20"""
+
+
+# SCD type-2 validity intervals from the event changelog
+# (stages/relational.scd2_history): per user, (ts, event_id) order,
+# consecutive same-state rows collapse into one interval; valid_to =
+# next change's valid_from, NULL (is_current=1) on the open row
+SCD2_HISTORY = """WITH __o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+__chg AS (
+  SELECT user_id, event_type AS state, ts AS valid_from
+  FROM __o WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current
+FROM __chg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)"""

@@ -995,3 +995,55 @@ def paragraph_dedup(
         )
 
     return joined.map_batches(rebuild, batch_format="pandas", batch_size=None)
+
+
+def minhash_verified_pairs(
+    docs,
+    k: int = 3,
+    threshold_bp: int = 5000,
+    num_buckets: int = 64,
+    max_df: int = NGRAM_MAX_DF,
+):
+    """The production near-dup chain: MinHash-LSH candidate generation +
+    EXACT shingle-Jaccard verification — LSH supplies recall at banding
+    cost, the exact pass restores precision (an LSH bucket collision is
+    probabilistic; a verified pair is not). Returns the
+    :func:`ngram_jaccard_pairs` schema (doc_a, doc_b, inter, size_a,
+    size_b) restricted to pairs that ALSO share an LSH band bucket.
+
+    Composition of two independently oracle-verified operators joined on
+    the pair key through the measured
+    :func:`~bio_re_with_entity_embeddings_ray.stages.relational.key_semi_anti_join`
+    plan (broadcast while the candidate table fits — it is
+    duplication-bounded, the curate keep-set regime — hash co-partition
+    beyond). The exact side is bounded by the same hot-shingle ``max_df``
+    cap as ngram_jaccard; a candidate-restricted intersection pass (skip
+    exact counting for non-candidates) is the further optimization for
+    corpora where verification dominates, at the cost of shipping the
+    candidate set into the shingle buckets.
+    """
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        key_semi_anti_join,
+    )
+
+    exact = ngram_jaccard_pairs(docs, k, threshold_bp, num_buckets, max_df)
+    cands = minhash_lsh_pairs(docs, k, num_buckets)
+
+    def pkey(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy(deep=False)
+        out["pkey"] = (
+            batch["doc_a"].astype(str) + "|" + batch["doc_b"].astype(str)
+        )
+        return out
+
+    verified = key_semi_anti_join(
+        exact.map_batches(pkey, batch_format="pandas", batch_size=None),
+        cands.map_batches(pkey, batch_format="pandas", batch_size=None),
+        "pkey",
+        num_buckets=num_buckets,
+        other_cols={
+            "doc_a": np.int64(0), "doc_b": np.int64(0), "inter": np.int64(0),
+            "size_a": np.int64(0), "size_b": np.int64(0),
+        },
+    )
+    return verified.select_columns(["doc_a", "doc_b", "inter", "size_a", "size_b"])

@@ -2759,3 +2759,68 @@ def event_paths(events, k: int = 3, top: int = 20, num_buckets: int = 32):
         return b[["path", "n"]].astype({"n": "int64"}).reset_index(drop=True)
 
     return merge_partials(partials, "path", combine, finalize, plan="tree")
+
+
+def scd2_history(events, num_buckets: int = 32):
+    """Slowly-changing-dimension TYPE-2 history from an event changelog:
+    per user, order by (ts, event_id), collapse consecutive repeats of
+    the same ``event_type`` (state), and emit one validity interval per
+    state change — (user_id, state, valid_from, valid_to, is_current)
+    with ``valid_to`` = the next change's ``valid_from`` (NULL on the
+    open current row). The warehouse primitive that turns an append-only
+    changelog into an as-of-queryable dimension (complements
+    :func:`keep_latest`, which is the type-1 compaction, and
+    :func:`snapshot_diff`, which derives the changelog).
+
+    Scale shape: one user-keyed exchange of a narrow projection; per
+    key-complete bucket the change points and interval ends are one
+    mergesort + two shifted comparisons — no per-user Python."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_type": batch["event_type"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"].astype("int64"),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], np.int64),
+                    "state": pd.Series([], dtype=object),
+                    "valid_from": pd.Series([], dtype="datetime64[us]"),
+                    "valid_to": pd.Series([], dtype="datetime64[us]"),
+                    "is_current": np.array([], np.int64),
+                }
+            )
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = b["user_id"].to_numpy()
+        t = b["event_type"].to_numpy()
+        n = len(b)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+        s = b[change]
+        su = s["user_id"].to_numpy()
+        ts = s["ts"].to_numpy()
+        last = np.ones(len(s), dtype=bool)
+        last[:-1] = su[:-1] != su[1:]
+        vto = np.empty(len(s), dtype=ts.dtype)
+        vto[:-1] = ts[1:]
+        out = pd.DataFrame(
+            {
+                "user_id": su,
+                "state": s["event_type"].to_numpy(),
+                "valid_from": ts,
+                "valid_to": pd.Series(vto).mask(last, pd.NaT),
+                "is_current": last.astype(np.int64),
+            }
+        )
+        return out
+
+    return bucketed_group_apply(ev, "user_id", per_bucket, num_buckets)

@@ -1208,3 +1208,138 @@ def chunk_documents(docs, size: int = 120, overlap: int = 24):
         return pa.concat_tables(pieces)
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def similar_doc_pairs(docs, top: int = 20, num_buckets: int = 16,
+                      w_scale: int = 1_000_000):
+    """Sparse tf-idf-style document-pair similarity mining: the global
+    top-``top`` document pairs by the EXACT integer weighted dot product
+    ``dot(a, b) = SUM over shared tokens t of tf(a,t) * tf(b,t) * W(t)``
+    with ``W(t) = w_scale // df(t)^2`` (an integer idf^2 surrogate),
+    plus each side's norm ``SUM tf^2 * W`` — rank by (dot DESC, doc_a,
+    doc_b). Cosine is a driver-side sqrt away; keeping the exact integers
+    makes the oracle bit-stable.
+
+    Scale shape: the df table is vocabulary-bounded (per-block distinct
+    combiner + token-keyed merge). W(t) gives a PRINCIPLED hot-term
+    bound: df(t) > sqrt(w_scale) => W = 0, and zero-weight postings are
+    dropped BEFORE the per-token pair expansion, so the stopword-blowup
+    guard is the scoring function itself, not an arbitrary cap (df = 1
+    terms never pair either). Pair partials merge per hash bucket
+    (complete per key), each bucket emits its local top as a combinable
+    candidate, and one final single-block pass takes the global top —
+    the bpe_pair_counts top-k discipline. Integer envelope: per-term
+    contribution <= n_tok^2 * w_scale/4; document the corpus's max doc
+    length vs int64 when raising ``w_scale``.
+    """
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+        merge_partials,
+    )
+
+    def local_postings(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        order = np.lexsort((codes, row_idx))
+        r, c = row_idx[order], codes[order]
+        change = np.ones(len(r), dtype=bool)
+        change[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, len(r))).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[r[starts]],
+                "token": vocab[c[starts]].astype(str),
+                "tf": tf,
+            }
+        )
+
+    postings = docs.map_batches(
+        local_postings, batch_format="pandas", batch_size=None
+    ).materialize()  # two consumers: df merge + pair expansion
+
+    def local_df(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("token", as_index=False).agg(df=("doc_id", "size"))
+        g["df"] = g["df"].astype("int64")
+        return g
+
+    def merge_df(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("token", as_index=False)["df"].sum()
+
+    df_tab = merge_partials(
+        postings.map_batches(local_df, batch_format="pandas", batch_size=None),
+        "token", merge_df, lambda b: b, num_buckets,
+    ).to_pandas()
+    w = w_scale // (df_tab["df"].to_numpy() ** 2)
+    w_map = ray.put(pd.Series(w, index=df_tab["token"])[w > 0])
+
+    def weighted(b: pd.DataFrame, _w=w_map) -> pd.DataFrame:
+        wm = ray.get(_w)
+        wv = b["token"].map(wm)
+        out = b[wv.notna()].copy(deep=False)
+        out["w"] = wv[wv.notna()].astype(np.int64)
+        return out
+
+    live = postings.map_batches(
+        weighted, batch_format="pandas", batch_size=None
+    ).materialize()  # consumers: norms + pairs
+
+    def local_norm(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["tf"].to_numpy()
+        contrib = t * t * b["w"].to_numpy()
+        g = pd.DataFrame({"doc_id": b["doc_id"], "norm": contrib}).groupby(
+            "doc_id", as_index=False
+        )["norm"].sum()
+        return g
+
+    norms = merge_partials(
+        live.map_batches(local_norm, batch_format="pandas", batch_size=None),
+        "doc_id",
+        lambda b: b.groupby("doc_id", as_index=False)["norm"].sum(),
+        lambda b: b,
+        num_buckets,
+    ).to_pandas()
+    norm_map = ray.put(pd.Series(norms["norm"].to_numpy(), index=norms["doc_id"]))
+
+    def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on="token")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64),
+                 "dot": np.array([], np.int64)}
+            )
+        dot = m["tf_x"].to_numpy() * m["tf_y"].to_numpy() * m["w_x"].to_numpy()
+        g = pd.DataFrame(
+            {"doc_a": m["doc_id_x"], "doc_b": m["doc_id_y"], "dot": dot}
+        ).groupby(["doc_a", "doc_b"], as_index=False)["dot"].sum()
+        return g
+
+    partial = bucketed_group_apply(live, "token", pairs_of, num_buckets)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["doc_a", "doc_b"], as_index=False)["dot"].sum()
+
+    def bucket_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(["dot", "doc_a", "doc_b"],
+                          ascending=[False, True, True], kind="mergesort")
+            .head(top).reset_index(drop=True)
+        )
+
+    cand = merge_partials(
+        partial, ["doc_a", "doc_b"], combine, bucket_topk, num_buckets
+    )
+
+    def global_final(b: pd.DataFrame, _n=norm_map) -> pd.DataFrame:
+        nm = ray.get(_n)
+        b = bucket_topk(b)
+        b["norm_a"] = b["doc_a"].map(nm).astype("int64")
+        b["norm_b"] = b["doc_b"].map(nm).astype("int64")
+        b["rank"] = np.arange(1, len(b) + 1, dtype=np.int64)
+        return b[["doc_a", "doc_b", "dot", "norm_a", "norm_b", "rank"]]
+
+    return cand.repartition(1).map_batches(
+        global_final, batch_format="pandas", batch_size=None
+    )
