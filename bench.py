@@ -143,17 +143,16 @@ def bench_kg(sf_dir: str, replicas: int, num_buckets: int) -> dict:
 
     import pyarrow as pa
 
-    def distinct_keys(t: pa.Table) -> pa.Table:
-        return (
-            t.select(["conv_id", "entity_type", "entity_id"])
-            .group_by(["conv_id", "entity_type", "entity_id"])
-            .aggregate([])
-        )
+    def project_keys(t: pa.Table) -> pa.Table:
+        # the Arrow fused pack dedups internally (one lexsort covers
+        # dedup + both group-bys), so the old per-block DISTINCT stage
+        # is redundant — only the column projection remains
+        return t.select(["conv_id", "entity_type", "entity_id"])
 
     t0 = time.perf_counter()
     ts = _transcripts(sf_dir, replicas)
     mentions = scan_mentions(ts, include_tool=True).map_batches(
-        distinct_keys, batch_format="pyarrow", batch_size=None
+        project_keys, batch_format="pyarrow", batch_size=None
     )
     edges, nodes, pair_prov, node_prov, tagged = nodes_and_triples_bucketed(
         mentions, "op", "res", "applies_to", num_buckets,

@@ -23,6 +23,147 @@ from bio_re_with_entity_embeddings_ray.stages.pairs import adjacency_edges, trip
 from bio_re_with_entity_embeddings_ray.stages.reassembly import conversations
 
 
+def _str_ordinals(arr):
+    """String Array -> (string-ordered int64 ordinal per row, dictionary
+    sorted by string). Ordinal order == UTF-8 byte order == Python str
+    order, so numpy lexsorts over ordinals reproduce pandas string sorts
+    exactly while staying integer-speed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = pc.dictionary_encode(arr)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    d = enc.dictionary
+    si = pc.sort_indices(d).to_numpy().astype(np.int64)
+    rank = np.empty(len(d), dtype=np.int64)
+    rank[si] = np.arange(len(d), dtype=np.int64)
+    return rank[codes], d.take(pa.array(si))
+
+
+def _combined_arrow(batch, subj_type: str, obj_type: str):
+    """Arrow-native fused per-block pack (the hot kernel of
+    :func:`nodes_and_triples_bucketed`): produces the same
+    (kind, a, b, conv_ids, n_convs) rows as the pandas composition of
+    ``pairs._cross_and_pack`` + ``aggregate.pack_sorted_distinct`` —
+    equality pinned by tests/test_kg_oracle.py — with zero pandas
+    object-string round trips. All sorting runs over string-ordered
+    integer ordinals (numpy lexsort); set packing is one
+    ``binary_join`` over a LargeListArray re-offsetting of the sorted
+    conv values (the derive_batch discipline). Measured 120 ms -> ~15 ms
+    per 2,500-doc bench block, which dominated the headline's fused scan
+    stage."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "kind": pa.array([], pa.string()),
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "conv_ids": pa.array([], pa.string()),
+            "n_convs": pa.array([], pa.int64()),
+        }
+    )
+    n = batch.num_rows
+    if n == 0:
+        return empty
+    conv = batch["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    cv_ord, cv_dict = _str_ordinals(conv)
+    eid_ord, eid_dict = _str_ordinals(batch["entity_id"])
+    ety_ord, ety_dict = _str_ordinals(batch["entity_type"])
+
+    # global row dedup in (eid, etype, conv) sort order (mentions may
+    # repeat across turns; the pandas path drop_duplicates too)
+    order = np.lexsort((cv_ord, ety_ord, eid_ord))
+    e1, t1, c1 = eid_ord[order], ety_ord[order], cv_ord[order]
+    uniq = np.ones(n, dtype=bool)
+    uniq[1:] = (e1[1:] != e1[:-1]) | (t1[1:] != t1[:-1]) | (c1[1:] != c1[:-1])
+    order = order[uniq]
+    e1, t1, c1 = e1[uniq], t1[uniq], c1[uniq]
+    m = len(order)
+
+    def pack(sorted_conv_ord, group_starts):
+        offs = pa.array(
+            np.append(group_starts, len(sorted_conv_ord)), pa.int64()
+        )
+        vals = cv_dict.take(pa.array(sorted_conv_ord))
+        return pc.binary_join(pa.LargeListArray.from_arrays(offs, vals), SET_SEP)
+
+    # ---- N rows: per-(entity_id, entity_type) sorted conv set
+    new_n = np.ones(m, dtype=bool)
+    new_n[1:] = (e1[1:] != e1[:-1]) | (t1[1:] != t1[:-1])
+    sN = np.flatnonzero(new_n)
+    packedN = pack(c1, sN)
+    aN = eid_dict.take(pa.array(e1[sN]))
+    bN = ety_dict.take(pa.array(t1[sN]))
+    cntN = np.diff(np.append(sN, m)).astype(np.int64)
+
+    # ---- P rows: per-conv cross product of subj-type x obj-type ids,
+    # then per-(subj, obj) sorted conv set
+    types = ety_dict.to_pylist()
+    subj_code = types.index(subj_type) if subj_type in types else -1
+    obj_code = types.index(obj_type) if obj_type in types else -1
+    ncv = len(cv_dict)
+
+    def side(code):
+        rows = np.flatnonzero(t1 == code) if code >= 0 else np.array([], np.int64)
+        # (c1, e1) already sorted with conv inner — resort side rows by
+        # (conv, eid) so per-conv runs are contiguous and eid-ascending
+        so = rows[np.lexsort((e1[rows], c1[rows]))]
+        per_conv = np.bincount(c1[so], minlength=ncv).astype(np.int64)
+        off = np.concatenate(([0], np.cumsum(per_conv)))
+        return so, per_conv, off
+
+    op_rows, n_op, op_off = side(subj_code)
+    res_rows, n_res, res_off = side(obj_code)
+    cnt_c = n_op * n_res
+    convs_u = np.flatnonzero(cnt_c)
+    if len(convs_u):
+        cnt = cnt_c[convs_u]
+        total = int(cnt.sum())
+        pair_off = np.concatenate(([0], np.cumsum(cnt)))
+        pg = np.arange(total, dtype=np.int64) - np.repeat(pair_off[:-1], cnt)
+        nr_rep = np.repeat(n_res[convs_u], cnt)
+        subj_row = op_rows[np.repeat(op_off[convs_u], cnt) + pg // nr_rep]
+        obj_row = res_rows[np.repeat(res_off[convs_u], cnt) + pg % nr_rep]
+        s_ord, o_ord = e1[subj_row], e1[obj_row]
+        cvp = np.repeat(convs_u, cnt)
+        po = np.lexsort((cvp, o_ord, s_ord))
+        s2, o2, c2 = s_ord[po], o_ord[po], cvp[po]
+        new_p = np.ones(total, dtype=bool)
+        new_p[1:] = (s2[1:] != s2[:-1]) | (o2[1:] != o2[:-1])
+        sP = np.flatnonzero(new_p)
+        packedP = pack(c2, sP)
+        aP = eid_dict.take(pa.array(s2[sP]))
+        bP = eid_dict.take(pa.array(o2[sP]))
+        cntP = np.diff(np.append(sP, total)).astype(np.int64)
+    else:
+        packedP = pa.array([], pa.string())
+        aP = pa.array([], pa.string())
+        bP = pa.array([], pa.string())
+        cntP = np.array([], np.int64)
+
+    np_rows, nn_rows = len(cntP), len(cntN)
+    kind = pa.array(["P"] * np_rows + ["N"] * nn_rows, pa.string())
+    return pa.table(
+        {
+            "kind": kind,
+            "a": pa.concat_arrays([aP.combine_chunks() if isinstance(aP, pa.ChunkedArray) else aP,
+                                   aN.combine_chunks() if isinstance(aN, pa.ChunkedArray) else aN]),
+            "b": pa.concat_arrays([bP.combine_chunks() if isinstance(bP, pa.ChunkedArray) else bP,
+                                   bN.combine_chunks() if isinstance(bN, pa.ChunkedArray) else bN]),
+            "conv_ids": pa.concat_arrays([packedP, packedN]),
+            "n_convs": pa.array(np.concatenate([cntP, cntN]), pa.int64()),
+        }
+    )
+
+
 def build_kg(
     transcripts,
     subj_type: str = "op",
@@ -57,6 +198,7 @@ def nodes_and_triples_bucketed(
     num_buckets: int = 64,
     assume_unsplit_blocks: bool = False,
     merge_plan: str = "auto",
+    pack_engine: str = "arrow",
 ):
     """BOTH bucketed-provenance wide consumers (pairs.triples_bucketed +
     aggregate.entity2conv_bucketed) computed in ONE fused per-block pass
@@ -130,9 +272,22 @@ def nodes_and_triples_bucketed(
             ignore_index=True,
         )
 
-    tagged = mentions.map_batches(
-        combined, batch_format="pandas", batch_size=None
-    ).materialize()
+    if pack_engine == "arrow":
+        # the Arrow kernel dedups internally and measures ~6x faster per
+        # block (equality vs the pandas composition pinned by
+        # tests/test_kg_oracle.py::test_fused_pack_engines_agree)
+        def combined_arrow(batch):
+            return _combined_arrow(batch, subj_type, obj_type)
+
+        tagged = mentions.map_batches(
+            combined_arrow, batch_format="pyarrow", batch_size=None
+        ).materialize()
+    elif pack_engine == "pandas":
+        tagged = mentions.map_batches(
+            combined, batch_format="pandas", batch_size=None
+        ).materialize()
+    else:
+        raise ValueError(f"unknown pack_engine {pack_engine!r}")
 
     def pick(kind: str, ra: str, rb: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:

@@ -205,3 +205,34 @@ def test_triple_negatives_deterministic_and_type_consistent(ray_session):
         exp = vocab[h] if vocab[h] != r.obj_id else vocab[(h + 1) % n]
         assert r.neg_obj_id == exp
         assert r.neg_obj_id != r.obj_id  # never the true object
+
+
+def test_fused_pack_engines_agree(ray_session):
+    """The Arrow fused pack (_combined_arrow) and the pandas composition
+    (_cross_and_pack + pack_sorted_distinct) must emit identical
+    (kind, a, b, conv_ids, n_convs) content over raw (duplicate-bearing)
+    mention batches — the 6x-faster kernel is a plan change, never a
+    semantics change."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.pipelines.kg import (
+        nodes_and_triples_bucketed,
+    )
+    from bio_re_with_entity_embeddings_ray.sources.fixtures import generate
+    from bio_re_with_entity_embeddings_ray.stages.mentions import scan_mentions
+
+    ts = rd.from_arrow(generate(n_convs=60, seed=5)[0])
+    m = scan_mentions(ts, include_tool=True)
+    outs = {}
+    for eng in ("arrow", "pandas"):
+        edges, nodes, pp, np_, tagged = nodes_and_triples_bucketed(
+            m, "op", "res", "applies_to", 4,
+            assume_unsplit_blocks=True, pack_engine=eng,
+        )
+        outs[eng] = (
+            tagged.to_pandas()
+            .sort_values(["kind", "a", "b"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["arrow"], outs["pandas"][outs["arrow"].columns])
