@@ -1583,6 +1583,37 @@ def _q_scd2_history(sf_dir: str):
     return relational.scd2_history(ev, num_buckets=_NB)
 
 
+def _q_collocations(sf_dir: str):
+    """Top-20 adjacent-token bigrams by exact integer lift (exp-PMI) —
+    collocation mining over the documents corpus."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages.textstats import collocations
+
+    return collocations(_docs(sf_dir), top=20, min_n=3, num_buckets=_NB)
+
+
+def _q_event_state_asof(sf_dir: str):
+    """Every event annotated with its SCD2 state as of the event ts
+    (one user-keyed exchange; searchsorted-free cummax assignment)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return relational.event_state_asof(ev, num_buckets=_NB)
+
+
+def _q_blocklist_hits(sf_dir: str):
+    """Dictionary blocklist hit counts + rate per document (safety
+    pre-filter stage)."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages.safety import blocklist_hits
+
+    return blocklist_hits(_docs(sf_dir))
+
+
 def _q_ontology_paths(sf_dir: str):
     """Transitive root-to-term ancestor paths over an is_a DAG (reference
     append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
@@ -2179,6 +2210,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tsv_roundtrip": _q_tsv_roundtrip,
         "duplicate_spans": _q_duplicate_spans,
         "audio_features": _q_audio_features,
+        # --- round-4 late additions (locally oracle-green; lead candidates
+        # for round 5 alongside the deferred block below) ---
+        "collocations": _q_collocations,
+        "event_state_asof": _q_event_state_asof,
+        "blocklist_hits": _q_blocklist_hits,
         # --- deferred never-sampled (families already evidenced by green
         # sibling rows); also locally green - lead candidates for round 5 ---
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -2492,6 +2528,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified": oracles.MINHASH_VERIFIED,
         "similar_docs": oracles.SIMILAR_DOCS,
         "scd2_history": oracles.SCD2_HISTORY,
+        "collocations": oracles.COLLOCATIONS,
+        "event_state_asof": oracles.EVENT_STATE_ASOF,
+        "blocklist_hits": oracles.BLOCKLIST_HITS,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

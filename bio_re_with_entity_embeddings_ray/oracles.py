@@ -2740,3 +2740,74 @@ SELECT user_id, state, valid_from,
             AS BIGINT) AS is_current
 FROM __chg
 WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)"""
+
+
+# collocation mining (stages/textstats.collocations): top-20 adjacent
+# bigrams by exact integer lift n*B*scale // (l_a * r_b), min count 3
+COLLOCATIONS = """WITH __p AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+__ci AS (SELECT doc_id, parts, unnest(range(1, len(parts))) AS i FROM __p),
+__bg AS (
+  SELECT parts[i] AS w1, parts[i + 1] AS w2 FROM __ci
+),
+__n AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM __bg GROUP BY 1, 2),
+__l AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS c FROM __bg GROUP BY 1),
+__r AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS c FROM __bg GROUP BY 1),
+__b AS (SELECT CAST(count(*) AS BIGINT) AS B FROM __bg),
+__s AS (
+  SELECT n.w1, n.w2, n.n,
+         CAST(10000 * n.n * (SELECT B FROM __b) // (l.c * r.c) AS BIGINT)
+           AS lift_bp
+  FROM __n n JOIN __l l ON n.w1 = l.w JOIN __r r ON n.w2 = r.w
+  WHERE n.n >= 3
+),
+__rk AS (
+  SELECT *, row_number() OVER (ORDER BY lift_bp DESC, w1, w2) AS rnk
+  FROM __s
+)
+SELECT w1, w2, n, lift_bp, CAST(rnk AS BIGINT) AS rank
+FROM __rk WHERE rnk <= 20"""
+
+
+# as-of SCD2 state join (stages/relational.event_state_asof): every
+# event annotated with the state valid at its ts (zero-length intervals
+# from same-ts double changes never win)
+EVENT_STATE_ASOF = """WITH __o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+__chg AS (
+  SELECT user_id, event_type AS state, ts AS valid_from
+  FROM __o WHERE prev_type IS NULL OR event_type <> prev_type
+),
+__iv AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM __chg
+)
+SELECT e.event_id, e.user_id, e.ts, i.state
+FROM events e
+JOIN __iv i ON e.user_id = i.user_id
+           AND e.ts >= i.valid_from
+           AND (i.valid_to IS NULL OR e.ts < i.valid_to)"""
+
+
+# dictionary blocklist scoring (stages/safety.blocklist_hits)
+BLOCKLIST_HITS = """WITH __p AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+__tok AS (
+  SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_tokens, unnest(parts) AS w
+  FROM __p
+)
+SELECT doc_id, any_value(n_tokens) AS n_tokens,
+       CAST(sum(CASE WHEN lower(w) IN ('alpha', 'delta', 'sigma')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(10000 * sum(CASE WHEN lower(w) IN ('alpha', 'delta', 'sigma')
+                             THEN 1 ELSE 0 END)
+            // greatest(any_value(n_tokens), 1) AS BIGINT) AS blocked_bp
+FROM __tok GROUP BY doc_id"""

@@ -2824,3 +2824,71 @@ def scd2_history(events, num_buckets: int = 32):
         return out
 
     return bucketed_group_apply(ev, "user_id", per_bucket, num_buckets)
+
+
+def event_state_asof(events, num_buckets: int = 32):
+    """As-of dimension join: every event annotated with the SCD2 state
+    (see :func:`scd2_history`) valid at its timestamp — ``state`` is the
+    most recent event_type CHANGE with ``valid_from <= ts`` (interval
+    semantics: a zero-length interval from two same-ts changes never
+    wins). Returns (event_id, user_id, ts, state).
+
+    Scale shape: ONE user-keyed exchange; each key-complete bucket
+    derives the change points (the scd2 kernel) and assigns states with
+    a per-user-rebased ``searchsorted`` over the change timestamps — no
+    second exchange and no interval table materialization."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_type": batch["event_type"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"].astype("int64"),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "event_id": np.array([], np.int64),
+                    "user_id": np.array([], np.int64),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "state": pd.Series([], dtype=object),
+                }
+            )
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = b["user_id"].to_numpy()
+        t = b["event_type"].to_numpy()
+        n = len(b)
+        # change flags are defined by (ts, event_id) order (scd2 kernel)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+        # interval semantics: EVERY event at ts T (change rows included)
+        # sees the LAST change with valid_from <= T — same-ts double
+        # changes collapse to the later one (the earlier is the
+        # zero-length interval the SQL join also drops). So each row's
+        # state is the change-index cummax evaluated at the LAST row of
+        # its (user, ts) group.
+        idx = np.arange(n, dtype=np.int64)
+        cm = np.maximum.accumulate(np.where(change, idx, 0))
+        tsv = b["ts"].to_numpy()
+        grp_new = np.ones(n, dtype=bool)
+        grp_new[1:] = (u[1:] != u[:-1]) | (tsv[1:] != tsv[:-1])
+        starts = np.flatnonzero(grp_new)
+        ends = np.append(starts[1:], n) - 1
+        sizes = np.diff(np.append(starts, n))
+        end_of_row = np.repeat(ends, sizes)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": u,
+                "ts": tsv,
+                "state": t[cm[end_of_row]],
+            }
+        )
+
+    return bucketed_group_apply(ev, "user_id", per_bucket, num_buckets)

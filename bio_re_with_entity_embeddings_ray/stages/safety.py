@@ -198,3 +198,45 @@ def pii_scrub(docs):
         )
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+# the default term blocklist for blocklist_hits — deliberately made of
+# tokens that EXIST in the synthetic corpus so the op has positives
+BLOCKLIST = ("alpha", "delta", "sigma")
+
+
+def blocklist_hits(docs, terms: tuple[str, ...] = BLOCKLIST):
+    """Dictionary-based safety scoring: per document, the number of
+    token positions matching a (case-insensitive) blocklist term and the
+    hit rate in basis points — the cheap pre-filter stage every safety
+    pipeline runs before model-based scoring. Returns
+    (doc_id, n_tokens, n_blocked, blocked_bp).
+
+    Scale shape: pure narrow map; membership is decided once per batch
+    on the tiny batch VOCABULARY (the token_quality_arrays discipline)
+    and propagated to the token stream by integer isin + bincount — the
+    blocklist itself is process-constant (no broadcast needed)."""
+    from bio_re_with_entity_embeddings_ray.stages.textstats import (
+        _flat_token_codes,
+    )
+
+    lowered = tuple(t.lower() for t in terms)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        n = len(n_tok)
+        vlow = np.char.lower(vocab.astype(str))
+        bad_codes = np.flatnonzero(np.isin(vlow, lowered))
+        n_blocked = np.bincount(
+            row_idx[np.isin(codes, bad_codes)], minlength=n
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tok,
+                "n_blocked": n_blocked,
+                "blocked_bp": 10000 * n_blocked // np.maximum(n_tok, 1),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas", batch_size=None)

@@ -1343,3 +1343,106 @@ def similar_doc_pairs(docs, top: int = 20, num_buckets: int = 16,
     return cand.repartition(1).map_batches(
         global_final, batch_format="pandas", batch_size=None
     )
+
+
+def collocations(docs, top: int = 20, min_n: int = 3, num_buckets: int = 16,
+                 scale: int = 10_000):
+    """Collocation mining: the global top-``top`` adjacent-token bigrams
+    by exact integer lift (observed/expected, the exp-PMI of
+    :func:`~bio_re_with_entity_embeddings_ray.stages.pairs.pair_lift`
+    applied to the token stream): ``lift_bp = scale * n_ab * B //
+    (l_a * r_b)`` with ``n_ab`` the bigram count, ``B`` total bigram
+    positions, ``l_a``/``r_b`` the counts of ``a`` as ANY bigram's left
+    and ``b`` as ANY bigram's right. Bigrams below ``min_n`` are noise
+    and excluded. Rank by (lift_bp DESC, w1, w2); returns
+    (w1, w2, n, lift_bp, rank).
+
+    Scale shape: bigram/marginal counts are per-block combiners (pair
+    space vocabulary-bounded); marginals + the B scalar merge through
+    the lazy tree and broadcast (``ray.put`` once) into the pair merge's
+    per-bucket finalize, which emits a local top-k candidate; one final
+    single-block pass takes the global top (the bpe_pair_counts
+    discipline). Integer envelope: ``scale * n_ab * B`` must stay below
+    2^63 — at web scale shard the corpus and merge per-shard tops.
+    """
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def bigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        if len(codes) < 2:
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=str), "w2": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        adj = row_idx[1:] == row_idx[:-1]
+        c1, c2 = codes[:-1][adj], codes[1:][adj]
+        g = (
+            pd.DataFrame({"w1": vocab[c1], "w2": vocab[c2]})
+            .groupby(["w1", "w2"], as_index=False).size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = docs.map_batches(
+        bigram_partial, batch_format="pandas", batch_size=None
+    ).materialize()  # 3 consumers: left marginal, right marginal, pairs
+
+    def side_partial(col):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(col, as_index=False)["n"].sum()
+            return g.rename(columns={col: "w", "n": "c"})
+
+        return fn
+
+    def side_merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("w", as_index=False)["c"].sum()
+
+    marg = {}
+    for col in ("w1", "w2"):
+        tab = merge_partials(
+            partials.map_batches(side_partial(col), batch_format="pandas",
+                                 batch_size=None),
+            "w", side_merge, lambda b: b, num_buckets, plan="tree",
+        ).to_pandas()
+        marg[col] = pd.Series(tab["c"].to_numpy(), index=tab["w"])
+    B = int(marg["w1"].sum())
+    l_ref, r_ref = ray.put(marg["w1"]), ray.put(marg["w2"])
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["w1", "w2"], as_index=False)["n"].sum()
+
+    def bucket_topk(b: pd.DataFrame, _l=l_ref, _r=r_ref) -> pd.DataFrame:
+        lm, rm = ray.get(_l), ray.get(_r)
+        b = b[b["n"] >= min_n].copy()
+        if not len(b):
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=str), "w2": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64"),
+                 "lift_bp": pd.Series([], dtype="int64")}
+            )
+        la = b["w1"].map(lm).to_numpy().astype(np.int64)
+        rb = b["w2"].map(rm).to_numpy().astype(np.int64)
+        b["lift_bp"] = scale * b["n"].to_numpy() * B // (la * rb)
+        return (
+            b.sort_values(["lift_bp", "w1", "w2"],
+                          ascending=[False, True, True], kind="mergesort")
+            .head(top)[["w1", "w2", "n", "lift_bp"]].reset_index(drop=True)
+        )
+
+    cand = merge_partials(partials, ["w1", "w2"], combine, bucket_topk, num_buckets)
+
+    def global_final(b: pd.DataFrame) -> pd.DataFrame:
+        b = (
+            b.sort_values(["lift_bp", "w1", "w2"],
+                          ascending=[False, True, True], kind="mergesort")
+            .head(top).reset_index(drop=True)
+        )
+        b["rank"] = np.arange(1, len(b) + 1, dtype=np.int64)
+        return b
+
+    return cand.repartition(1).map_batches(
+        global_final, batch_format="pandas", batch_size=None
+    )

@@ -106,3 +106,88 @@ def test_scd2_history_intervals(ray_session):
     assert pd.isna(u1.iloc[2]["valid_to"])
     u2 = out[out["user_id"] == 2]
     assert list(u2["state"]) == ["C"] and list(u2["is_current"]) == [1]
+
+
+def test_collocations_vs_brute_force(ray_session):
+    from collections import Counter
+
+    from bio_re_with_entity_embeddings_ray.stages.textstats import collocations
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 12)))
+        for _ in range(50)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64), "text": texts})
+    got = collocations(rd.from_pandas(df), top=8, min_n=2, num_buckets=3).to_pandas()
+    bg = Counter()
+    left, right = Counter(), Counter()
+    for t in texts:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            bg[(a, b)] += 1
+            left[a] += 1
+            right[b] += 1
+    B = sum(bg.values())
+    scored = sorted(
+        (
+            (-(10000 * n * B // (left[a] * right[b])), a, b, n)
+            for (a, b), n in bg.items()
+            if n >= 2
+        )
+    )[:8]
+    assert len(got) == min(8, len(scored))
+    for rank, (neg_lift, a, b, n) in enumerate(scored, 1):
+        r = got[got["rank"] == rank].iloc[0]
+        assert (r["w1"], r["w2"], r["n"], r["lift_bp"]) == (a, b, n, -neg_lift)
+
+
+def test_event_state_asof_tie_semantics(ray_session):
+    """Same-ts ties: an event ordered before a change by event_id still
+    sees the new state (interval semantics, valid_from <= ts); two
+    changes at one ts -> the later wins (zero-length interval drops)."""
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        event_state_asof,
+    )
+
+    ts = pd.to_datetime(
+        ["2026-01-01", "2026-01-02", "2026-01-02", "2026-01-03",
+         "2026-01-04", "2026-01-04", "2026-01-04"]
+    )
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2, 2],
+            #           A   A  B..same-ts  A |  C   D  D(same ts double chg)
+            "event_type": ["A", "A", "B", "A", "C", "D", "D"],
+            "ts": ts,
+            "event_id": [10, 12, 11, 13, 20, 21, 22],
+        }
+    )
+    out = event_state_asof(rd.from_pandas(ev), num_buckets=2).to_pandas()
+    st = dict(zip(out["event_id"], out["state"]))
+    # user 1: change to B happens at (01-02, id 11); the same-ts event
+    # id 12 (type A... wait id 12 is type A at same ts) — change flags
+    # follow (ts, id) order: 10:A(chg) 11:B(chg) 12:A(chg) 13:A
+    assert st[10] == "A"
+    # at ts 01-02 the LAST change is id 12 (A): both same-ts events see A
+    assert st[11] == "A" and st[12] == "A"
+    assert st[13] == "A"
+    # user 2: 20:C(chg) 21:D(chg at same-ts? 21 and 22 both 01-04)
+    # order: 20(C,chg) 21(D,chg) 22(D, not chg): last change at 01-04 is 21
+    assert st[20] == "D" and st[21] == "D" and st[22] == "D"
+
+
+def test_blocklist_hits_counts(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.safety import blocklist_hits
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2], dtype=np.int64),
+            "text": ["Alpha beta ALPHA sigma", "nothing here"],
+        }
+    )
+    out = blocklist_hits(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_blocked"] == 3 and out.loc[1, "n_tokens"] == 4
+    assert out.loc[1, "blocked_bp"] == 7500
+    assert out.loc[2, "n_blocked"] == 0 and out.loc[2, "blocked_bp"] == 0
