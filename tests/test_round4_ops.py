@@ -191,3 +191,104 @@ def test_blocklist_hits_counts(ray_session):
     assert out.loc[1, "n_blocked"] == 3 and out.loc[1, "n_tokens"] == 4
     assert out.loc[1, "blocked_bp"] == 7500
     assert out.loc[2, "n_blocked"] == 0 and out.loc[2, "blocked_bp"] == 0
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSET = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@settings(**_HSET)
+@given(
+    st.lists(  # (node, parents) with parents strictly smaller => DAG
+        st.tuples(
+            st.integers(0, 15),
+            st.lists(st.integers(0, 15), max_size=3),
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_ontology_paths_matches_reference_recursion(ray_session, spec):
+    """Random DAGs (parents forced strictly smaller; ghost parents kept as
+    the unknown-id case) against the single-process reimplementation of
+    the reference recursion."""
+    from bio_re_with_entity_embeddings_ray.sources.obo import (
+        ontology_parent_paths,
+    )
+    from tests.test_obo import _paths_table, _ref_parent_paths
+
+    terms = {}
+    for node, parents in spec:
+        name = f"D{node}"
+        # keep acyclic: only strictly-smaller ids resolve; others become
+        # ghosts (unknown ids), exercising the base case
+        ps = [f"D{p}" if p < node else f"GHOST{p}" for p in parents]
+        terms[name] = ps
+    got = sorted(
+        (r["doid"], r["path"])
+        for r in ontology_parent_paths(_paths_table(terms)).take_all()
+    )
+    assert got == _ref_parent_paths(terms)
+
+
+@settings(**_HSET)
+@given(
+    st.lists(  # (conv, type, id) mention rows WITH duplicates allowed
+        st.tuples(
+            st.integers(0, 4),
+            st.sampled_from(["op", "res", "svc"]),
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_combined_arrow_matches_pandas_property(ray_session, rows):
+    import pyarrow as pa
+
+    from bio_re_with_entity_embeddings_ray.pipelines.kg import _combined_arrow
+    from bio_re_with_entity_embeddings_ray.stages.aggregate import (
+        SET_SEP,
+        pack_sorted_distinct,
+    )
+    from bio_re_with_entity_embeddings_ray.stages.pairs import _cross_and_pack
+
+    batch = pa.table(
+        {
+            "conv_id": pa.array([f"c{c}" for c, _, _ in rows], pa.string()),
+            "entity_type": pa.array([t for _, t, _ in rows], pa.string()),
+            "entity_id": pa.array([f"e{i}" for _, _, i in rows], pa.string()),
+        }
+    )
+    got = (
+        _combined_arrow(batch, "op", "res")
+        .to_pandas()
+        .sort_values(["kind", "a", "b"])
+        .reset_index(drop=True)
+    )
+    df = batch.to_pandas()
+    pp = _cross_and_pack(df, "op", "res", "conv_ids", with_counts=True)
+    nv = pack_sorted_distinct(df, ["entity_id", "entity_type"], "conv_id", "conv_ids")
+    nv["n_convs"] = (nv["conv_ids"].str.count(SET_SEP) + 1).astype("int64")
+    exp = (
+        pd.concat(
+            [
+                pd.DataFrame({"kind": "P", "a": pp["subj_id"], "b": pp["obj_id"],
+                              "conv_ids": pp["conv_ids"], "n_convs": pp["n_convs"]}),
+                pd.DataFrame({"kind": "N", "a": nv["entity_id"], "b": nv["entity_type"],
+                              "conv_ids": nv["conv_ids"], "n_convs": nv["n_convs"]}),
+            ],
+            ignore_index=True,
+        )
+        .sort_values(["kind", "a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp[got.columns])
