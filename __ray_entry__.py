@@ -1614,6 +1614,31 @@ def _q_blocklist_hits(sf_dir: str):
     return blocklist_hits(_docs(sf_dir))
 
 
+def _q_degree_centrality(sf_dir: str):
+    """Degree centrality (deg + normalized deg_bp) over the entity
+    co-occurrence graph — one combiner pass, node-bounded result."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    return graph.degree_centrality(_cooc_edges(sf_dir), num_buckets=_NB)
+
+
+def _q_nearest_doc(sf_dir: str):
+    """Per-document nearest neighbor under the idf^2-weighted sparse
+    dot (argmax partner, smallest-id ties)."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages.textstats import nearest_doc
+
+    return nearest_doc(_docs(sf_dir), num_buckets=_NB)
+
+
+def _q_tool_latency(sf_dir: str):
+    """Per-tool response-latency stats (n/total/max ms to the next turn
+    of the conversation)."""
+    quiet_ray_data()
+    return relational.tool_latency(derive_transcripts(sf_dir), num_buckets=_NB)
+
+
 def _q_ontology_paths(sf_dir: str):
     """Transitive root-to-term ancestor paths over an is_a DAG (reference
     append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
@@ -2215,6 +2240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": _q_collocations,
         "event_state_asof": _q_event_state_asof,
         "blocklist_hits": _q_blocklist_hits,
+        "degree_centrality": _q_degree_centrality,
+        "nearest_doc": _q_nearest_doc,
+        "tool_latency": _q_tool_latency,
         # --- deferred never-sampled (families already evidenced by green
         # sibling rows); also locally green - lead candidates for round 5 ---
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -2531,6 +2559,9 @@ def oracle_sql() -> dict[str, str]:
         "collocations": oracles.COLLOCATIONS,
         "event_state_asof": oracles.EVENT_STATE_ASOF,
         "blocklist_hits": oracles.BLOCKLIST_HITS,
+        "degree_centrality": oracles.DEGREE_CENTRALITY,
+        "nearest_doc": oracles.NEAREST_DOC,
+        "tool_latency": oracles.TOOL_LATENCY,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

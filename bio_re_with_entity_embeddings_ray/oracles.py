@@ -2811,3 +2811,71 @@ SELECT doc_id, any_value(n_tokens) AS n_tokens,
                              THEN 1 ELSE 0 END)
             // greatest(any_value(n_tokens), 1) AS BIGINT) AS blocked_bp
 FROM __tok GROUP BY doc_id"""
+
+
+# degree centrality over the co-occurrence graph
+# (stages/graph.degree_centrality): the symmetric edge list makes
+# out-degree == degree; deg_bp = 10000 * deg // (n_nodes - 1)
+DEGREE_CENTRALITY = f"""WITH {_COOC_EDGES},
+__deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM __e GROUP BY src),
+__n AS (SELECT count(*) AS n FROM __deg)
+SELECT node, deg,
+       CAST(10000 * deg // greatest((SELECT n FROM __n) - 1, 1) AS BIGINT)
+         AS deg_bp
+FROM __deg"""
+
+
+# per-document nearest neighbor under the similar_doc_pairs dot
+# (stages/textstats.nearest_doc): argmax partner, ties by smallest id
+NEAREST_DOC = """WITH __p AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+__tok AS (SELECT doc_id, unnest(parts) AS w FROM __p),
+__tf AS (
+  SELECT doc_id, w AS token, CAST(count(*) AS BIGINT) AS tf
+  FROM __tok GROUP BY 1, 2
+),
+__df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM __tf GROUP BY token),
+__w AS (
+  SELECT token, CAST(1000000 // (df * df) AS BIGINT) AS w
+  FROM __df WHERE 1000000 // (df * df) > 0
+),
+__post AS (SELECT t.doc_id, t.token, t.tf, w.w FROM __tf t JOIN __w w USING (token)),
+__dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(a.tf * b.tf * a.w) AS dot
+  FROM __post a JOIN __post b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+__dir AS (
+  SELECT doc_a AS doc_id, doc_b AS partner, dot FROM __dots
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS partner, dot FROM __dots
+),
+__r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY dot DESC, partner) AS rn
+  FROM __dir
+)
+SELECT doc_id, partner AS best_doc, CAST(dot AS BIGINT) AS dot
+FROM __r WHERE rn = 1"""
+
+
+# per-tool response latency (stages/relational.tool_latency): latency of
+# each tool turn to the NEXT turn of its conversation; conversation-final
+# tool turns excluded
+TOOL_LATENCY = f"""WITH {transcripts_sql_cte()},
+__o AS (
+  SELECT conv_id, turn_idx, tool, ts,
+         lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nts
+  FROM transcripts_v
+),
+__c AS (
+  SELECT tool,
+         CAST(date_diff('millisecond', ts, nts) AS BIGINT) AS ms
+  FROM __o WHERE tool IS NOT NULL AND nts IS NOT NULL
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(sum(ms) AS BIGINT) AS total_ms,
+       CAST(max(ms) AS BIGINT) AS max_ms
+FROM __c GROUP BY tool"""

@@ -895,3 +895,19 @@ def hits_scores(edges, src: str = "src", dst: str = "dst",
             "auth": a.to_numpy().astype(np.int64),
         }
     )
+
+
+def degree_centrality(edges, src: str = "src", dst: str = "dst",
+                      num_buckets: int = 16) -> pd.DataFrame:
+    """Degree centrality over the (symmetric distinct) edge list:
+    (node, deg, deg_bp) with ``deg_bp = 10000 * deg // (n_nodes - 1)``
+    — the normalized first-pass importance score of graph analytics
+    (exact integers; the float normalization is the caller's one
+    division). Single combiner pass (:func:`degree_ds`); the node count
+    is a metadata read of the merged node-bounded result."""
+    deg = degree_ds(edges, src, dst, num_buckets).to_pandas()
+    n = len(deg)
+    out = deg.sort_values("node").reset_index(drop=True)
+    out["deg"] = out["deg"].astype("int64")
+    out["deg_bp"] = (10000 * out["deg"] // max(n - 1, 1)).astype("int64")
+    return out

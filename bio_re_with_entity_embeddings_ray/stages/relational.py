@@ -2892,3 +2892,74 @@ def event_state_asof(events, num_buckets: int = 32):
         )
 
     return bucketed_group_apply(ev, "user_id", per_bucket, num_buckets)
+
+
+def tool_latency(transcripts, num_buckets: int = 32):
+    """Per-tool response-latency stats over the transcript stream: for
+    every tool turn, the latency to the NEXT turn in its conversation
+    (the tool's execution+response gap); aggregated per tool as
+    (tool, n_calls, total_ms, max_ms) — exact integers (mean is the
+    caller's one division). Tool turns that end their conversation have
+    no next turn and are excluded.
+
+    Scale shape: one conv-keyed exchange of a narrow (conv_id, turn_idx,
+    tool, ts) projection; per-bucket shifted diff; per-tool partials are
+    tool-vocabulary bounded and tree-merge."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"].astype("int64"),
+                "tool": batch["tool"],
+                "ts": batch["ts"],
+            }
+        )
+
+    ts = transcripts.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "tool": pd.Series([], dtype=object),
+                "n_calls": np.array([], np.int64),
+                "total_ms": np.array([], np.int64),
+                "max_ms": np.array([], np.int64),
+            }
+        )
+        if not len(b):
+            return empty
+        b = b.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        c = b["conv_id"].to_numpy()
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tool = b["tool"].to_numpy()
+        n = len(b)
+        has_next = np.zeros(n, dtype=bool)
+        has_next[:-1] = c[:-1] == c[1:]
+        is_call = pd.notna(b["tool"]).to_numpy() & has_next
+        if not is_call.any():
+            return empty
+        lat_ms = np.empty(n, dtype=np.int64)
+        lat_ms[:-1] = (t[1:] - t[:-1]) // 1000
+        g = pd.DataFrame(
+            {"tool": tool[is_call], "ms": lat_ms[is_call]}
+        ).groupby("tool", as_index=False).agg(
+            n_calls=("ms", "size"), total_ms=("ms", "sum"), max_ms=("ms", "max")
+        )
+        for col in ("n_calls", "total_ms", "max_ms"):
+            g[col] = g[col].astype("int64")
+        return g
+
+    partials = bucketed_group_apply(ts, "conv_id", per_bucket, num_buckets)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("tool", as_index=False).agg(
+            n_calls=("n_calls", "sum"),
+            total_ms=("total_ms", "sum"),
+            max_ms=("max_ms", "max"),
+        )
+
+    return merge_partials(
+        partials, "tool", combine, lambda b: b, num_buckets, plan="tree"
+    )

@@ -1446,3 +1446,112 @@ def collocations(docs, top: int = 20, min_n: int = 3, num_buckets: int = 16,
     return cand.repartition(1).map_batches(
         global_final, batch_format="pandas", batch_size=None
     )
+
+
+def nearest_doc(docs, num_buckets: int = 16, w_scale: int = 1_000_000):
+    """Per-document nearest neighbor under the
+    :func:`similar_doc_pairs` weighted dot product: for every doc with
+    at least one positive-dot partner, the argmax partner —
+    (doc_id, best_doc, dot), ties by smallest best_doc. The per-item
+    ANN answer next to similar_doc_pairs' global top-k.
+
+    Scale shape: same inverted-index pair expansion; pair dots merge per
+    pair-hash bucket, each pair then emits BOTH directions (doc_id,
+    partner, dot) and a doc-keyed bucketed max-reduce picks the winner —
+    two bounded exchanges, no driver state beyond the broadcast weights.
+    """
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+        merge_partials,
+    )
+
+    def local_postings(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        order = np.lexsort((codes, row_idx))
+        r, c = row_idx[order], codes[order]
+        change = np.ones(len(r), dtype=bool)
+        change[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, len(r))).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[r[starts]],
+                "token": vocab[c[starts]].astype(str),
+                "tf": tf,
+            }
+        )
+
+    postings = docs.map_batches(
+        local_postings, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    def local_df(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("token", as_index=False).agg(df=("doc_id", "size"))
+        g["df"] = g["df"].astype("int64")
+        return g
+
+    df_tab = merge_partials(
+        postings.map_batches(local_df, batch_format="pandas", batch_size=None),
+        "token",
+        lambda b: b.groupby("token", as_index=False)["df"].sum(),
+        lambda b: b,
+        num_buckets,
+    ).to_pandas()
+    w = w_scale // (df_tab["df"].to_numpy() ** 2)
+    w_map = ray.put(pd.Series(w, index=df_tab["token"])[w > 0])
+
+    def weighted(b: pd.DataFrame, _w=w_map) -> pd.DataFrame:
+        wm = ray.get(_w)
+        wv = b["token"].map(wm)
+        out = b[wv.notna()].copy(deep=False)
+        out["w"] = wv[wv.notna()].astype(np.int64)
+        return out
+
+    live = postings.map_batches(weighted, batch_format="pandas", batch_size=None)
+
+    def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on="token")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64),
+                 "dot": np.array([], np.int64)}
+            )
+        dot = m["tf_x"].to_numpy() * m["tf_y"].to_numpy() * m["w_x"].to_numpy()
+        return pd.DataFrame(
+            {"doc_a": m["doc_id_x"], "doc_b": m["doc_id_y"], "dot": dot}
+        ).groupby(["doc_a", "doc_b"], as_index=False)["dot"].sum()
+
+    partial = bucketed_group_apply(live, "token", pairs_of, num_buckets)
+
+    def pair_sum_both_dirs(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["doc_a", "doc_b"], as_index=False)["dot"].sum()
+        return pd.concat(
+            [
+                g.rename(columns={"doc_a": "doc_id", "doc_b": "partner"}),
+                g.rename(columns={"doc_b": "doc_id", "doc_a": "partner"}),
+            ],
+            ignore_index=True,
+        )[["doc_id", "partner", "dot"]]
+
+    directed = bucketed_group_apply(
+        partial, ["doc_a", "doc_b"], pair_sum_both_dirs, num_buckets
+    )
+
+    def best_of(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["doc_id", "dot", "partner"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        first = b.groupby("doc_id", as_index=False).first()
+        return pd.DataFrame(
+            {
+                "doc_id": first["doc_id"].astype("int64"),
+                "best_doc": first["partner"].astype("int64"),
+                "dot": first["dot"].astype("int64"),
+            }
+        )
+
+    return bucketed_group_apply(directed, "doc_id", best_of, num_buckets)

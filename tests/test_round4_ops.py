@@ -292,3 +292,55 @@ def test_combined_arrow_matches_pandas_property(ray_session, rows):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp[got.columns])
+
+
+def test_nearest_doc_vs_brute_force(ray_session):
+    from collections import Counter
+
+    from bio_re_with_entity_embeddings_ray.stages.textstats import nearest_doc
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(4, 10))) for _ in range(25)]
+    df = pd.DataFrame({"doc_id": np.arange(25, dtype=np.int64), "text": texts})
+    got = nearest_doc(rd.from_pandas(df), num_buckets=3).to_pandas()
+    tf = {i: Counter(t.split(" ")) for i, t in zip(df["doc_id"], df["text"])}
+    dfc = Counter()
+    for c in tf.values():
+        dfc.update(c.keys())
+    W = {t: 1_000_000 // (d * d) for t, d in dfc.items() if 1_000_000 // (d * d) > 0}
+    best = {}
+    for a in tf:
+        for b in tf:
+            if a == b:
+                continue
+            d = sum(tf[a][t] * tf[b][t] * W.get(t, 0) for t in tf[a])
+            if d > 0 and (a not in best or (d, -b) > (best[a][1], -best[a][0])):
+                best[a] = (b, d)
+    gm = {r["doc_id"]: (r["best_doc"], r["dot"]) for _, r in got.iterrows()}
+    assert gm == best
+
+
+def test_tool_latency_excludes_final_turns(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import tool_latency
+
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:00", "2026-01-01 00:00:02", "2026-01-01 00:00:05",
+         "2026-01-02 00:00:00", "2026-01-02 00:00:07"]
+    )
+    tr = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c1", "c2", "c2"],
+            "turn_idx": np.array([0, 1, 2, 0, 1], dtype=np.int32),
+            "role": ["user", "tool", "tool", "user", "tool"],
+            "text": ["a", "b", "c", "d", "e"],
+            # c1 turn2 is a conversation-final tool turn -> excluded
+            "tool": [None, "grep", "sed", None, None],
+            "ts": ts,
+        }
+    )
+    out = tool_latency(rd.from_pandas(tr), num_buckets=2).to_pandas()
+    m = {r["tool"]: r for _, r in out.iterrows()}
+    assert set(m) == {"grep"}
+    assert m["grep"]["n_calls"] == 1 and m["grep"]["total_ms"] == 3000
+    assert m["grep"]["max_ms"] == 3000
