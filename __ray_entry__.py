@@ -1639,6 +1639,37 @@ def _q_tool_latency(sf_dir: str):
     return relational.tool_latency(derive_transcripts(sf_dir), num_buckets=_NB)
 
 
+def _q_markov_next_token(sf_dir: str):
+    """Per-token next-token top-3 (bigram-LM conditional table); per-w1
+    bucket top-k is exact since a w1's successors co-locate."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages.textstats import markov_next_token
+
+    return markov_next_token(_docs(sf_dir), k=3, min_n=2, num_buckets=_NB)
+
+
+def _q_lang_share(sf_dir: str):
+    """Corpus language mix (lang_id heuristic) with share in basis
+    points — |langs|-bounded tree merge."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages.textstats import lang_share
+
+    return lang_share(_docs(sf_dir))
+
+
+def _q_time_to_first(sf_dir: str):
+    """Per-user conversion latency: ms from first event to first
+    'purchase' event (non-converts excluded)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return relational.time_to_first(ev, target_type="purchase", num_buckets=_NB)
+
+
 def _q_ontology_paths(sf_dir: str):
     """Transitive root-to-term ancestor paths over an is_a DAG (reference
     append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
@@ -2243,6 +2274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_centrality": _q_degree_centrality,
         "nearest_doc": _q_nearest_doc,
         "tool_latency": _q_tool_latency,
+        "markov_next_token": _q_markov_next_token,
+        "lang_share": _q_lang_share,
+        "time_to_first": _q_time_to_first,
         # --- deferred never-sampled (families already evidenced by green
         # sibling rows); also locally green - lead candidates for round 5 ---
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -2562,6 +2596,9 @@ def oracle_sql() -> dict[str, str]:
         "degree_centrality": oracles.DEGREE_CENTRALITY,
         "nearest_doc": oracles.NEAREST_DOC,
         "tool_latency": oracles.TOOL_LATENCY,
+        "markov_next_token": oracles.MARKOV_NEXT_TOKEN,
+        "lang_share": oracles.LANG_SHARE,
+        "time_to_first": oracles.TIME_TO_FIRST,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

@@ -2879,3 +2879,67 @@ SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
        CAST(sum(ms) AS BIGINT) AS total_ms,
        CAST(max(ms) AS BIGINT) AS max_ms
 FROM __c GROUP BY tool"""
+
+
+# per-token next-token top-k (stages/textstats.markov_next_token, k=3,
+# min total continuations 2)
+MARKOV_NEXT_TOKEN = """WITH __p AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+__ci AS (SELECT doc_id, parts, unnest(range(1, len(parts))) AS i FROM __p),
+__bg AS (SELECT parts[i] AS w1, parts[i + 1] AS w2 FROM __ci),
+__n AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM __bg GROUP BY 1, 2),
+__tot AS (SELECT w1, sum(n) AS tot FROM __n GROUP BY w1),
+__r AS (
+  SELECT n.w1, n.w2, n.n,
+         row_number() OVER (PARTITION BY n.w1 ORDER BY n.n DESC, n.w2) AS rnk
+  FROM __n n JOIN __tot t ON n.w1 = t.w1
+  WHERE t.tot >= 2
+)
+SELECT w1, w2, n, CAST(rnk AS BIGINT) AS rank FROM __r WHERE rnk <= 3"""
+
+
+# corpus language mix (stages/textstats.lang_share): lang_id's marker
+# heuristic (first match in priority order the/le/der/el), share in bp
+LANG_SHARE = """WITH __p AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+__tok AS (SELECT doc_id, unnest(parts) AS w FROM __p),
+__m AS (
+  SELECT doc_id,
+         max(CASE WHEN w = 'the' THEN 1 ELSE 0 END) AS has_en,
+         max(CASE WHEN w = 'le' THEN 1 ELSE 0 END) AS has_fr,
+         max(CASE WHEN w = 'der' THEN 1 ELSE 0 END) AS has_de,
+         max(CASE WHEN w = 'el' THEN 1 ELSE 0 END) AS has_es
+  FROM __tok GROUP BY doc_id
+),
+__l AS (
+  SELECT doc_id,
+         CASE WHEN has_en = 1 THEN 'en'
+              WHEN has_fr = 1 THEN 'fr'
+              WHEN has_de = 1 THEN 'de'
+              WHEN has_es = 1 THEN 'es'
+              ELSE 'und' END AS lang
+  FROM __m
+),
+__c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM __l GROUP BY lang),
+__t AS (SELECT sum(n_docs) AS total FROM __c)
+SELECT lang, n_docs,
+       CAST(10000 * n_docs // greatest((SELECT total FROM __t), 1) AS BIGINT)
+         AS share_bp
+FROM __c"""
+
+
+# conversion latency (stages/relational.time_to_first, target 'purchase'):
+# ms from a user's first event to their first target event; non-converts
+# excluded
+TIME_TO_FIRST = """WITH __f AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+__t AS (
+  SELECT user_id, min(ts) AS hit_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT f.user_id,
+       CAST(date_diff('millisecond', f.first_ts, t.hit_ts) AS BIGINT) AS ms
+FROM __f f JOIN __t t USING (user_id)"""

@@ -2940,8 +2940,10 @@ def tool_latency(transcripts, num_buckets: int = 32):
         is_call = pd.notna(b["tool"]).to_numpy() & has_next
         if not is_call.any():
             return empty
+        # millisecond BOUNDARY count (SQL date_diff semantics; differs
+        # from floor((b-a)/1000) on sub-millisecond components)
         lat_ms = np.empty(n, dtype=np.int64)
-        lat_ms[:-1] = (t[1:] - t[:-1]) // 1000
+        lat_ms[:-1] = t[1:] // 1000 - t[:-1] // 1000
         g = pd.DataFrame(
             {"tool": tool[is_call], "ms": lat_ms[is_call]}
         ).groupby("tool", as_index=False).agg(
@@ -2963,3 +2965,59 @@ def tool_latency(transcripts, num_buckets: int = 32):
     return merge_partials(
         partials, "tool", combine, lambda b: b, num_buckets, plan="tree"
     )
+
+
+def time_to_first(events, target_type: str = "purchase", num_buckets: int = 32):
+    """Conversion latency: per user, milliseconds from their FIRST event
+    (any type) to their first ``target_type`` event — (user_id, ms);
+    users who never convert are excluded (the SQL inner-join semantics).
+
+    Scale shape: one user-keyed exchange of a narrow projection;
+    per-bucket vectorized first/first-target via one mergesort + segment
+    boundaries."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_type": batch["event_type"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"].astype("int64"),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": np.array([], np.int64), "ms": np.array([], np.int64)}
+        )
+        if not len(b):
+            return empty
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = b["user_id"].to_numpy()
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(b)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        first_ts = t[np.flatnonzero(new)]  # per segment
+        seg = np.cumsum(new) - 1
+        is_t = (b["event_type"] == target_type).to_numpy()
+        if not is_t.any():
+            return empty
+        # first target row per segment: stable order => first hit wins
+        ti = np.flatnonzero(is_t)
+        keep = np.ones(len(ti), dtype=bool)
+        keep[1:] = seg[ti[1:]] != seg[ti[:-1]]
+        hit = ti[keep]
+        # millisecond BOUNDARY count (SQL date_diff semantics:
+        # floor(b/1000) - floor(a/1000), not floor((b-a)/1000) — they
+        # differ when timestamps carry sub-millisecond components)
+        return pd.DataFrame(
+            {
+                "user_id": u[hit],
+                "ms": t[hit] // 1000 - first_ts[seg[hit]] // 1000,
+            }
+        )
+
+    return bucketed_group_apply(ev, "user_id", per_bucket, num_buckets)

@@ -1555,3 +1555,93 @@ def nearest_doc(docs, num_buckets: int = 16, w_scale: int = 1_000_000):
         )
 
     return bucketed_group_apply(directed, "doc_id", best_of, num_buckets)
+
+
+def markov_next_token(docs, k: int = 3, min_n: int = 2, num_buckets: int = 16):
+    """Per-token next-token model (the autocomplete / bigram-LM table):
+    for every token with at least ``min_n`` adjacent continuations, its
+    top-``k`` successors by count — (w1, w2, n, rank), rank per w1 by
+    (n DESC, w2). The conditional-distribution view of
+    :func:`collocations`' joint one.
+
+    Scale shape: bigram count partials (vocabulary-bounded combiners)
+    merge per w1-hash bucket — every w1's successors land in ONE bucket,
+    so the per-bucket top-k is exact, no global pass needed."""
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+        merge_partials,
+    )
+
+    def bigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        if len(codes) < 2:
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=str), "w2": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        adj = row_idx[1:] == row_idx[:-1]
+        c1, c2 = codes[:-1][adj], codes[1:][adj]
+        g = (
+            pd.DataFrame({"w1": vocab[c1], "w2": vocab[c2]})
+            .groupby(["w1", "w2"], as_index=False).size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = docs.map_batches(
+        bigram_partial, batch_format="pandas", batch_size=None
+    )
+
+    def per_w1(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["w1", "w2"], as_index=False)["n"].sum()
+        tot = g.groupby("w1")["n"].transform("sum")
+        g = g[tot >= min_n]
+        if not len(g):
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=str), "w2": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64"),
+                 "rank": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["w1", "n", "w2"], ascending=[True, False, True],
+                          kind="mergesort")
+        g["rank"] = g.groupby("w1", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        g["rank"] = g["rank"].astype("int64")
+        return g.reset_index(drop=True)
+
+    return bucketed_group_apply(partials, "w1", per_w1, num_buckets)
+
+
+def lang_share(docs, scale: int = 10_000):
+    """Corpus language mix: per detected language (the :func:`lang_id`
+    marker heuristic), document count and share of the corpus in basis
+    points — (lang, n_docs, share_bp), exact integer division.
+
+    Scale shape: per-block language counts are |langs|-bounded partials;
+    one tiny tree merge; the total is the sum of the merged counts (no
+    second pass)."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(batch)
+        _, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        pred = _lang_pred(n_rows, row_idx, codes, vocab)
+        g = pd.DataFrame({"lang": pred}).groupby("lang", as_index=False).size()
+        g = g.rename(columns={"size": "n_docs"})
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False)["n_docs"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = combine(b).sort_values("lang").reset_index(drop=True)
+        total = int(b["n_docs"].sum())
+        b["share_bp"] = (scale * b["n_docs"] // max(total, 1)).astype("int64")
+        return b
+
+    return merge_partials(
+        docs.map_batches(partial, batch_format="pandas", batch_size=None),
+        "lang", combine, finalize, plan="tree",
+    )

@@ -344,3 +344,57 @@ def test_tool_latency_excludes_final_turns(ray_session):
     assert set(m) == {"grep"}
     assert m["grep"]["n_calls"] == 1 and m["grep"]["total_ms"] == 3000
     assert m["grep"]["max_ms"] == 3000
+
+
+def test_markov_next_token_vs_brute_force(ray_session):
+    from collections import Counter
+
+    from bio_re_with_entity_embeddings_ray.stages.textstats import (
+        markov_next_token,
+    )
+
+    texts = ["a b a b a c", "b a b", "c c c c", "z y"]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": texts})
+    got = markov_next_token(rd.from_pandas(df), k=2, min_n=2, num_buckets=3).to_pandas()
+    bg = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            bg[(a, b)] += 1
+    tot = Counter()
+    for (a, _), n in bg.items():
+        tot[a] += n
+    exp = []
+    for a in sorted(tot):
+        if tot[a] < 2:
+            continue
+        succ = sorted(
+            ((b, n) for (x, b), n in bg.items() if x == a),
+            key=lambda t: (-t[1], t[0]),
+        )[:2]
+        for rank, (b, n) in enumerate(succ, 1):
+            exp.append((a, b, n, rank))
+    assert sorted(zip(got["w1"], got["w2"], got["n"], got["rank"])) == sorted(exp)
+    # 'z' has only 1 continuation -> excluded by min_n
+    assert "z" not in set(got["w1"])
+
+
+def test_time_to_first_boundary_semantics(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import time_to_first
+
+    # sub-millisecond components: date_diff counts ms boundaries
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:00.000900", "2026-01-01 00:00:00.001100",
+         "2026-01-01 00:00:05.000000"]
+    )
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_type": ["view", "purchase", "view"],
+            "ts": ts,
+            "event_id": [1, 2, 3],
+        }
+    )
+    out = time_to_first(rd.from_pandas(ev), num_buckets=2).to_pandas()
+    # (1100us -> 1ms boundary) - (900us -> 0ms boundary) = 1, not 0
+    assert dict(zip(out["user_id"], out["ms"])) == {1: 1}  # user 2 never converts
