@@ -1670,6 +1670,31 @@ def _q_time_to_first(sf_dir: str):
     return relational.time_to_first(ev, target_type="purchase", num_buckets=_NB)
 
 
+def _q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node (integer bp) over the
+    co-occurrence graph — triangle closure + degree composition."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    return graph.clustering_coeff(_cooc_edges(sf_dir), num_buckets=_NB)
+
+
+def _q_degree_mixing(sf_dir: str):
+    """Degree-assortativity sufficient statistics (six exact int64
+    accumulators; Pearson is one driver-side float away)."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    return graph.degree_mixing(_cooc_edges(sf_dir), num_buckets=_NB)
+
+
+def _q_cluster_size_hist(sf_dir: str):
+    """Near-dup cluster-size histogram over the duplicated corpus
+    (LSH star pairs -> connected components -> size counts)."""
+    quiet_ray_data()
+    return dedup.cluster_size_hist(_corpus(sf_dir), k=3, num_buckets=_NB)
+
+
 def _q_ontology_paths(sf_dir: str):
     """Transitive root-to-term ancestor paths over an is_a DAG (reference
     append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
@@ -2277,6 +2302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_next_token": _q_markov_next_token,
         "lang_share": _q_lang_share,
         "time_to_first": _q_time_to_first,
+        "clustering_coeff": _q_clustering_coeff,
+        "degree_mixing": _q_degree_mixing,
+        "cluster_size_hist": _q_cluster_size_hist,
         # --- deferred never-sampled (families already evidenced by green
         # sibling rows); also locally green - lead candidates for round 5 ---
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -2599,6 +2627,9 @@ def oracle_sql() -> dict[str, str]:
         "markov_next_token": oracles.MARKOV_NEXT_TOKEN,
         "lang_share": oracles.LANG_SHARE,
         "time_to_first": oracles.TIME_TO_FIRST,
+        "clustering_coeff": oracles.CLUSTERING_COEFF,
+        "degree_mixing": oracles.DEGREE_MIXING,
+        "cluster_size_hist": oracles.CLUSTER_SIZE_HIST,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

@@ -2943,3 +2943,58 @@ __t AS (
 SELECT f.user_id,
        CAST(date_diff('millisecond', f.first_ts, t.hit_ts) AS BIGINT) AS ms
 FROM __f f JOIN __t t USING (user_id)"""
+
+
+# local clustering coefficient (stages/graph.clustering_coeff):
+# cc_bp = 10000 * 2 * triangles // (deg * (deg - 1)), deg >= 2 only
+CLUSTERING_COEFF = f"""WITH {_COOC_EDGES},
+__deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM __e GROUP BY src),
+__rank AS (
+  SELECT node, row_number() OVER (ORDER BY deg, node) AS rk FROM __deg
+),
+__o AS (
+  SELECT e.src AS a, e.dst AS b
+  FROM __e e
+  JOIN __rank ra ON e.src = ra.node
+  JOIN __rank rb ON e.dst = rb.node
+  WHERE ra.rk < rb.rk
+),
+__tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM __o x
+  JOIN __o y ON x.a = y.a AND x.b <> y.b
+  JOIN __o z ON z.a = x.b AND z.b = y.b
+),
+__t AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM __tri
+    UNION ALL SELECT b FROM __tri
+    UNION ALL SELECT c FROM __tri
+  ) GROUP BY node
+)
+SELECT d.node, d.deg, COALESCE(t.triangles, 0) AS triangles,
+       CAST(20000 * COALESCE(t.triangles, 0) // (d.deg * (d.deg - 1))
+            AS BIGINT) AS cc_bp
+FROM __deg d LEFT JOIN __t t USING (node)
+WHERE d.deg >= 2"""
+
+
+# degree-assortativity sufficient statistics (stages/graph.degree_mixing)
+DEGREE_MIXING = f"""WITH {_COOC_EDGES},
+__deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM __e GROUP BY src)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(dx.deg) AS BIGINT) AS sum_x,
+       CAST(sum(dy.deg) AS BIGINT) AS sum_y,
+       CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sum_xy,
+       CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sum_x2,
+       CAST(sum(dy.deg * dy.deg) AS BIGINT) AS sum_y2
+FROM __e e JOIN __deg dx ON e.src = dx.node JOIN __deg dy ON e.dst = dy.node"""
+
+
+# near-dup cluster-size histogram (stages/dedup.cluster_size_hist):
+# CC over the star pair graph, clusters counted per size
+CLUSTER_SIZE_HIST = f"""WITH RECURSIVE __pairs AS ({MINHASH_LSH_STAR}),
+{_cc_closure_cte("__pairs")},
+__s AS (SELECT r, CAST(count(*) AS BIGINT) AS size FROM __cc GROUP BY r)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM __s GROUP BY size"""

@@ -1047,3 +1047,45 @@ def minhash_verified_pairs(
         },
     )
     return verified.select_columns(["doc_a", "doc_b", "inter", "size_a", "size_b"])
+
+
+def cluster_size_hist(docs, k: int = 3, num_buckets: int = 64):
+    """Near-dup cluster-size histogram: resolve MinHash-LSH star pairs
+    into connected components, then count clusters per size —
+    (size, n_clusters), size >= 2 (singletons never enter the pair
+    graph). The dedup QA dashboard number: how much of the corpus sits
+    in 2-clusters vs giant blobs.
+
+    Scale shape: composition of verified passes (star pairs -> CC) plus
+    one cluster-keyed count combiner and a size-bounded tree merge —
+    cluster ids never funnel through a single task until the final
+    |distinct sizes|-row histogram."""
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+        merge_partials,
+    )
+
+    pairs = minhash_lsh_pairs(docs, k, num_buckets, star=True)
+    cc = connected_components(pairs, num_buckets)
+
+    def per_cluster(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("cluster_id", as_index=False).agg(
+            size=("doc_id", "size")
+        )
+        g["size"] = g["size"].astype("int64")
+        return g
+
+    sizes = bucketed_group_apply(cc, "cluster_id", per_cluster, num_buckets)
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("size", as_index=False).agg(n_clusters=("size", "size"))
+        g["n_clusters"] = g["n_clusters"].astype("int64")
+        return g
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("size", as_index=False)["n_clusters"].sum()
+
+    return merge_partials(
+        sizes.map_batches(hist_partial, batch_format="pandas", batch_size=None),
+        "size", combine, lambda b: b, num_buckets, plan="tree",
+    )

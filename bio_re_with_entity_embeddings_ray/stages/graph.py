@@ -911,3 +911,80 @@ def degree_centrality(edges, src: str = "src", dst: str = "dst",
     out["deg"] = out["deg"].astype("int64")
     out["deg_bp"] = (10000 * out["deg"] // max(n - 1, 1)).astype("int64")
     return out
+
+
+def clustering_coeff(edges, src: str = "src", dst: str = "dst",
+                     num_buckets: int = 16,
+                     broadcast_max_rows: int = 5_000_000) -> pd.DataFrame:
+    """Local clustering coefficient per node in integer basis points:
+    ``cc_bp = 10000 * 2 * triangles // (deg * (deg - 1))`` over the
+    symmetric distinct edge list — how tightly a node's neighborhood
+    closes (the KG community-structure signal). Nodes of degree < 2 are
+    excluded (undefined denominator). Composition of two verified
+    passes: :func:`triangle_counts` (degree-ordered wedge closure,
+    O(E^1.5)) and :func:`degree_ds`; both node-bounded."""
+    edges = edges.materialize()  # two consumers: wedge closure + degrees
+    tri = triangle_counts(
+        edges, src, dst, num_buckets, broadcast_max_rows
+    ).to_pandas()
+    deg = degree_table(edges, src, dst, num_buckets)
+    m = deg[deg["deg"] >= 2].merge(tri, on="node", how="left")
+    t = m["triangles"].fillna(0).astype("int64")
+    out = pd.DataFrame(
+        {
+            "node": m["node"],
+            "deg": m["deg"].astype("int64"),
+            "triangles": t,
+            "cc_bp": (20000 * t // (m["deg"] * (m["deg"] - 1))).astype("int64"),
+        }
+    )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def degree_mixing(edges, src: str = "src", dst: str = "dst",
+                  num_buckets: int = 16) -> pd.DataFrame:
+    """Degree-assortativity sufficient statistics over the symmetric
+    edge list: one row of EXACT int64 accumulators
+    (n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2) where x/y are the
+    endpoint degrees of each directed edge — the Pearson correlation is
+    one driver-side float expression away, while the distributed part
+    stays bit-stable for the oracle (the embedding_covariance
+    discipline).
+
+    Scale shape: degrees broadcast once (node-bounded Arrow arrays);
+    one narrow edges pass emits per-block partial sums (6 ints/block);
+    lazy tree merge."""
+    import pyarrow as pa
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    deg = degree_table(edges, src, dst, num_buckets)
+    deg_ref = ray.put(pd.Series(deg["deg"].to_numpy(), index=deg["node"]))
+
+    def partial(batch: pd.DataFrame, _d=deg_ref) -> pd.DataFrame:
+        dm = ray.get(_d)
+        x = batch[src].map(dm).to_numpy().astype(np.int64)
+        y = batch[dst].map(dm).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, dtype=np.int64),
+                "n_edges": [np.int64(len(batch))],
+                "sum_x": [x.sum()],
+                "sum_y": [y.sum()],
+                "sum_xy": [(x * y).sum()],
+                "sum_x2": [(x * x).sum()],
+                "sum_y2": [(y * y).sum()],
+            }
+        )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("k", as_index=False).sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return combine(b).drop(columns=["k"])
+
+    return merge_partials(
+        edges.map_batches(partial, batch_format="pandas"),
+        "k", combine, finalize, num_buckets, plan="tree",
+    )

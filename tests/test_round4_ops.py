@@ -398,3 +398,55 @@ def test_time_to_first_boundary_semantics(ray_session):
     out = time_to_first(rd.from_pandas(ev), num_buckets=2).to_pandas()
     # (1100us -> 1ms boundary) - (900us -> 0ms boundary) = 1, not 0
     assert dict(zip(out["user_id"], out["ms"])) == {1: 1}  # user 2 never converts
+
+
+def _sym_edges(und):
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    return rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]))
+
+
+def test_clustering_coeff_brute_force(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    # triangle 0-1-2 + pendant 3 on node 2 + square 4-5-6-7 (no diagonal)
+    und = [("n0", "n1"), ("n1", "n2"), ("n0", "n2"), ("n2", "n3"),
+           ("n4", "n5"), ("n5", "n6"), ("n6", "n7"), ("n4", "n7")]
+    out = graph.clustering_coeff(_sym_edges(und), num_buckets=3)
+    m = {r["node"]: r for _, r in out.iterrows()}
+    assert m["n0"]["cc_bp"] == 10000 and m["n1"]["cc_bp"] == 10000
+    # n2: deg 3, one triangle -> 2*1/(3*2) = 1/3
+    assert m["n2"]["deg"] == 3 and m["n2"]["cc_bp"] == 20000 // 6
+    assert "n3" not in m  # degree 1 excluded
+    assert m["n4"]["cc_bp"] == 0  # square has no triangles
+
+
+def test_degree_mixing_sufficient_stats(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    out = graph.degree_mixing(_sym_edges(und), num_buckets=3).to_pandas()
+    deg = {"a": 2, "b": 2, "c": 3, "d": 1}
+    xs, ys = [], []
+    for a, b in und:
+        for s, t in ((a, b), (b, a)):
+            xs.append(deg[s]); ys.append(deg[t])
+    r = out.iloc[0]
+    assert r["n_edges"] == 8
+    assert r["sum_x"] == sum(xs) and r["sum_y"] == sum(ys)
+    assert r["sum_xy"] == sum(x * y for x, y in zip(xs, ys))
+    assert r["sum_x2"] == sum(x * x for x in xs)
+    assert r["sum_y2"] == sum(y * y for y in ys)
+
+
+def test_cluster_size_hist_planted(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages import dedup
+
+    # 3 exact copies of one text and 2 of another -> clusters of 3 and 2
+    texts = (["alpha beta gamma delta epsilon zeta"] * 3
+             + ["one two three four five six"] * 2
+             + ["totally unrelated words entirely here now"])
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64), "text": texts})
+    )
+    out = dedup.cluster_size_hist(docs, k=3, num_buckets=4).to_pandas()
+    assert dict(zip(out["size"], out["n_clusters"])) == {3: 1, 2: 1}
