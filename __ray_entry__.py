@@ -1695,6 +1695,45 @@ def _q_cluster_size_hist(sf_dir: str):
     return dedup.cluster_size_hist(_corpus(sf_dir), k=3, num_buckets=_NB)
 
 
+def _q_rel_q4(sf_dir: str):
+    """TPC-H Q4 shape: late-shipped orders per priority (EXISTS probe as
+    an orderkey co-partitioned join)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    l = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_shipdate"])
+    return relational.late_orders_by_priority(o, l, num_buckets=_NB)
+
+
+def _q_rel_q12(sf_dir: str):
+    """TPC-H Q12 shape: per returnflag, lineitems of high- vs
+    low-priority orders."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority"])
+    l = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_returnflag"])
+    return relational.priority_line_counts(o, l, num_buckets=_NB)
+
+
+def _q_rel_q14(sf_dir: str):
+    """TPC-H Q14 shape: PROMO revenue share in bp (dimension partkey set
+    broadcast once; one narrow lineitem pass)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    l = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_extendedprice", "l_discount"])
+    p = rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_type"])
+    return relational.promo_revenue_share(l, p, num_buckets=_NB)
+
+
 def _q_ontology_paths(sf_dir: str):
     """Transitive root-to-term ancestor paths over an is_a DAG (reference
     append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
@@ -2305,6 +2344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering_coeff,
         "degree_mixing": _q_degree_mixing,
         "cluster_size_hist": _q_cluster_size_hist,
+        "rel_q4": _q_rel_q4,
+        "rel_q12": _q_rel_q12,
+        "rel_q14": _q_rel_q14,
         # --- deferred never-sampled (families already evidenced by green
         # sibling rows); also locally green - lead candidates for round 5 ---
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -2630,6 +2672,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": oracles.CLUSTERING_COEFF,
         "degree_mixing": oracles.DEGREE_MIXING,
         "cluster_size_hist": oracles.CLUSTER_SIZE_HIST,
+        "rel_q4": oracles.REL_Q4,
+        "rel_q12": oracles.REL_Q12,
+        "rel_q14": oracles.REL_Q14,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

@@ -2998,3 +2998,41 @@ CLUSTER_SIZE_HIST = f"""WITH RECURSIVE __pairs AS ({MINHASH_LSH_STAR}),
 __s AS (SELECT r, CAST(count(*) AS BIGINT) AS size FROM __cc GROUP BY r)
 SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM __s GROUP BY size"""
+
+
+# TPC-H Q4 shape (stages/relational.late_orders_by_priority): orders
+# with >= 1 lineitem shipped after the order date, counted per priority
+REL_Q4 = """SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o.o_orderpriority"""
+
+
+# TPC-H Q12 shape (stages/relational.priority_line_counts): per
+# returnflag, lineitems of HIGH-priority orders vs lower
+REL_Q12 = """SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_returnflag"""
+
+
+# TPC-H Q14 shape (stages/relational.promo_revenue_share): PROMO parts'
+# revenue share in bp, per-row floored cents (the rel_q3 discipline)
+REL_Q14 = """WITH __c AS (
+  SELECT CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS cents,
+         CAST(p.p_type = 'PROMO' AS INT) AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT CAST(sum(cents * is_promo) AS BIGINT) AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(10000 * sum(cents * is_promo) // greatest(sum(cents), 1)
+            AS BIGINT) AS promo_bp
+FROM __c"""

@@ -3021,3 +3021,183 @@ def time_to_first(events, target_type: str = "purchase", num_buckets: int = 32):
         )
 
     return bucketed_group_apply(ev, "user_id", per_bucket, num_buckets)
+
+
+def late_orders_by_priority(orders, lineitem, num_buckets: int = 32):
+    """TPC-H Q4 shape adapted to this schema: per ``o_orderpriority``,
+    the number of orders with at least one lineitem shipped AFTER the
+    order date (the late-shipment audit). Returns (o_orderpriority,
+    n_late_orders).
+
+    Scale shape: both sides project to (orderkey, date[, priority]) and
+    co-partition by orderkey hash (tagged union — the EXISTS probe needs
+    the order's own date, so it is a join, not a semi-join); per-bucket
+    vectorized any-late per order; priority-bounded count partials tree
+    merge."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "orderkey": b["o_orderkey"].astype("int64"),
+                "dt": b["o_orderdate"],
+                "pri": b["o_orderpriority"],
+                "side": np.int64(0),
+            }
+        )
+
+    def tag_lines(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "orderkey": b["l_orderkey"].astype("int64"),
+                "dt": b["l_shipdate"],
+                "pri": "",
+                "side": np.int64(1),
+            }
+        )
+
+    u = orders.map_batches(tag_orders, batch_format="pandas", batch_size=None).union(
+        lineitem.map_batches(tag_lines, batch_format="pandas", batch_size=None)
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        o = b[b["side"] == 0]
+        l = b[b["side"] == 1]
+        m = o.merge(l, on="orderkey", suffixes=("_o", "_l"))
+        late = m[m["dt_l"] > m["dt_o"]].drop_duplicates("orderkey")
+        g = late.groupby("pri_o", as_index=False).agg(
+            n_late_orders=("orderkey", "size")
+        )
+        g = g.rename(columns={"pri_o": "o_orderpriority"})
+        g["n_late_orders"] = g["n_late_orders"].astype("int64")
+        return g
+
+    partials = bucketed_group_apply(u, "orderkey", per_bucket, num_buckets)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderpriority", as_index=False)["n_late_orders"].sum()
+
+    return merge_partials(
+        partials, "o_orderpriority", combine, lambda b: b, num_buckets,
+        plan="tree",
+    )
+
+
+def priority_line_counts(orders, lineitem, num_buckets: int = 32):
+    """TPC-H Q12 shape adapted to this schema: per ``l_returnflag``, how
+    many lineitems belong to HIGH-priority orders (1-URGENT / 2-HIGH)
+    vs lower — (l_returnflag, high_line_count, low_line_count).
+
+    Scale shape: the order->priority side reduces to (orderkey,
+    is_high int) and co-partitions with the lineitem projection by
+    orderkey; per-bucket C-level join + bincount; flag-bounded tree
+    merge."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        hi = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return pd.DataFrame(
+            {
+                "orderkey": b["o_orderkey"].astype("int64"),
+                "flag": "",
+                "hi": hi.to_numpy().astype(np.int64),
+                "side": np.int64(0),
+            }
+        )
+
+    def tag_lines(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "orderkey": b["l_orderkey"].astype("int64"),
+                "flag": b["l_returnflag"],
+                "hi": np.int64(0),
+                "side": np.int64(1),
+            }
+        )
+
+    u = orders.map_batches(tag_orders, batch_format="pandas", batch_size=None).union(
+        lineitem.map_batches(tag_lines, batch_format="pandas", batch_size=None)
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        o = b.loc[b["side"] == 0, ["orderkey", "hi"]]
+        l = b.loc[b["side"] == 1, ["orderkey", "flag"]]
+        m = l.merge(o, on="orderkey")
+        g = m.groupby("flag", as_index=False).agg(
+            high_line_count=("hi", "sum"),
+            n=("hi", "size"),
+        )
+        g["low_line_count"] = (g["n"] - g["high_line_count"]).astype("int64")
+        g["high_line_count"] = g["high_line_count"].astype("int64")
+        return g.rename(columns={"flag": "l_returnflag"})[
+            ["l_returnflag", "high_line_count", "low_line_count"]
+        ]
+
+    partials = bucketed_group_apply(u, "orderkey", per_bucket, num_buckets)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_returnflag", as_index=False).agg(
+            high_line_count=("high_line_count", "sum"),
+            low_line_count=("low_line_count", "sum"),
+        )
+
+    return merge_partials(
+        partials, "l_returnflag", combine, lambda b: b, num_buckets,
+        plan="tree",
+    )
+
+
+def promo_revenue_share(lineitem, part, num_buckets: int = 32):
+    """TPC-H Q14 shape adapted to this schema: revenue share of PROMO
+    parts in basis points — one row
+    (promo_cents, total_cents, promo_bp) with per-row
+    ``floor(l_extendedprice * (1 - l_discount) * 100)`` cents (the
+    rel_q3 discipline) summed exactly.
+
+    Scale shape: the promo partkey set is dimension-bounded and
+    broadcasts once (``ray.put`` Arrow array + ``pc.is_in``); ONE narrow
+    lineitem pass emits two int64 partial sums per block; tree merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    promo = part.map_batches(
+        lambda b: b.loc[b["p_type"] == "PROMO", ["p_partkey"]],
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    ref = ray.put(pa.array(promo["p_partkey"].astype("int64").to_numpy()))
+
+    def partial(batch: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        keys = ray.get(_r)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy()
+            * (1 - batch["l_discount"].to_numpy()) * 100
+        ).astype(np.int64)
+        is_promo = pc.is_in(
+            pa.array(batch["l_partkey"].astype("int64").to_numpy()),
+            value_set=keys,
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, dtype=np.int64),
+                "promo_cents": [cents[is_promo].sum()],
+                "total_cents": [cents.sum()],
+            }
+        )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("k", as_index=False).sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = combine(b)
+        b["promo_bp"] = (
+            10000 * b["promo_cents"] // b["total_cents"].clip(lower=1)
+        ).astype("int64")
+        return b.drop(columns=["k"])
+
+    return merge_partials(
+        lineitem.map_batches(partial, batch_format="pandas"),
+        "k", combine, finalize, num_buckets, plan="tree",
+    )
