@@ -1734,6 +1734,32 @@ def _q_rel_q14(sf_dir: str):
     return relational.promo_revenue_share(l, p, num_buckets=_NB)
 
 
+def _q_kg_incremental(sf_dir: str):
+    """Incremental KG materialization: the corpus splits into two
+    disjoint shards (doc_id parity), each builds its own aggregated
+    triples table, and incremental_triples merges them WITHOUT touching
+    the mention streams — the result must equal the full-corpus rebuild
+    (the oracle is the plain TRIPLES SQL)."""
+    import pyarrow.compute as pc
+
+    from bio_re_with_entity_embeddings_ray.sources.transcripts import derive_batch
+
+    quiet_ray_data()
+
+    def shard(par: int):
+        docs = _docs(sf_dir).map_batches(
+            lambda b, p=par: b.filter(
+                pc.equal(pc.bit_wise_and(b["doc_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+        ts = docs.map_batches(derive_batch, batch_format="pyarrow")
+        m = mstage.scan_mentions(ts, include_tool=True)
+        return pstage.triples(m, "op", "res", "applies_to", _NB)
+
+    return pstage.incremental_triples(shard(0), shard(1), num_buckets=_NB)
+
+
 def _q_ontology_paths(sf_dir: str):
     """Transitive root-to-term ancestor paths over an is_a DAG (reference
     append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
@@ -2347,6 +2373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q4": _q_rel_q4,
         "rel_q12": _q_rel_q12,
         "rel_q14": _q_rel_q14,
+        "kg_incremental": _q_kg_incremental,
         # --- deferred never-sampled (families already evidenced by green
         # sibling rows); also locally green - lead candidates for round 5 ---
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -2675,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q4": oracles.REL_Q4,
         "rel_q12": oracles.REL_Q12,
         "rel_q14": oracles.REL_Q14,
+        "kg_incremental": oracles.KG_INCREMENTAL,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

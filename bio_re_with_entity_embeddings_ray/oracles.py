@@ -3036,3 +3036,9 @@ SELECT CAST(sum(cents * is_promo) AS BIGINT) AS promo_cents,
        CAST(10000 * sum(cents * is_promo) // greatest(sum(cents), 1)
             AS BIGINT) AS promo_bp
 FROM __c"""
+
+
+# incremental KG merge (stages/pairs.incremental_triples): two disjoint
+# half-corpus KGs merged == the full-corpus rebuild, so the oracle IS the
+# full TRIPLES query
+KG_INCREMENTAL = TRIPLES

@@ -665,3 +665,42 @@ def functional_violations(triples, min_objs: int = 2, num_buckets: int = 16):
     return merge_partials(
         partials, ["subj_id", "pred"], combine, finalize, num_buckets
     )
+
+
+def incremental_triples(prior, delta, num_buckets: int = 64):
+    """Incremental KG materialization: merge a PRIOR aggregated triples
+    table with a NEW shard's triples — per (subj_id, pred, obj_id), the
+    sorted union of the packed conv sets with ``support`` recomputed as
+    the union size. Because conversation universes of distinct crawl
+    shards are disjoint, the incremental merge is EXACTLY equal to a
+    full rebuild over the union corpus — which is how the driver oracle
+    checks it (the query merges two half-corpus KGs and compares against
+    the full-corpus TRIPLES SQL).
+
+    Scale shape: one (subj, pred, obj)-keyed exchange of the two
+    aggregated tables (pair-bounded, never the mention streams); the
+    per-key union is the all-Arrow explode + re-pack combiner
+    (:func:`~bio_re_with_entity_embeddings_ray.stages.aggregate.explode_packed`).
+    History never recomputes — the whole point of incremental ingest.
+    """
+    from bio_re_with_entity_embeddings_ray.stages.aggregate import (
+        SET_SEP,
+        explode_packed,
+        pack_sorted_distinct,
+    )
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+    )
+
+    keys = ["subj_id", "pred", "obj_id"]
+    u = prior.select_columns([*keys, "conv_ids"]).union(
+        delta.select_columns([*keys, "conv_ids"])
+    )
+
+    def per_key(bucket: pd.DataFrame) -> pd.DataFrame:
+        ex = explode_packed(bucket, keys, "conv_ids")
+        p = pack_sorted_distinct(ex, keys, "conv_ids", "conv_ids")
+        p["support"] = (p["conv_ids"].str.count(SET_SEP) + 1).astype("int64")
+        return p[[*keys, "conv_ids", "support"]]
+
+    return bucketed_group_apply(u, keys, per_key, num_buckets)

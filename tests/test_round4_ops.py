@@ -450,3 +450,37 @@ def test_cluster_size_hist_planted(ray_session):
     )
     out = dedup.cluster_size_hist(docs, k=3, num_buckets=4).to_pandas()
     assert dict(zip(out["size"], out["n_clusters"])) == {3: 1, 2: 1}
+
+
+def test_incremental_triples_union_semantics(ray_session):
+    """Merging triples tables unions conv sets per key — including the
+    NON-disjoint case (recrawled conversations dedupe, support counts
+    the union)."""
+    from bio_re_with_entity_embeddings_ray.stages.pairs import incremental_triples
+
+    prior = pd.DataFrame(
+        {
+            "subj_id": ["s1", "s2"],
+            "pred": ["applies_to"] * 2,
+            "obj_id": ["o1", "o2"],
+            "conv_ids": ["c1;;;c2", "c5"],
+            "support": np.array([2, 1], dtype=np.int64),
+        }
+    )
+    delta = pd.DataFrame(
+        {
+            "subj_id": ["s1", "s3"],
+            "pred": ["applies_to"] * 2,
+            "obj_id": ["o1", "o3"],
+            "conv_ids": ["c2;;;c3", "c9"],  # c2 recrawled -> dedupes
+            "support": np.array([2, 1], dtype=np.int64),
+        }
+    )
+    out = (
+        incremental_triples(rd.from_pandas(prior), rd.from_pandas(delta), 2)
+        .to_pandas()
+        .set_index("subj_id")
+    )
+    assert out.loc["s1", "conv_ids"] == "c1;;;c2;;;c3"
+    assert out.loc["s1", "support"] == 3
+    assert out.loc["s2", "support"] == 1 and out.loc["s3", "support"] == 1
