@@ -1760,6 +1760,27 @@ def _q_kg_incremental(sf_dir: str):
     return pstage.incremental_triples(shard(0), shard(1), num_buckets=_NB)
 
 
+def _q_cooc_weights(sf_dir: str):
+    """Support-weighted co-occurrence edges (w = distinct shared
+    conversations per entity pair)."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    return graph.cooccurrence_weights(_all_mentions(sf_dir), num_buckets=_NB)
+
+
+def _q_pagerank_weighted(sf_dir: str):
+    """Integer-exact weighted PageRank (mass splits proportionally to
+    co-occurrence support; per-edge pinned floor contributions)."""
+    quiet_ray_data()
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    return graph.pagerank_weighted(
+        graph.cooccurrence_weights(_all_mentions(sf_dir), num_buckets=_NB),
+        iters=2, num_buckets=_NB,
+    )
+
+
 def _q_ontology_paths(sf_dir: str):
     """Transitive root-to-term ancestor paths over an is_a DAG (reference
     append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
@@ -2374,6 +2395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q12": _q_rel_q12,
         "rel_q14": _q_rel_q14,
         "kg_incremental": _q_kg_incremental,
+        "cooc_weights": _q_cooc_weights,
+        "pagerank_weighted": _q_pagerank_weighted,
         # --- deferred never-sampled (families already evidenced by green
         # sibling rows); also locally green - lead candidates for round 5 ---
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -2703,6 +2726,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_q12": oracles.REL_Q12,
         "rel_q14": oracles.REL_Q14,
         "kg_incremental": oracles.KG_INCREMENTAL,
+        "cooc_weights": oracles.COOC_WEIGHTS,
+        "pagerank_weighted": oracles.PAGERANK_WEIGHTED,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

@@ -3042,3 +3042,57 @@ FROM __c"""
 # half-corpus KGs merged == the full-corpus rebuild, so the oracle IS the
 # full TRIPLES query
 KG_INCREMENTAL = TRIPLES
+
+
+# weighted co-occurrence edges (stages/graph.cooccurrence_weights):
+# w = number of distinct shared conversations per entity pair
+_COOC_W = f"""{kg_cte()},
+__dm AS (SELECT DISTINCT conv_id, entity_id FROM __mentions),
+__undw AS (
+  SELECT a.entity_id AS lo, b.entity_id AS hi, CAST(count(*) AS BIGINT) AS w
+  FROM __dm a JOIN __dm b
+    ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+__ew AS (
+  SELECT lo AS src, hi AS dst, w FROM __undw
+  UNION ALL
+  SELECT hi AS src, lo AS dst, w FROM __undw
+)"""
+
+COOC_WEIGHTS = f"""WITH {_COOC_W}
+SELECT src, dst, w FROM __ew"""
+
+
+def _pagerank_w_iter_cte(i: int, prev: str) -> str:
+    return f"""r{i} AS (
+  SELECT n.node,
+         (SELECT b FROM __base) + COALESCE(s.c, 0) AS r
+  FROM __nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((85 * ((p.r * e.w) // wt.W)) // 100) AS c
+    FROM __ew e
+    JOIN {prev} p ON e.src = p.node
+    JOIN __W wt ON e.src = wt.node
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+
+
+# integer-exact weighted PageRank (stages/graph.pagerank_weighted,
+# iters=2, damping 85/100, scale 10^9): per-edge floor contribution
+# (85 * ((r*w) // W_u)) // 100 — the same pinned-floor discipline as
+# the unweighted PAGERANK recurrence
+PAGERANK_WEIGHTED = f"""WITH {_COOC_W},
+__W AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS W FROM __ew GROUP BY src),
+__nodes AS (SELECT node FROM __W),
+__n AS (SELECT count(*) AS n FROM __nodes),
+__base AS (
+  SELECT ((100 - 85) * (1000000000 // n)) // 100 AS b FROM __n
+),
+r0 AS (
+  SELECT node, 1000000000 // (SELECT n FROM __n) AS r FROM __nodes
+),
+{_pagerank_w_iter_cte(1, "r0")},
+{_pagerank_w_iter_cte(2, "r1")}
+SELECT node, CAST(r AS BIGINT) AS rank_nano FROM r2"""

@@ -988,3 +988,137 @@ def degree_mixing(edges, src: str = "src", dst: str = "dst",
         edges.map_batches(partial, batch_format="pandas"),
         "k", combine, finalize, num_buckets, plan="tree",
     )
+
+
+def cooccurrence_weights(mentions, num_buckets: int = 16):
+    """WEIGHTED symmetric co-occurrence edge list: (src, dst, w) where
+    ``w`` = number of distinct conversations in which the two entities
+    co-occur — the support-weighted companion of
+    :func:`cooccurrence_graph` (whose edges are the w >= 1 projection).
+
+    Same shape: per-conv pair expansion bounded by conversation size;
+    per-block pair-count partials (one row per (pair, block)) merge
+    through the measured plan — a hot pair ships one int per block."""
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        dm = bucket[["conv_id", "entity_id"]].drop_duplicates()
+        b = dm.sort_values(["conv_id", "entity_id"], kind="mergesort")
+        ent = b["entity_id"].to_numpy()
+        lo_idx, hi_idx = segment_pairs(b["conv_id"].to_numpy())
+        if len(lo_idx) == 0:
+            return pd.DataFrame(
+                {"lo": pd.Series([], dtype=object),
+                 "hi": pd.Series([], dtype=object),
+                 "w": np.array([], np.int64)}
+            )
+        g = (
+            pd.DataFrame({"lo": ent[lo_idx], "hi": ent[hi_idx]})
+            .groupby(["lo", "hi"], as_index=False).size()
+            .rename(columns={"size": "w"})
+        )
+        g["w"] = g["w"].astype("int64")
+        return g
+
+    pairs = bucketed_group_apply(mentions, "conv_id", per_conv, num_buckets)
+
+    und = merge_partials(
+        pairs,
+        ["lo", "hi"],
+        lambda b: b.groupby(["lo", "hi"], as_index=False)["w"].sum(),
+        lambda b: b,
+        num_buckets,
+    )
+
+    def flip(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([batch["lo"].to_numpy(), batch["hi"].to_numpy()]),
+                "dst": np.concatenate([batch["hi"].to_numpy(), batch["lo"].to_numpy()]),
+                "w": np.concatenate([batch["w"].to_numpy()] * 2),
+            }
+        )
+
+    return und.map_batches(flip, batch_format="pandas")
+
+
+def pagerank_weighted(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    iters: int = 2,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Integer-exact WEIGHTED PageRank: mass splits along out-edges
+    proportionally to edge weight — per edge (u, v, w):
+    ``contrib = (damping_pct * ((r[u] * w) // W[u])) // 100`` with
+    ``W[u]`` = u's total out-weight; ``r'[v] = base + Σ contribs``
+    (same base/init as :func:`pagerank`). Every step int64 floor
+    arithmetic, so the unrolled SQL recurrence matches bit-for-bit.
+
+    Integer envelope: ``scale * max_edge_weight`` must stay below 2^63
+    — the default scale drops to 10^9 (rank_nano units) so weights to
+    ~10^9 are safe; assert at call sites with heavier weights.
+
+    Scale shape: per iteration the rank and out-weight vectors broadcast
+    once (node-bounded); ONE narrow pass over the weighted edges
+    computes per-edge contributions at C level and pre-sums per dst per
+    block — hot nodes cost one add per block (the combiner absorbs the
+    skew exactly as unweighted pagerank).
+    """
+    import ray
+
+    edges = edges.materialize()
+
+    def wsum_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(src, as_index=False)[w].sum()
+        return g.rename(columns={src: "node", w: "W"})
+
+    W_df = merge_partials(
+        edges.map_batches(wsum_partial, batch_format="pandas"),
+        "node",
+        lambda b: b.groupby("node", as_index=False)["W"].sum(),
+        lambda b: b,
+        num_buckets,
+    ).to_pandas()
+    nodes = np.sort(W_df["node"].to_numpy())
+    Wv = W_df.set_index("node")["W"].reindex(nodes).to_numpy().astype(np.int64)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": nodes, "rank_nano": np.array([], np.int64)})
+    pos = pd.Series(np.arange(n), index=nodes)
+    r = np.full(n, scale // n, dtype=np.int64)
+    base = ((100 - damping_pct) * (scale // n)) // 100
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("node", as_index=False, sort=False)["c"].sum()
+
+    for _ in range(iters):
+        rser = pd.Series(r, index=nodes)
+        Wser = pd.Series(Wv, index=nodes)
+        rref, wref = ray.put(rser), ray.put(Wser)
+
+        def partial(batch: pd.DataFrame, _r=rref, _W=wref) -> pd.DataFrame:
+            rv = ray.get(_r)
+            Wv_ = ray.get(_W)
+            ru = batch[src].map(rv).to_numpy().astype(np.int64)
+            Wu = batch[src].map(Wv_).to_numpy().astype(np.int64)
+            we = batch[w].to_numpy().astype(np.int64)
+            c = (damping_pct * ((ru * we) // np.maximum(Wu, 1))) // 100
+            return (
+                pd.DataFrame({"node": batch[dst], "c": c})
+                .groupby("node", as_index=False, sort=False)["c"].sum()
+            )
+
+        summed = merge_partials(
+            edges.map_batches(partial, batch_format="pandas"),
+            "node", combine, lambda b: b, num_buckets,
+        ).to_pandas()
+        r = np.full(n, base, dtype=np.int64)
+        if len(summed):
+            r[pos[summed["node"]].to_numpy()] += (
+                summed["c"].to_numpy().astype(np.int64)
+            )
+    return pd.DataFrame({"node": nodes, "rank_nano": r})

@@ -420,3 +420,29 @@ def test_kcore_hash_plan_equals_broadcast(ray_session):
         ray.data.from_pandas(df), k=2, rounds=3, num_buckets=3, plan="hash"
     )
     pd.testing.assert_frame_equal(bc, hs)
+
+
+def test_pagerank_weighted_matches_hand_recurrence(ray_session):
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    # weighted triangle: a-b heavy, a-c light (symmetric)
+    und = [("a", "b", 10), ("a", "c", 1), ("b", "c", 2)]
+    rows = [(s, t, w) for s, t, w in und] + [(t, s, w) for s, t, w in und]
+    edges = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    got = graph.pagerank_weighted(edges, iters=2, num_buckets=2)
+    gm = dict(zip(got["node"], got["rank_nano"]))
+
+    # hand-rolled integer recurrence
+    scale, damp = 10**9, 85
+    W = {"a": 11, "b": 12, "c": 3}
+    nodes = ["a", "b", "c"]
+    r = {n: scale // 3 for n in nodes}
+    base = ((100 - damp) * (scale // 3)) // 100
+    for _ in range(2):
+        nxt = {n: base for n in nodes}
+        for s, t, w in rows:
+            nxt[t] += (damp * ((r[s] * w) // W[s])) // 100
+        r = nxt
+    assert gm == r
