@@ -1781,6 +1781,19 @@ def _q_pagerank_weighted(sf_dir: str):
     )
 
 
+def _q_role_token_stats(sf_dir: str):
+    """Per-role turn/token aggregates over the transcript stream."""
+    quiet_ray_data()
+    return relational.role_token_stats(derive_transcripts(sf_dir), num_buckets=_NB)
+
+
+def _q_entity_type_counts(sf_dir: str):
+    """Per-entity-type mention + distinct-entity counts (gazetteer
+    coverage observability)."""
+    quiet_ray_data()
+    return aggregate.entity_type_counts(_all_mentions(sf_dir), num_buckets=_NB)
+
+
 def _q_ontology_paths(sf_dir: str):
     """Transitive root-to-term ancestor paths over an is_a DAG (reference
     append_paths/get_parent_paths, data/disease_ontology.py:227-270) —
@@ -2397,6 +2410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": _q_kg_incremental,
         "cooc_weights": _q_cooc_weights,
         "pagerank_weighted": _q_pagerank_weighted,
+        "role_token_stats": _q_role_token_stats,
+        "entity_type_counts": _q_entity_type_counts,
         # --- deferred never-sampled (families already evidenced by green
         # sibling rows); also locally green - lead candidates for round 5 ---
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -2728,6 +2743,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": oracles.KG_INCREMENTAL,
         "cooc_weights": oracles.COOC_WEIGHTS,
         "pagerank_weighted": oracles.PAGERANK_WEIGHTED,
+        "role_token_stats": oracles.ROLE_TOKEN_STATS,
+        "entity_type_counts": oracles.ENTITY_TYPE_COUNTS,
         "learned_embeddings": oracles.LEARNED_EMBEDDINGS,
         "scored_triples": oracles.SCORED_TRIPLES,
         "classified_triples": oracles.CLASSIFIED_TRIPLES,

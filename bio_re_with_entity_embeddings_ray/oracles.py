@@ -3096,3 +3096,18 @@ r0 AS (
 {_pagerank_w_iter_cte(1, "r0")},
 {_pagerank_w_iter_cte(2, "r1")}
 SELECT node, CAST(r AS BIGINT) AS rank_nano FROM r2"""
+
+
+# per-role turn/token aggregates (stages/relational.role_token_stats)
+ROLE_TOKEN_STATS = f"""WITH {transcripts_sql_cte()}
+SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM transcripts_v GROUP BY role"""
+
+
+# mentions per entity type (the mention-family observability aggregate)
+ENTITY_TYPE_COUNTS = f"""WITH {kg_cte()}
+SELECT entity_type, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities
+FROM __mentions GROUP BY entity_type"""

@@ -314,3 +314,48 @@ def keep_latest(ds, key_cols, order_cols, num_buckets: int = 16):
         lambda b: b,
         num_buckets,
     )
+
+
+def entity_type_counts(mentions, num_buckets: int = 16):
+    """Per-entity-type mention/entity counts over the mention stream:
+    (entity_type, n_mentions, n_entities) with ``n_entities`` = distinct
+    canonical ids of that type — the gazetteer-coverage observability
+    aggregate. Per-block partials carry (type, id)-distinct id sets as
+    counts would double-merge, so the distinct merge happens per
+    type-hash bucket (type-bounded) before counting."""
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+        merge_partials,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("entity_type", as_index=False).agg(
+            n_mentions=("entity_id", "size")
+        )
+        g["n_mentions"] = g["n_mentions"].astype("int64")
+        return g
+
+    counts = merge_partials(
+        mentions.map_batches(partial, batch_format="pandas", batch_size=None),
+        "entity_type",
+        lambda b: b.groupby("entity_type", as_index=False)["n_mentions"].sum(),
+        lambda b: b,
+        num_buckets,
+        plan="tree",
+    ).to_pandas()
+
+    def distinct_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["entity_type", "entity_id"]].drop_duplicates()
+
+    slim = mentions.map_batches(distinct_ids, batch_format="pandas", batch_size=None)
+
+    def per_type(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.drop_duplicates().groupby(
+            "entity_type", as_index=False
+        ).agg(n_entities=("entity_id", "size"))
+        g["n_entities"] = g["n_entities"].astype("int64")
+        return g
+
+    ents = bucketed_group_apply(slim, "entity_type", per_type, num_buckets).to_pandas()
+    out = counts.merge(ents, on="entity_type")
+    return out.sort_values("entity_type").reset_index(drop=True)

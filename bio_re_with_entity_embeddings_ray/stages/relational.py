@@ -3201,3 +3201,39 @@ def promo_revenue_share(lineitem, part, num_buckets: int = 32):
         lineitem.map_batches(partial, batch_format="pandas"),
         "k", combine, finalize, num_buckets, plan="tree",
     )
+
+
+def role_token_stats(transcripts, num_buckets: int = 16):
+    """Per-role turn/token aggregates over the transcript stream:
+    (role, n_turns, total_tokens, max_tokens) — the corpus observability
+    numbers a training-data pipeline reports per ingest. Pure narrow
+    pass (whitespace token counts via the Arrow list-length kernel),
+    role-bounded tree merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern(batch["text"], " ")
+        ).cast(pa.int64())
+        t = pa.table({"role": batch["role"], "n_tok": n_tok})
+        g = t.group_by("role").aggregate(
+            [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "max")]
+        )
+        return g.rename_columns(
+            ["role", "n_turns", "total_tokens", "max_tokens"]
+        )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("role", as_index=False).agg(
+            n_turns=("n_turns", "sum"),
+            total_tokens=("total_tokens", "sum"),
+            max_tokens=("max_tokens", "max"),
+        )
+
+    return merge_partials(
+        transcripts.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "role", combine, lambda b: b, num_buckets, plan="tree",
+    )
