@@ -2731,7 +2731,7 @@ SCD2_HISTORY = """WITH __o AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 __chg AS (
-  SELECT user_id, event_type AS state, ts AS valid_from
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
   FROM __o WHERE prev_type IS NULL OR event_type <> prev_type
 )
 SELECT user_id, state, valid_from,
@@ -2739,7 +2739,7 @@ SELECT user_id, state, valid_from,
        CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END
             AS BIGINT) AS is_current
 FROM __chg
-WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)"""
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)"""
 
 
 # collocation mining (stages/textstats.collocations): top-20 adjacent
@@ -2780,12 +2780,13 @@ EVENT_STATE_ASOF = """WITH __o AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 __chg AS (
-  SELECT user_id, event_type AS state, ts AS valid_from
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
   FROM __o WHERE prev_type IS NULL OR event_type <> prev_type
 ),
 __iv AS (
   SELECT user_id, state, valid_from,
-         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         lead(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from, event_id)
            AS valid_to
   FROM __chg
 )
@@ -3085,7 +3086,7 @@ def _pagerank_w_iter_cte(i: int, prev: str) -> str:
 # the unweighted PAGERANK recurrence
 PAGERANK_WEIGHTED = f"""WITH {_COOC_W},
 __W AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS W FROM __ew GROUP BY src),
-__nodes AS (SELECT node FROM __W),
+__nodes AS (SELECT src AS node FROM __ew UNION SELECT dst AS node FROM __ew),
 __n AS (SELECT count(*) AS n FROM __nodes),
 __base AS (
   SELECT ((100 - 85) * (1000000000 // n)) // 100 AS b FROM __n

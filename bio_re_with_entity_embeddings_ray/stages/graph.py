@@ -1083,8 +1083,27 @@ def pagerank_weighted(
         lambda b: b,
         num_buckets,
     ).to_pandas()
-    nodes = np.sort(W_df["node"].to_numpy())
-    Wv = W_df.set_index("node")["W"].reindex(nodes).to_numpy().astype(np.int64)
+
+    # Node vocabulary = union of src and dst: a sink node (appears only
+    # as dst) has out-weight 0 but still accumulates rank, mirroring the
+    # unweighted pagerank's zero-degree handling via degree_table.
+    def dst_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": batch[dst].unique()})
+
+    dst_df = merge_partials(
+        edges.map_batches(dst_partial, batch_format="pandas"),
+        "node",
+        lambda b: b.drop_duplicates("node"),
+        lambda b: b,
+        num_buckets,
+    ).to_pandas()
+    nodes = np.sort(
+        pd.concat([W_df["node"], dst_df["node"]]).unique()
+    )
+    Wv = (
+        W_df.set_index("node")["W"].reindex(nodes, fill_value=0)
+        .to_numpy().astype(np.int64)
+    )
     n = len(nodes)
     if n == 0:
         return pd.DataFrame({"node": nodes, "rank_nano": np.array([], np.int64)})

@@ -3222,9 +3222,13 @@ def role_token_stats(transcripts, num_buckets: int = 16):
         g = t.group_by("role").aggregate(
             [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "max")]
         )
-        return g.rename_columns(
-            ["role", "n_turns", "total_tokens", "max_tokens"]
-        )
+        # Rename by the aggregate's actual output names, not position:
+        # the key column's position in group_by().aggregate() output has
+        # moved across pyarrow major versions.
+        out_names = {"n_tok_count": "n_turns", "n_tok_sum": "total_tokens",
+                     "n_tok_max": "max_tokens"}
+        g = g.rename_columns([out_names.get(c, c) for c in g.column_names])
+        return g.select(["role", "n_turns", "total_tokens", "max_tokens"])
 
     def combine(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("role", as_index=False).agg(

@@ -1362,8 +1362,14 @@ def collocations(docs, top: int = 20, min_n: int = 3, num_buckets: int = 16,
     the lazy tree and broadcast (``ray.put`` once) into the pair merge's
     per-bucket finalize, which emits a local top-k candidate; one final
     single-block pass takes the global top (the bpe_pair_counts
-    discipline). Integer envelope: ``scale * n_ab * B`` must stay below
-    2^63 — at web scale shard the corpus and merge per-shard tops.
+    discipline). Integer envelope: BOTH ``scale * n_ab * B`` (the
+    numerator) and ``l_a * r_b`` (the denominator — product of two
+    marginals, each up to ``B``, so it wraps first once ``B`` exceeds
+    ~3e9) must stay below 2^63; the bucket finalize checks the actual
+    maxima per bucket and falls back to exact Python-int arithmetic on
+    that bucket's candidate rows (≤ the post-``min_n`` survivors) when
+    either side could wrap, so web-scale corpora stay exact at the cost
+    of a slower finalize on the few hot buckets.
     """
     import ray
 
@@ -1425,7 +1431,21 @@ def collocations(docs, top: int = 20, min_n: int = 3, num_buckets: int = 16,
             )
         la = b["w1"].map(lm).to_numpy().astype(np.int64)
         rb = b["w2"].map(rm).to_numpy().astype(np.int64)
-        b["lift_bp"] = scale * b["n"].to_numpy() * B // (la * rb)
+        nv = b["n"].to_numpy().astype(np.int64)
+        int63 = (1 << 63) - 1
+        if (
+            int(la.max()) * int(rb.max()) <= int63
+            and scale * int(nv.max()) * B <= int63
+        ):
+            b["lift_bp"] = scale * nv * B // (la * rb)
+        else:
+            # int64 would wrap (numerator or la*rb): exact Python ints
+            # over this bucket's candidate rows only
+            b["lift_bp"] = np.fromiter(
+                (scale * int(n_) * B // (int(a_) * int(r_))
+                 for n_, a_, r_ in zip(nv, la, rb)),
+                dtype=np.int64, count=len(nv),
+            )
         return (
             b.sort_values(["lift_bp", "w1", "w2"],
                           ascending=[False, True, True], kind="mergesort")

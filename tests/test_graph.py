@@ -446,3 +446,30 @@ def test_pagerank_weighted_matches_hand_recurrence(ray_session):
             nxt[t] += (damp * ((r[s] * w) // W[s])) // 100
         r = nxt
     assert gm == r
+
+
+def test_pagerank_weighted_directed_sink(ray_session):
+    """Directed edge list with a pure sink (appears only as dst): the
+    node vocabulary must be src UNION dst, the sink gets out-weight 0,
+    and rank still accumulates into it (round-5 ADVICE fix — previously
+    raised KeyError on A->B->C)."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    rows = [("a", "b", 3), ("b", "c", 5)]  # c is a sink
+    edges = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    got = graph.pagerank_weighted(edges, iters=2, num_buckets=2)
+    gm = dict(zip(got["node"], got["rank_nano"]))
+
+    scale, damp = 10**9, 85
+    W = {"a": 3, "b": 5, "c": 0}
+    nodes = ["a", "b", "c"]
+    r = {n: scale // 3 for n in nodes}
+    base = ((100 - damp) * (scale // 3)) // 100
+    for _ in range(2):
+        nxt = {n: base for n in nodes}
+        for s, t, w in rows:
+            nxt[t] += (damp * ((r[s] * w) // max(W[s], 1))) // 100
+        r = nxt
+    assert gm == r
