@@ -260,6 +260,18 @@ def _q_ivf_assign(sf_dir: str):
     return scoring.ivf_assign(_emb(sf_dir), n_centroids=8)
 
 
+def _q_ivf_assign_kmeans(sf_dir: str):
+    quiet_ray_data()
+    return scoring.ivf_assign(_emb(sf_dir), n_centroids=8, centroids="kmeans")
+
+
+def _q_embedding_near_dup_ivf_kmeans(sf_dir: str):
+    quiet_ray_data()
+    return dedup.embedding_near_dup_ivf(
+        _emb(sf_dir), n_centroids=8, threshold=0.4, centroids="kmeans"
+    )
+
+
 def _q_ivf_search(sf_dir: str):
     quiet_ray_data()
     return scoring.ivf_search(_emb(sf_dir), n_centroids=8, n_queries=5, k=5)
@@ -2340,6 +2352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (graph, generic joins, safety, ordered/packing, sketches, ...).
         # All 62 lead entries verified green locally via
         # tools/check_oracles.py at sf0.01 before this reorder. ---
+        "ivf_assign_kmeans": _q_ivf_assign_kmeans,
+        "embedding_near_dup_ivf_kmeans": _q_embedding_near_dup_ivf_kmeans,
         "ontology_paths": _q_ontology_paths,
         "image_features": _q_image_features,
         "minhash_verified": _q_minhash_verified,
@@ -2614,6 +2628,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": oracles.SIMHASH_NEAR_DUP,
         "embedding_near_dup": oracles.EMBEDDING_NEAR_DUP,
         "embedding_near_dup_ivf": oracles.EMBEDDING_NEAR_DUP_IVF,
+        "embedding_near_dup_ivf_kmeans": oracles.EMBEDDING_NEAR_DUP_IVF_KMEANS,
+        "ivf_assign_kmeans": oracles.IVF_ASSIGN_KMEANS,
         "curate": oracles.CURATE,
         "curate_hash": oracles.CURATE,
         "curate_neardup_hash": oracles.CURATE_NEARDUP,

@@ -523,6 +523,43 @@ SELECT cid AS centroid_id, CAST(i AS BIGINT) AS dim_idx,
        CAST(floor(v * 10000) AS BIGINT) AS value_bp
 FROM (SELECT cid, unnest(ce) AS v, unnest(range(1, 1 + len(ce))) AS i FROM c2)"""
 
+# IVF assignment under the TRAINED codebook (stages/scoring.ivf_assign,
+# centroids="kmeans"): the same unrolled Lloyd CTEs derive c2, then every
+# vector goes to its Euclidean-nearest trained centroid (ties -> lowest
+# centroid id — the fit's own tie discipline)
+IVF_ASSIGN_KMEANS = f"""WITH c0 AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+{_kmeans_iter_cte(1, "c0")},
+{_kmeans_iter_cte(2, "c1")},
+__a AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding, c.ce), c.cid) AS rn
+    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM __a"""
+
+# embedding near-dup within TRAINED-codebook Voronoi cells
+# (stages/dedup.embedding_near_dup_ivf, centroids="kmeans"): assignment
+# as IVF_ASSIGN_KMEANS, pair threshold on cosine as the prefix variant
+EMBEDDING_NEAR_DUP_IVF_KMEANS = f"""WITH c0 AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+{_kmeans_iter_cte(1, "c0")},
+{_kmeans_iter_cte(2, "c1")},
+vc AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding, c.ce), c.cid) AS rn
+    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM vc a JOIN vc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"""
+
 # windowed HLL (stages/sketches.windowed_hll, width=3600s, p=8, over
 # events.user_id): sparse (window, register, max_rank) rows — only
 # touched registers, exactly what the engine ships

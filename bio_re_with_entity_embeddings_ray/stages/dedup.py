@@ -534,53 +534,99 @@ def connected_components(
     return labels.map_batches(final, batch_format="pandas", batch_size=None)
 
 
-def embedding_near_dup_ivf(emb, n_centroids: int = 8, threshold: float = 0.4):
+def embedding_near_dup_ivf(emb, n_centroids: int = 8, threshold: float = 0.4,
+                           centroids: str = "prefix", iters: int = 2):
     """Scale path for embedding near-dup: candidate pairs only WITHIN each
     IVF centroid bucket (coarse quantization — near-identical vectors land
     in the same bucket), instead of the all-pairs broadcast matmul of
     :func:`embedding_near_dup_pairs` which ships the full matrix to every
     task. Returns (vec_a, vec_b) with cosine >= threshold, vec_a < vec_b.
     Approximate: cross-bucket near-dups are missed by design (recall is
-    the standard IVF trade; raise n_probe by lowering n_centroids)."""
+    the standard IVF trade; raise n_probe by lowering n_centroids).
+
+    ``centroids="kmeans"`` swaps the vec_id-prefix codebook for the
+    distributed Lloyd fit (same mode as
+    :func:`~bio_re_with_entity_embeddings_ray.stages.scoring.ivf_assign`):
+    Euclidean argmin on the RAW vectors, ties -> lowest centroid id —
+    trained Voronoi cells group genuinely-similar vectors, improving
+    within-bucket recall on clustered corpora."""
     import ray
 
     from bio_re_with_entity_embeddings_ray.stages.scoring import _load_matrix
 
-    cpdf = (
-        emb.filter(expr=f"vec_id < {n_centroids}")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    if len(cpdf) == 0:
-        raise ValueError(
-            f"embedding_near_dup_ivf: no rows with vec_id < {n_centroids}"
+    if centroids == "kmeans":
+        from bio_re_with_entity_embeddings_ray.stages.clustering import (
+            kmeans_matrix,
         )
-    cids, C = _load_matrix(cpdf)
-    cref = ray.put((cids, C))
 
-    class AssignRows:
-        def __init__(self, cref):
-            self.cids, self.C = ray.get(cref)
+        Ck = kmeans_matrix(emb, k=n_centroids, iters=iters)
+        kref = ray.put(Ck)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            M = np.array(batch["embedding"].tolist(), dtype=np.float64)
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
-            cent = self.cids[(M @ self.C.T).argmax(axis=1)]
-            return pd.DataFrame(
-                {
-                    "vec_id": batch["vec_id"].to_numpy(),
-                    "centroid_id": cent.astype("int64"),
-                    "embedding": [list(v) for v in M],
-                }
+        class AssignRowsKm:
+            def __init__(self, kref):
+                self.C = ray.get(kref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+                Cb = self.C
+                d2 = (
+                    (M * M).sum(axis=1, keepdims=True)
+                    - 2.0 * (M @ Cb.T)
+                    + (Cb * Cb).sum(axis=1)[None, :]
+                )
+                cent = d2.argmin(axis=1)  # raw vectors; ties -> lowest cid
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                return pd.DataFrame(
+                    {
+                        "vec_id": batch["vec_id"].to_numpy(),
+                        "centroid_id": cent.astype("int64"),
+                        "embedding": [list(v) for v in Mn],
+                    }
+                )
+
+        assigned = emb.map_batches(
+            AssignRowsKm,
+            fn_constructor_args=(kref,),
+            batch_format="pandas",
+            batch_size=2048,
+            concurrency=(1, 8),
+        )
+    else:
+        cpdf = (
+            emb.filter(expr=f"vec_id < {n_centroids}")
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        if len(cpdf) == 0:
+            raise ValueError(
+                f"embedding_near_dup_ivf: no rows with vec_id < {n_centroids}"
             )
+        cids, C = _load_matrix(cpdf)
+        cref = ray.put((cids, C))
 
-    assigned = emb.map_batches(
-        AssignRows,
-        fn_constructor_args=(cref,),
-        batch_format="pandas",
-        batch_size=2048,
-        concurrency=(1, 8),
-    )
+        class AssignRows:
+            def __init__(self, cref):
+                self.cids, self.C = ray.get(cref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+                M /= np.linalg.norm(M, axis=1, keepdims=True)
+                cent = self.cids[(M @ self.C.T).argmax(axis=1)]
+                return pd.DataFrame(
+                    {
+                        "vec_id": batch["vec_id"].to_numpy(),
+                        "centroid_id": cent.astype("int64"),
+                        "embedding": [list(v) for v in M],
+                    }
+                )
+
+        assigned = emb.map_batches(
+            AssignRows,
+            fn_constructor_args=(cref,),
+            batch_format="pandas",
+            batch_size=2048,
+            concurrency=(1, 8),
+        )
 
     def pairs_of(bucket: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []

@@ -127,12 +127,63 @@ def knn_topk(emb, n_queries: int = 5, k: int = 10, num_buckets: int = 16):
     return res.map_batches(cast, batch_format="pandas")
 
 
-def ivf_assign(emb, n_centroids: int = 8):
-    """IVF coarse quantization: assign each vector to its nearest centroid
-    (centroids = embeddings of vec_id < n_centroids — deterministic,
-    data-derived). Returns (vec_id, centroid_id). This bucketing is the
-    scale path for ANN: search only within the query's centroid bucket."""
+def ivf_assign(emb, n_centroids: int = 8, centroids: str = "prefix",
+               iters: int = 2):
+    """IVF coarse quantization: assign each vector to its nearest centroid.
+    Returns (vec_id, centroid_id). This bucketing is the scale path for
+    ANN: search only within the query's centroid bucket.
+
+    Two centroid modes:
+
+    - ``centroids="prefix"`` (default, the original convention): centroids
+      are the embeddings of ``vec_id < n_centroids``; assignment by cosine
+      (ties -> lowest centroid id).
+    - ``centroids="kmeans"``: centroids come from the distributed Lloyd fit
+      (:func:`~bio_re_with_entity_embeddings_ray.stages.clustering.kmeans_matrix`,
+      ``iters`` iterations, init = the same vec_id-prefix rows) and
+      assignment is Euclidean argmin ties -> lowest centroid id — the same
+      metric/tie discipline as the fit itself, so buckets are true Voronoi
+      cells of the trained codebook. Real-centroid cells balance bucket
+      sizes on clustered data, which is what bounds the per-bucket work of
+      every IVF consumer at scale.
+    """
     import ray
+
+    if centroids == "kmeans":
+        from bio_re_with_entity_embeddings_ray.stages.clustering import (
+            kmeans_matrix,
+        )
+
+        C = kmeans_matrix(emb, k=n_centroids, iters=iters)
+        cref = ray.put(C)
+
+        class AssignKm:
+            def __init__(self, cref):
+                self.C = ray.get(cref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                M = np.array(batch["embedding"].tolist(), dtype=np.float64)
+                Cb = self.C
+                d2 = (
+                    (M * M).sum(axis=1, keepdims=True)
+                    - 2.0 * (M @ Cb.T)
+                    + (Cb * Cb).sum(axis=1)[None, :]
+                )
+                best = d2.argmin(axis=1)  # first min: ties -> lowest cid
+                return pd.DataFrame(
+                    {
+                        "vec_id": batch["vec_id"],
+                        "centroid_id": best.astype("int64"),
+                    }
+                )
+
+        return emb.map_batches(
+            AssignKm,
+            fn_constructor_args=(cref,),
+            batch_format="pandas",
+            batch_size=2048,
+            concurrency=(1, 8),
+        )
 
     cpdf = (
         emb.filter(expr=f"vec_id < {n_centroids}")

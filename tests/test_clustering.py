@@ -131,3 +131,30 @@ def test_embedding_covariance_exact_and_pca(ray_session):
     flip = np.sign(top[np.arange(2), np.abs(top).argmax(axis=1)])
     top = top * flip[:, None]
     assert np.allclose(np.abs(comps @ top.T), np.eye(2), atol=1e-6)
+
+
+def test_ivf_assign_kmeans_matches_lloyd_assignment(ray_session):
+    """ivf_assign(centroids='kmeans') must place every vector in the
+    Voronoi cell of the kmeans_matrix codebook under the fit's own
+    Euclidean/ties-to-lowest-cid discipline (round-5 kmeans IVF mode)."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.clustering import (
+        _assign, kmeans_matrix,
+    )
+    from bio_re_with_entity_embeddings_ray.stages.scoring import ivf_assign
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(60, 4)
+    emb = pd.DataFrame(
+        {"vec_id": np.arange(60, dtype=np.int64),
+         "embedding": [row.tolist() for row in X]}
+    )
+    ds = rd.from_pandas(emb).repartition(3)
+    got = (
+        ivf_assign(ds, n_centroids=4, centroids="kmeans", iters=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    C = kmeans_matrix(ds, k=4, iters=2)
+    exp = _assign(X, C).astype(np.int64)
+    assert (got["centroid_id"].to_numpy() == exp).all()

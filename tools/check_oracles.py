@@ -43,6 +43,7 @@ PATHO_QUERIES = {
     "dedup_exact", "dedup_exact_hashed", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_minhash_star", "simhash",
     "embedding_near_dup", "knn_topk", "ivf_assign",
+    "ivf_assign_kmeans", "embedding_near_dup_ivf_kmeans",
     "token_counts", "quality_scores", "lang_id", "fingerprints",
     "media_stats", "media_features", "media_frames", "media_resize",
     "pubtator_roundtrip",
