@@ -322,12 +322,55 @@ def tool_mentions(transcripts):
     return transcripts.map_batches(_promote, batch_format="pyarrow")
 
 
+def _span_keep_mask_ascii(
+    texts: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+    mentions: np.ndarray,
+) -> np.ndarray:
+    """Vectorized span verification for all-ASCII batches: every text and
+    mention is concatenated into ONE byte buffer each (a single C-level
+    join), and the t[s:e].lower() == m.lower() comparison becomes a
+    fancy-indexed gather + one masked equality over a (rows x max_width)
+    uint8 matrix — no per-row Python. Char offsets == byte offsets only
+    for ASCII; callers must route non-ASCII batches to the loop path."""
+    tlen = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    mlen = np.fromiter((len(m) for m in mentions), dtype=np.int64,
+                       count=len(mentions))
+    bounds = (0 <= starts) & (starts <= ends) & (ends <= tlen)
+    width = ends - starts
+    keep = bounds & (width == mlen)
+    if not keep.any():
+        return keep
+    tbuf = np.frombuffer("".join(texts).encode("ascii"), dtype=np.uint8)
+    mbuf = np.frombuffer("".join(mentions).encode("ascii"), dtype=np.uint8)
+    toff = np.concatenate(([0], np.cumsum(tlen)[:-1]))
+    moff = np.concatenate(([0], np.cumsum(mlen)[:-1]))
+    maxw = int(width[keep].max())
+    if maxw == 0:
+        return keep  # zero-width spans: equal by definition
+    col = np.arange(maxw, dtype=np.int64)[None, :]
+    valid = col < width[:, None]
+    # out-of-range gathers are clipped then masked out by `valid`
+    tg = tbuf[np.clip((toff + starts)[:, None] + col, 0, len(tbuf) - 1)]
+    mg = mbuf[np.clip(moff[:, None] + col, 0, max(len(mbuf) - 1, 0))]
+    lower = lambda a: np.where((a >= 65) & (a <= 90), a + 32, a)  # noqa: E731
+    eq = (lower(tg) == lower(mg)) | ~valid
+    return keep & eq.all(axis=1)
+
+
 class AnnotationVerifier:
     """Span-verify pre-supplied annotations against turn text and normalize
     ids (reference M4 semantics, data/pubtator.py:48-84).
 
     Input batches: annotation rows ALREADY joined with their turn text
     (column ``text``). Emits MENTIONS rows.
+
+    The span check is fully vectorized for ASCII batches (one gather +
+    masked equality over a uint8 matrix — the 30M-annotation compat
+    corpus no longer pays a per-row Python loop); any non-ASCII text or
+    mention in the batch routes the whole batch to the exact per-row
+    path, because the reference's offsets are CHARACTER offsets and
+    byte-indexed gathers would misalign past the first multi-byte char.
     """
 
     def __init__(self, normalizers: dict | None = None):
@@ -336,19 +379,23 @@ class AnnotationVerifier:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return _EMPTY.to_pandas()
-        # span filter: one pass of zip (no per-row indexing); negative or
-        # inverted offsets rejected — see class docstring
-        keep = np.fromiter(
-            (
-                0 <= s <= e <= len(t)
-                and t[s:e].lower() == str(m).lower()
-                for t, s, e, m in zip(
-                    batch["text"], batch["start"], batch["end"], batch["mention_text"]
-                )
-            ),
-            dtype=bool,
-            count=len(batch),
-        )
+        texts = batch["text"].to_numpy()
+        starts = batch["start"].to_numpy().astype(np.int64)
+        ends = batch["end"].to_numpy().astype(np.int64)
+        mentions = np.array([str(m) for m in batch["mention_text"]],
+                            dtype=object)
+        try:
+            keep = _span_keep_mask_ascii(texts, starts, ends, mentions)
+        except UnicodeEncodeError:
+            # non-ASCII present: exact per-row path (char offsets)
+            keep = np.fromiter(
+                (
+                    0 <= s <= e <= len(t) and t[s:e].lower() == m.lower()
+                    for t, s, e, m in zip(texts, starts, ends, mentions)
+                ),
+                dtype=bool,
+                count=len(batch),
+            )
         kept = batch.loc[keep]
 
         # normalization vectorized: each distinct (type, raw id) pair is
