@@ -244,8 +244,10 @@ def bench_pack(sf_dir: str, replicas: int) -> float:
 def _host_probe() -> float:
     """Single-threaded-ish 2k matmul wall time: a shared-host
     memory-bandwidth contention canary recorded alongside every bench
-    sample (quiet box: ~0.2-0.4 s; a contended host measures 2-5x that
-    and inflates every pipeline number with it)."""
+    sample. Quiet band on THIS box: ~1.0-2.5 s (BASELINE.md's measured
+    band — openblas here runs the 2k matmul near single-threaded); a
+    contended host measures 2x+ that and inflates every pipeline number
+    with it. Compare samples only at similar probe readings."""
     import numpy as np
 
     a = np.random.rand(2000, 2000)
