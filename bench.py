@@ -411,6 +411,28 @@ def run_once() -> dict:
     return result
 
 
+def _prewarm_corpus(sf_dir: str, replicas: int) -> float:
+    """Deterministically pin the page-cache state before a scaling leg:
+    read every corpus file through once (sequential, discarded). Round-4
+    measurements put the 8-cpu leg's run-to-run spread at 44-52 s with
+    the cache state as the dominant variable; a read-through before EVERY
+    leg attempt makes both legs measure the same warm-cache workload.
+    Returns the wall seconds spent warming (first call after a corpus
+    (re)build pays the disk read; later calls are cache-speed)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/bench_corpus/{name}_r{replicas}"
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        return 0.0  # first subprocess builds it; nothing to warm yet
+    t0 = time.perf_counter()
+    for fn in sorted(os.listdir(out)):
+        if not fn.endswith(".parquet"):
+            continue
+        with open(os.path.join(out, fn), "rb") as f:
+            while f.read(1 << 22):
+                pass
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_scaling() -> dict:
     import subprocess
 
@@ -444,8 +466,11 @@ def run_scaling() -> dict:
         # noise (observed 7s -> 50s outliers, ~±20% run-to-run on this
         # shared box); settle + repeat isolates it
         results = []
+        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "1280"))
         for _ in range(3):
             time.sleep(3)
+            _prewarm_corpus(sf_dir, replicas)
             results.append(run_one(ncpu))
         return min(results, key=lambda r: r["value"])
 
