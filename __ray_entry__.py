@@ -1564,6 +1564,22 @@ def _q_image_features(sf_dir: str):
     return image_features(docs)
 
 
+def _q_media_frames_apng(sf_dir: str):
+    """Real APNG frame decode (actor-pool ApngFrameSampler): the engine
+    parses the animated-PNG container (acTL/fcTL/IDAT/fdAT), inflates
+    each frame's own zlib stream, unfilters, and features every 2nd
+    frame; the oracle recomputes from the generating pixel formula."""
+    import ray.data as rd
+
+    from bio_re_with_entity_embeddings_ray.stages.multimodal import (
+        apng_frame_features,
+    )
+
+    quiet_ray_data()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return apng_frame_features(docs)
+
+
 def _q_minhash_verified(sf_dir: str):
     """LSH candidates + exact shingle-Jaccard verification (the
     production near-dup chain: LSH recall, exact precision)."""
@@ -2355,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sf0.01 before this reorder; completing this sample gives every
         # registered query a green driver row in some round (196/196
         # cumulative + the 2 new). ---
+        "media_frames_apng": _q_media_frames_apng,
         "ivf_assign_kmeans": _q_ivf_assign_kmeans,
         "embedding_near_dup_ivf_kmeans": _q_embedding_near_dup_ivf_kmeans,
         "collocations": _q_collocations,
@@ -2404,8 +2421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": _q_window_hopping,
         "sessionize": _q_sessionize,
         "triples_tool": _q_triples_tool,
-        "knn_topk": _q_knn,
         # --- previously driver-green (r1-r4) ---
+        "knn_topk": _q_knn,
         "ontology_paths": _q_ontology_paths,
         "image_features": _q_image_features,
         "minhash_verified": _q_minhash_verified,
@@ -2707,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": oracles.MEDIA_FEATURES,
         "audio_features": oracles.AUDIO_FEATURES,
         "media_frames": oracles.MEDIA_FRAMES,
+        "media_frames_apng": oracles.MEDIA_FRAMES_APNG,
         "media_resize": oracles.MEDIA_RESIZE,
         "drop_duplicates": oracles.DROP_DUPLICATES,
         "pubtator_roundtrip": "SELECT doc_id, text FROM documents",

@@ -2675,6 +2675,36 @@ SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
 FROM __a"""
 
 
+# real APNG frame decode (stages/multimodal.apng_frame_features): per doc
+# an APNG of 2 + doc_id % 3 frames, frame f pixel (doc_id*7 + f*13 +
+# j*11) % 256; the engine decodes the CONTAINER (chunk parse + per-frame
+# zlib inflate + unfilter) and emits every 2nd frame; the oracle
+# recomputes the sampled frames' features straight from the formula
+MEDIA_FRAMES_APNG = """WITH __p AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         2 + doc_id % 3 AS n
+  FROM documents
+),
+__f AS (
+  SELECT doc_id, w, h, unnest(range(0, n)) AS f FROM __p
+),
+__sf AS (SELECT * FROM __f WHERE f % 2 = 0),
+__v AS (
+  SELECT doc_id, w, h, f,
+         (doc_id * 7 + f * 13 + unnest(range(0, w * h * 3)) * 11) % 256 AS v
+  FROM __sf
+),
+__a AS (
+  SELECT doc_id, f, any_value(w) AS w, any_value(h) AS h, SUM(v) AS s
+  FROM __v GROUP BY doc_id, f
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(s AS BIGINT) AS sum_rgb,
+       CAST(1000 * s // (w * h * 3) AS BIGINT) AS mean_milli
+FROM __a"""
+
+
 # LSH-candidates + exact-Jaccard verification chain
 # (stages/dedup.minhash_verified_pairs): the NGRAM_JACCARD exact pair
 # table semi-joined against the MINHASH_LSH band-collision candidate set

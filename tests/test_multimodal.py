@@ -277,3 +277,78 @@ def test_image_features_formula(ray_session):
         r = got[did]
         assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
         assert r["sum_rgb"] == s and r["mean_milli"] == 1000 * s // (w * h * 3)
+
+
+def test_apng_roundtrip_and_multi_fdat():
+    """encode_apng -> decode_apng is exact per frame; a plain PNG decodes
+    as one frame; fdAT frames split across multiple chunks reassemble."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_ray.stages.multimodal import (
+        _PNG_SIG, _png_chunk, decode_apng, encode_apng, encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (4, 6, 3)).astype(np.uint8) for _ in range(3)]
+    w, h, out = decode_apng(encode_apng(frames))
+    assert (w, h, len(out)) == (6, 4, 3)
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+    w, h, out = decode_apng(encode_png(frames[0]))
+    assert len(out) == 1 and (out[0] == frames[0]).all()
+
+    # hand-build an APNG whose second frame spans TWO fdAT chunks
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 2, 0, 0, 0)
+    def raw(f):
+        return np.concatenate(
+            [np.zeros((4, 1), np.uint8), f.reshape(4, 18)], axis=1
+        ).tobytes()
+    z2 = zlib.compress(raw(frames[1]))
+    cut = len(z2) // 2
+    fctl = lambda seq: struct.pack(">IIIIIHHBB", seq, 6, 4, 0, 0, 1, 10, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"acTL", struct.pack(">II", 2, 0))
+        + _png_chunk(b"fcTL", fctl(0))
+        + _png_chunk(b"IDAT", zlib.compress(raw(frames[0])))
+        + _png_chunk(b"fcTL", fctl(1))
+        + _png_chunk(b"fdAT", struct.pack(">I", 2) + z2[:cut])
+        + _png_chunk(b"fdAT", struct.pack(">I", 3) + z2[cut:])
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, out = decode_apng(payload)
+    assert len(out) == 2
+    assert (out[0] == frames[0]).all() and (out[1] == frames[1]).all()
+
+
+def test_apng_frame_features_samples_every_other_frame(ray_session):
+    import ray.data as rd
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.stages.multimodal import (
+        apng_frame_features,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1, 2, 7]}))
+    got = apng_frame_features(docs).to_pandas().sort_values(
+        ["doc_id", "frame_idx"]
+    ).reset_index(drop=True)
+    # n_frames = 2 + doc_id % 3 -> sampled idx {0} for n=2, {0,2} for n=3,4
+    import numpy as np
+    exp = []
+    for did in (0, 1, 2, 7):
+        w, h, n = 4 + did % 5, 3 + did % 4, 2 + did % 3
+        for f in range(0, n, 2):
+            j = np.arange(w * h * 3, dtype=np.int64)
+            s = int(((did * 7 + f * 13 + j * 11) % 256).sum())
+            exp.append((did, f, w, h, s, 1000 * s // (w * h * 3)))
+    exp = pd.DataFrame(
+        exp, columns=["doc_id", "frame_idx", "width", "height",
+                      "sum_rgb", "mean_milli"]
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -45,7 +45,7 @@ PATHO_QUERIES = {
     "embedding_near_dup", "knn_topk", "ivf_assign",
     "ivf_assign_kmeans", "embedding_near_dup_ivf_kmeans",
     "token_counts", "quality_scores", "lang_id", "fingerprints",
-    "media_stats", "media_features", "media_frames", "media_resize",
+    "media_stats", "media_features", "media_frames", "media_resize", "media_frames_apng",
     "pubtator_roundtrip",
     # round-2 additions
     "dedup_clusters", "curate", "curate_budget", "curate_neardup",
