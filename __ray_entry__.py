@@ -2359,6 +2359,93 @@ def _q_chunk_docs(sf_dir: str):
     return textstats.chunk_documents(_docs(sf_dir), size=120, overlap=24)
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Asymmetric shingle-containment near-dup pairs (inter/min size ≥
+    0.8): the subset-duplication detector symmetric Jaccard misses."""
+    quiet_ray_data()
+    return dedup.containment_pairs(
+        _corpus(sf_dir), k=3, threshold_bp=8000, num_buckets=_NB
+    )
+
+
+def _q_prefix_clusters(sf_dir: str):
+    """Boilerplate detection: documents grouped on their first 8 tokens,
+    prefixes covering >= 2 docs (template/banner families)."""
+    quiet_ray_data()
+    return textstats.prefix_clusters(
+        _corpus(sf_dir), k=8, min_docs=2, num_buckets=_NB
+    )
+
+
+def _q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank seeded on the TOOL: entity family over the
+    co-occurrence graph — integer-exact like the global variant."""
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    quiet_ray_data()
+    return graph.pagerank_personalized(
+        _cooc_edges(sf_dir), "TOOL:", iters=2, num_buckets=_NB
+    )
+
+
+def _q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(lang, source) counts + char sums (all four
+    granularities; rollup_counts covers the ROLLUP subset)."""
+    quiet_ray_data()
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return relational.cube_counts(docs, num_buckets=_NB)
+
+
+def _q_ntile_buckets(sf_dir: str):
+    """Per-user NTILE(4) value quartiles (window-tile family; exact SQL
+    remainder-first tile sizing)."""
+    quiet_ray_data()
+    return relational.ntile_buckets(_events(sf_dir), n=4, num_buckets=_NB)
+
+
+def _q_ema_smoothed(sf_dir: str):
+    """Integer fixed-point EMA (alpha=1/4) of turn token counts per
+    conversation — sequential-per-group recurrence vectorized by turn
+    depth; recursive-CTE oracle."""
+    quiet_ray_data()
+    return relational.ema_smoothed(derive_transcripts(sf_dir), num_buckets=_NB)
+
+
+def _q_systematic_sample(sf_dir: str):
+    """Every-7th document under global doc_id order (systematic/interval
+    sampling on the global_rank prefix scan)."""
+    from bio_re_with_entity_embeddings_ray.stages import sampling
+
+    quiet_ray_data()
+    return sampling.systematic_sample(_docs(sf_dir), k=7, num_ranges=_NB)
+
+
+def _q_rel_q18(sf_dir: str):
+    """TPC-H Q18 shape: large-volume orders (sum qty > 200) joined back
+    to customer names; combiner-first fact aggregation, broadcast
+    dimension."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    o = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    l = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    c = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return relational.large_volume_orders(
+        o, l, c, min_qty_centi=20000, num_buckets=_NB
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- ORDERING = driver-sampling insurance: the driver samples the
@@ -2411,6 +2498,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_hll": _q_grouped_hll,
         "normalize_text": _q_normalize_text,
         "rolling_window": _q_rolling_window,
+        # --- round-5 session-2 additions (never driver-sampled yet) ---
+        "containment_pairs": _q_containment_pairs,
+        "prefix_clusters": _q_prefix_clusters,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "cube_counts": _q_cube_counts,
+        "ntile_buckets": _q_ntile_buckets,
+        "ema_smoothed": _q_ema_smoothed,
+        "systematic_sample": _q_systematic_sample,
+        "rel_q18": _q_rel_q18,
         "rel_groupby_agg": _q_rel_groupby,
         "rel_top_orders": _q_rel_top_orders,
         "rel_semi_join": _q_rel_semi_join,
@@ -2686,6 +2782,14 @@ def oracle_sql() -> dict[str, str]:
         "curate_percentile": oracles.CURATE_PERCENTILE,
         "paragraph_dedup": oracles.PARAGRAPH_DEDUP,
         "rolling_window": oracles.ROLLING_WINDOW,
+        "containment_pairs": oracles.CONTAINMENT_PAIRS,
+        "prefix_clusters": oracles.PREFIX_CLUSTERS,
+        "pagerank_personalized": oracles.PAGERANK_PERSONALIZED,
+        "cube_counts": oracles.CUBE_COUNTS,
+        "ntile_buckets": oracles.NTILE_BUCKETS,
+        "ema_smoothed": oracles.EMA_SMOOTHED,
+        "systematic_sample": oracles.SYSTEMATIC_SAMPLE,
+        "rel_q18": oracles.REL_Q18,
         "global_rank": oracles.GLOBAL_RANK,
         "cooc_edges": oracles.COOC_EDGES,
         "pagerank": oracles.PAGERANK,

@@ -3179,3 +3179,158 @@ ENTITY_TYPE_COUNTS = f"""WITH {kg_cte()}
 SELECT entity_type, CAST(count(*) AS BIGINT) AS n_mentions,
        CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities
 FROM __mentions GROUP BY entity_type"""
+
+
+# Asymmetric shingle containment (stages/dedup.containment_pairs,
+# threshold_bp=8000): same candidate machinery as NGRAM_JACCARD, predicate
+# inter / min(|A|, |B|) instead of Jaccard — catches subset-duplication.
+CONTAINMENT_PAIRS = f"""WITH {_SHINGLES},
+__sizes AS (SELECT doc_id, count(*) AS size FROM __sh GROUP BY doc_id),
+__cool AS (
+  SELECT shingle FROM __sh GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}
+),
+__pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM __sh a
+  JOIN __cool c ON a.shingle = c.shingle
+  JOIN __sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.inter, sa.size AS size_a, sb.size AS size_b
+FROM __pairs p
+JOIN __sizes sa ON p.doc_a = sa.doc_id
+JOIN __sizes sb ON p.doc_b = sb.doc_id
+WHERE 10000 * p.inter >= 8000 * least(sa.size, sb.size)"""
+
+
+# Boilerplate prefix clusters (stages/textstats.prefix_clusters, k=8,
+# min_docs=2) over the duplicated dedup corpus.
+PREFIX_CLUSTERS = f"""WITH {_CORPUS},
+__p AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+           AS prefix
+  FROM __corpus
+)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM __p GROUP BY prefix HAVING count(*) >= 2"""
+
+
+def _ppr_iter_cte(i: int, prev: str) -> str:
+    """One personalized-PageRank iteration: like _pagerank_iter_cte but
+    the restart term is the per-node __basev (seeds only) instead of a
+    uniform __base scalar."""
+    return f"""pr{i} AS (
+  SELECT n.node,
+         n.b + COALESCE(s.c, 0) AS r
+  FROM __basev n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((85 * (p.r // d.deg)) // 100) AS c
+    FROM __e e
+    JOIN {prev} p ON e.src = p.node
+    JOIN __deg d ON e.src = d.node
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+
+
+# Personalized PageRank (stages/graph.pagerank_personalized, seeds =
+# 'TOOL:%' nodes, iters=2, damping 85, scale 1e12): restart mass uniform
+# over the seed set; identical int64 floor discipline as PAGERANK.
+PAGERANK_PERSONALIZED = f"""WITH {_COOC_EDGES},
+__nodes AS (SELECT DISTINCT src AS node FROM __e),
+__deg AS (SELECT src AS node, count(*) AS deg FROM __e GROUP BY src),
+__unit AS (
+  SELECT 1000000000000 // count(*) AS u FROM __nodes
+  WHERE node LIKE 'TOOL:%'
+),
+__basev AS (
+  SELECT node,
+         CASE WHEN node LIKE 'TOOL:%'
+              THEN (15 * (SELECT u FROM __unit)) // 100
+              ELSE 0 END AS b
+  FROM __nodes
+),
+pr0 AS (
+  SELECT node,
+         CASE WHEN node LIKE 'TOOL:%' THEN (SELECT u FROM __unit)
+              ELSE 0 END AS r
+  FROM __nodes
+),
+{_ppr_iter_cte(1, "pr0")},
+{_ppr_iter_cte(2, "pr1")}
+SELECT node, CAST(r AS BIGINT) AS rank_mu FROM pr2"""
+
+
+# CUBE grouping sets (stages/relational.cube_counts): ROLLUP plus the
+# source-only level.
+CUBE_COUNTS = """SELECT COALESCE(lang, '*') AS lang,
+       COALESCE(source, '*') AS source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE(lang, source)"""
+
+
+# Per-user NTILE(4) (stages/relational.ntile_buckets): row-order tiles,
+# first (g % n) tiles one row bigger — exact SQL NTILE semantics.
+NTILE_BUCKETS = """WITH __rv AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id
+                           ORDER BY v_milli DESC, event_id) AS BIGINT)
+         AS bucket
+FROM __rv"""
+
+
+# Integer fixed-point EMA over turn token counts
+# (stages/relational.ema_smoothed, alpha=1/4, scale=1e6): recursive CTE
+# walks each conversation in turn order; floor division each step.
+EMA_SMOOTHED = f"""WITH RECURSIVE {transcripts_sql_cte()},
+__x AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos
+  FROM transcripts_v
+),
+__ema AS (
+  SELECT conv_id, turn_idx, n_tok, pos, n_tok * 1000000 AS ema
+  FROM __x WHERE pos = 1
+  UNION ALL
+  SELECT x.conv_id, x.turn_idx, x.n_tok, x.pos,
+         (3 * e.ema + x.n_tok * 1000000) // 4 AS ema
+  FROM __x x JOIN __ema e ON x.conv_id = e.conv_id AND x.pos = e.pos + 1
+)
+SELECT conv_id, turn_idx, n_tok, CAST(ema AS BIGINT) AS ema_mu FROM __ema"""
+
+
+# Systematic every-7th sample under global doc_id order
+# (stages/sampling.systematic_sample).
+SYSTEMATIC_SAMPLE = """WITH __r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rank
+  FROM documents
+)
+SELECT doc_id, rank FROM __r WHERE (rank - 1) % 7 = 0"""
+
+
+# TPC-H Q18 shape (stages/relational.large_volume_orders): orders whose
+# total lineitem quantity exceeds 200.00 (centi-units), joined back to
+# customer names; integer centi/day units end to end.
+REL_Q18 = """WITH __q AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_centi
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 20000
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       CAST(datediff('day', DATE '1970-01-01', o.o_orderdate) AS BIGINT)
+         AS d_days,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(q.sum_qty_centi AS BIGINT) AS sum_qty_centi
+FROM orders o
+JOIN __q q ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey"""

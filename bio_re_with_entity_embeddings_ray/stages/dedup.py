@@ -112,12 +112,22 @@ def ngram_jaccard_pairs(
     threshold_bp: int = 5000,
     num_buckets: int = 64,
     max_df: int = NGRAM_MAX_DF,
+    mode: str = "jaccard",
 ):
-    """Near-dup pairs by k-token-shingle Jaccard.
+    """Near-dup pairs by k-token-shingle Jaccard (or containment).
 
-    Returns (doc_a, doc_b, inter, size_a, size_b) for pairs with
+    ``mode="jaccard"`` (default) returns (doc_a, doc_b, inter, size_a,
+    size_b) for pairs with
     ``10000 * inter >= threshold_bp * (size_a + size_b - inter)`` —
     integer arithmetic only, so engine and oracle agree bit-for-bit.
+
+    ``mode="containment"`` keeps pairs with
+    ``10000 * inter >= threshold_bp * least(size_a, size_b)`` — the
+    ASYMMETRIC shingle-containment criterion (is the smaller document
+    essentially a subset of the larger?). Jaccard misses
+    subset-duplication when the container is much larger (a paragraph
+    quoted inside a long page scores near-zero Jaccard but 1.0
+    containment); web-curation pipelines run both.
 
     Hot-shingle cap: a shingle appearing in more than ``max_df`` documents
     is EXCLUDED from candidate generation (its per-shingle self-join is
@@ -208,7 +218,10 @@ def ngram_jaccard_pairs(
             sa = batch["doc_a"].map(self.sizes).astype("int64")
             sb = batch["doc_b"].map(self.sizes).astype("int64")
             inter = batch["inter"].astype("int64")
-            keep = 10000 * inter >= threshold_bp * (sa + sb - inter)
+            if mode == "containment":
+                keep = 10000 * inter >= threshold_bp * np.minimum(sa, sb)
+            else:
+                keep = 10000 * inter >= threshold_bp * (sa + sb - inter)
             out = batch.assign(size_a=sa, size_b=sb)[keep.to_numpy()]
             out["inter"] = out["inter"].astype("int64")
             return out[["doc_a", "doc_b", "inter", "size_a", "size_b"]]
@@ -218,6 +231,29 @@ def ngram_jaccard_pairs(
         fn_constructor_args=(sizes_ref,),
         batch_format="pandas",
         concurrency=(1, 4),
+    )
+
+
+def containment_pairs(
+    docs,
+    k: int = 3,
+    threshold_bp: int = 8000,
+    num_buckets: int = 64,
+    max_df: int = NGRAM_MAX_DF,
+):
+    """Asymmetric shingle-containment near-dup pairs: keep (doc_a, doc_b)
+    where ``inter / min(|A|, |B|) >= threshold_bp / 10000`` (integer
+    arithmetic; see :func:`ngram_jaccard_pairs` ``mode="containment"``).
+    Catches subset-duplication — one document quoted or embedded inside a
+    much larger one — which symmetric Jaccard under-scores by design.
+    Same candidate machinery, same hot-shingle cap, same scale shape."""
+    return ngram_jaccard_pairs(
+        docs,
+        k=k,
+        threshold_bp=threshold_bp,
+        num_buckets=num_buckets,
+        max_df=max_df,
+        mode="containment",
     )
 
 

@@ -333,6 +333,98 @@ def pagerank(
     return pd.DataFrame({"node": nodes, "rank_mu": r})
 
 
+def pagerank_personalized(
+    edges,
+    seed_prefix: str,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Integer-exact PERSONALIZED PageRank: the restart distribution is
+    uniform over the SEED SET (nodes whose id starts with
+    ``seed_prefix``) instead of all nodes — ranks measure proximity to
+    the seeds, the standard recommendation/expansion primitive
+    ("entities related to the tool family").
+
+    Same fixed-point discipline as :func:`pagerank` (every operation
+    int64 floor so the unrolled SQL oracle agrees bit-for-bit), with the
+    restart term concentrated:
+
+    - ``r0[v] = scale // |S|`` for seeds, else 0
+    - ``base[v] = ((100 - damping_pct) * (scale // |S|)) // 100`` for
+      seeds, else 0
+    - contribution/update identical to :func:`pagerank`
+
+    Scale shape identical too: per-iteration broadcast of the node-
+    bounded contribution vector, one narrow edge pass with per-block dst
+    pre-sums, measured merge. Seeds are identified by prefix on the node
+    id — zero extra input, same convention as :func:`reachable_k`.
+    """
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    edges = edges.materialize()
+    deg_df = degree_table(edges, src, dst, num_buckets)
+    nodes = np.sort(deg_df["node"].to_numpy())
+    deg = (
+        deg_df.set_index("node")["deg"].reindex(nodes).to_numpy().astype(np.int64)
+    )
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame(
+            {"node": nodes, "rank_mu": np.array([], dtype=np.int64)}
+        )
+    pos = pd.Series(np.arange(n), index=nodes)
+    is_seed = np.array(
+        [str(v).startswith(seed_prefix) for v in nodes], dtype=bool
+    )
+    ns = int(is_seed.sum())
+    if ns == 0:
+        return pd.DataFrame(
+            {"node": nodes, "rank_mu": np.zeros(n, dtype=np.int64)}
+        )
+    unit = scale // ns
+    r = np.where(is_seed, unit, 0).astype(np.int64)
+    base = np.where(is_seed, ((100 - damping_pct) * unit) // 100, 0).astype(
+        np.int64
+    )
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("node", as_index=False, sort=False)["c"].sum()
+
+    for _ in range(iters):
+        share = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+        contrib = pd.Series((damping_pct * share) // 100, index=nodes)
+        ref = ray.put(contrib)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            cvec = ray.get(ref)
+            c = batch[src].map(cvec).to_numpy()
+            return (
+                pd.DataFrame({"node": batch[dst], "c": c})
+                .groupby("node", as_index=False, sort=False)["c"]
+                .sum()
+            )
+
+        summed = merge_partials(
+            edges.map_batches(partial, batch_format="pandas"),
+            "node",
+            combine,
+            lambda b: b,
+            num_buckets,
+        ).to_pandas()
+        r = base.copy()
+        if len(summed):
+            r[pos[summed["node"]].to_numpy()] += summed["c"].to_numpy().astype(
+                np.int64
+            )
+    return pd.DataFrame({"node": nodes, "rank_mu": r})
+
+
 def neighbor_sample(
     edges,
     k: int = 3,

@@ -3241,3 +3241,277 @@ def role_token_stats(transcripts, num_buckets: int = 16):
         transcripts.map_batches(partial, batch_format="pyarrow", batch_size=None),
         "role", combine, lambda b: b, num_buckets, plan="tree",
     )
+
+
+def cube_counts(docs, num_buckets: int = 16):
+    """Grouping-sets aggregate (SQL ``GROUP BY CUBE(lang, source)``):
+    document count + exact char sum at FOUR granularities — (lang,
+    source), (lang), (source), and the grand total — with ``'*'`` as
+    the rolled-up sentinel (the synthetic values never contain it).
+    The CUBE sibling of :func:`rollup_counts`, which omits the
+    source-only level.
+
+    Scale shape identical: ONE finest-grain combiner pass over the
+    corpus; all three coarser levels derive from the finest AGGREGATE
+    (bounded at |lang| x |source| rows), never a second corpus pass."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_chars": batch["n_chars"].astype("int64"),
+            }
+        ).groupby(["lang", "source"], as_index=False).agg(
+            n=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["lang", "source"], as_index=False).agg(
+            n=("n", "sum"), sum_chars=("sum_chars", "sum")
+        )
+
+    def finalize(fine: pd.DataFrame) -> pd.DataFrame:
+        by_lang = fine.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), sum_chars=("sum_chars", "sum")
+        )
+        by_lang["source"] = "*"
+        by_src = fine.groupby("source", as_index=False).agg(
+            n=("n", "sum"), sum_chars=("sum_chars", "sum")
+        )
+        by_src["lang"] = "*"
+        total = pd.DataFrame(
+            {
+                "lang": ["*"],
+                "source": ["*"],
+                "n": [fine["n"].sum()],
+                "sum_chars": [fine["sum_chars"].sum()],
+            }
+        )
+        cols = ["lang", "source", "n", "sum_chars"]
+        out = pd.concat(
+            [fine[cols], by_lang[cols], by_src[cols], total[cols]],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    return merge_partials(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["lang", "source"], combine, finalize, num_buckets, plan="tree",
+    )
+
+
+def ntile_buckets(events, n: int = 4, num_buckets: int = 32):
+    """Per-user value quantile bucketing — SQL ``NTILE(n) OVER
+    (PARTITION BY user_id ORDER BY v_milli DESC, event_id)`` —
+    (event_id, user_id, bucket). The standard "split each group into n
+    equal tiles" primitive (score quartiles per user, per-source
+    quality deciles for curation thresholds).
+
+    NTILE semantics exactly: with group size g, the first ``g % n``
+    tiles hold ``g // n + 1`` rows, the rest ``g // n`` (ties follow
+    row order, unlike RANK). Scale shape: narrow int64 projection, one
+    user-keyed exchange, vectorized segment arithmetic per bucket."""
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "v_milli": np.round(batch["value"].to_numpy() * 1000).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": np.array([], np.int64),
+                    "user_id": np.array([], np.int64),
+                    "bucket": np.array([], np.int64),
+                }
+            )
+        b = bucket.copy(deep=False)
+        b["__negv"] = -b["v_milli"].to_numpy()
+        b = b.sort_values(["user_id", "__negv", "event_id"], kind="mergesort")
+        u = b["user_id"].to_numpy()
+        m = len(b)
+        idx = np.arange(m, dtype=np.int64)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gsize = np.diff(np.append(idx[new_user], m))
+        g = np.repeat(gsize, gsize)  # group size per row
+        i = idx - np.repeat(idx[new_user], gsize)  # 0-based pos in group
+        q, r = g // n, g % n
+        cut = r * (q + 1)  # rows below cut sit in the big tiles
+        tile = np.where(
+            i < cut, i // np.maximum(q + 1, 1), r + (i - cut) // np.maximum(q, 1)
+        ) + 1
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": u,
+                "bucket": tile.astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(ev, "user_id", per_user, num_buckets)
+
+
+def ema_smoothed(transcripts, num_buckets: int = 16, scale: int = 10**6):
+    """Per-conversation exponential moving average of turn token counts
+    (alpha = 1/4), integer fixed-point so the recursive-CTE oracle
+    agrees bit-for-bit: ``ema_1 = x_1 * scale``;
+    ``ema_i = (3 * ema_{i-1} + x_i * scale) // 4``. Returns
+    (conv_id, turn_idx, n_tok, ema_mu) — the smoothed verbosity signal
+    (drift detection, "is this conversation getting longer-winded").
+
+    The recurrence is inherently sequential per conversation, but never
+    per-row Python: each bucket lays its conversations out in
+    (conv, turn) order and runs ONE vectorized numpy update per turn
+    POSITION (`ema[rows at depth p] from rows at depth p-1`), so the
+    loop count is the maximum conversation length (bounded, ~tens),
+    not the row count. One conv-keyed exchange of (conv, turn, n_tok)
+    int64 triples; conversations never split across buckets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern(batch["text"], " ")
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+                "n_tok": n_tok,
+            }
+        )
+
+    ts = transcripts.map_batches(prep, batch_format="pyarrow", batch_size=None)
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=bucket["conv_id"].dtype),
+                    "turn_idx": np.array([], np.int64),
+                    "n_tok": np.array([], np.int64),
+                    "ema_mu": np.array([], np.int64),
+                }
+            )
+        b = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        c = b["conv_id"].to_numpy()
+        x = b["n_tok"].to_numpy().astype(np.int64) * scale
+        m = len(b)
+        idx = np.arange(m, dtype=np.int64)
+        new_conv = np.concatenate(([True], c[1:] != c[:-1]))
+        gsize = np.diff(np.append(idx[new_conv], m))
+        depth = idx - np.repeat(idx[new_conv], gsize)  # 0-based turn pos
+        ema = x.copy()
+        for p in range(1, int(depth.max()) + 1 if m else 0):
+            sel = idx[depth == p]
+            ema[sel] = (3 * ema[sel - 1] + x[sel]) // 4
+        return pd.DataFrame(
+            {
+                "conv_id": c,
+                "turn_idx": b["turn_idx"].to_numpy(),
+                "n_tok": b["n_tok"].to_numpy(),
+                "ema_mu": ema,
+            }
+        )
+
+    return bucketed_group_apply(ts, "conv_id", per_conv, num_buckets)
+
+
+def large_volume_orders(
+    orders, lineitem, customer, min_qty_centi: int = 20000, num_buckets: int = 32
+):
+    """TPC-H Q18 shape adapted to this schema ("large volume customer"):
+    orders whose total lineitem quantity exceeds the threshold, joined
+    back to the customer dimension — (c_name, o_custkey, o_orderkey,
+    d_days, price_cents, sum_qty_centi). Quantities/prices carried as
+    exact integer centi-units; order date as days since epoch.
+
+    Scale shape: lineitem collapses to (orderkey, qty) per-block
+    partials FIRST (combiner — the fact table never crosses the wire
+    at row grain), merges on an orderkey-keyed exchange, and the
+    HAVING filter runs at merge so only qualifying orders survive.
+    That surviving set is selectivity-bounded (the threshold's whole
+    point), so it broadcasts into one orders pass; the customer
+    dimension broadcasts the same way (classic small-side pattern —
+    measured crossover to hash joins lives in ``relational._key_semi_anti``
+    for when a dimension outgrows the object store)."""
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "orderkey": b["l_orderkey"].astype("int64"),
+                "qc": np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64),
+            }
+        ).groupby("orderkey", as_index=False)["qc"].sum()
+
+    def qty_combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("orderkey", as_index=False)["qc"].sum()
+
+    def qty_filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = qty_combine(b)
+        return b[b["qc"] > min_qty_centi]
+
+    big = merge_partials(
+        lineitem.map_batches(qty_partial, batch_format="pandas"),
+        "orderkey", qty_combine, qty_filter, num_buckets,
+    ).to_pandas()
+    qty_ref = ray.put(dict(zip(big["orderkey"], big["qc"])))
+    names = customer.map_batches(
+        lambda b: b[["c_custkey", "c_name"]], batch_format="pandas"
+    ).to_pandas()
+    name_ref = ray.put(dict(zip(names["c_custkey"], names["c_name"])))
+
+    class PickOrders:
+        def __init__(self, qty_ref, name_ref):
+            self.qty = ray.get(qty_ref)
+            self.names = ray.get(name_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ok = b["o_orderkey"].astype("int64")
+            qc = ok.map(self.qty)
+            keep = qc.notna().to_numpy()
+            b, qc = b[keep], qc[keep]
+            epoch = np.datetime64("1970-01-01")
+            d_days = (
+                (b["o_orderdate"].to_numpy().astype("datetime64[D]") - epoch)
+                .astype(np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "c_name": b["o_custkey"].map(self.names),
+                    "o_custkey": b["o_custkey"].astype("int64"),
+                    "o_orderkey": b["o_orderkey"].astype("int64"),
+                    "d_days": d_days,
+                    "price_cents": np.round(
+                        b["o_totalprice"].to_numpy() * 100
+                    ).astype(np.int64),
+                    "sum_qty_centi": qc.to_numpy().astype(np.int64),
+                }
+            )
+
+    return orders.map_batches(
+        PickOrders,
+        fn_constructor_args=(qty_ref, name_ref),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )

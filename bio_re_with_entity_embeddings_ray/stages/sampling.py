@@ -169,3 +169,31 @@ def stratified_sample(
         return batch[keep]
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=None)
+
+
+def systematic_sample(docs, k: int = 7, num_ranges: int = 16):
+    """Every-k-th-row sampling under the deterministic global doc_id
+    order — rows whose ``ROW_NUMBER() OVER (ORDER BY doc_id)`` lands on
+    1, k+1, 2k+1, ... Returns (doc_id, rank). The classic systematic
+    (interval) sample: evenly spaced coverage of the keyspace, unlike
+    the hash samples above which are uniform but clumpy; auditors and
+    eval-set builders want the spacing guarantee.
+
+    Scale shape: rides :func:`ordered.global_rank`'s ranged prefix scan
+    (O(num_ranges) driver state, one ranged exchange of a narrow int64
+    projection) and filters per block — no driver-side iteration, no
+    global sort materialization."""
+    import pandas as pd
+
+    from bio_re_with_entity_embeddings_ray.stages.ordered import global_rank
+
+    narrow = docs.map_batches(
+        lambda b: b[["doc_id"]], batch_format="pandas", batch_size=None
+    )
+    ranked = global_rank(narrow, ["doc_id"], num_ranges=num_ranges)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["rank"].to_numpy() - 1) % k == 0
+        return batch[keep][["doc_id", "rank"]]
+
+    return ranked.map_batches(pick, batch_format="pandas", batch_size=None)

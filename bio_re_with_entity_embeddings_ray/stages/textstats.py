@@ -1665,3 +1665,48 @@ def lang_share(docs, scale: int = 10_000):
         docs.map_batches(partial, batch_format="pandas", batch_size=None),
         "lang", combine, finalize, plan="tree",
     )
+
+
+def prefix_clusters(docs, k: int = 8, min_docs: int = 2, num_buckets: int = 16):
+    """Boilerplate detection by shared token prefix: group documents on
+    their first ``k`` whitespace tokens and keep prefixes covering at
+    least ``min_docs`` documents — (prefix, n_docs, min_doc_id).
+
+    Crawl curation uses this to surface template/boilerplate families
+    (cookie banners, licence headers, scraped navigation) that exact
+    dedup misses because the tails differ. Asymptotically it is a
+    cheaper sibling of containment dedup: one narrow projection, one
+    keyed merge over ~k-token strings instead of a shingle inverted
+    index.
+
+    Scale shape: the prefix extraction is a vectorized pandas split
+    capped at k separators (no full tokenization), the exchange carries
+    only (prefix, count, min_id) partials — combiner-first like every
+    bounded-vocabulary aggregate here — and the ``min_docs`` filter
+    applies AFTER the merge so partial counts stay associative."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pref = batch["text"].str.split(" ", n=k).str[:k].str.join(" ")
+        g = (
+            pd.DataFrame({"prefix": pref, "doc_id": batch["doc_id"]})
+            .groupby("prefix", as_index=False)
+            .agg(n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min"))
+        )
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("prefix", as_index=False).agg(
+            n_docs=("n_docs", "sum"), min_doc_id=("min_doc_id", "min")
+        )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = combine(b)
+        b = b[b["n_docs"] >= min_docs]
+        return b.sort_values("prefix").reset_index(drop=True)
+
+    return merge_partials(
+        docs.map_batches(partial, batch_format="pandas"),
+        "prefix", combine, finalize, num_buckets,
+    )

@@ -1,0 +1,269 @@
+"""Round-5 session-2 operator tests: containment pairs, prefix clusters,
+personalized PageRank, CUBE counts, NTILE, integer EMA, systematic
+sampling, Q18 — each against a hand-computed or brute-force reference."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def test_containment_catches_subset_jaccard_misses(ray_session):
+    """A short doc fully contained in a long one: containment fires,
+    symmetric Jaccard at the same threshold does not."""
+    from bio_re_with_entity_embeddings_ray.stages import dedup
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": [short, long]})
+    )
+    cont = dedup.containment_pairs(
+        docs, k=3, threshold_bp=8000, num_buckets=4
+    ).to_pandas()
+    assert set(zip(cont["doc_a"], cont["doc_b"])) == {(1, 2)}
+    # every shingle of the short doc appears in the long one
+    row = cont.iloc[0]
+    assert row["inter"] == min(row["size_a"], row["size_b"])
+    jac = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold_bp=8000, num_buckets=4
+    ).to_pandas()
+    assert len(jac) == 0
+
+
+def test_containment_brute_force(ray_session):
+    from bio_re_with_entity_embeddings_ray.functions.textfns import shingles
+    from bio_re_with_entity_embeddings_ray.stages import dedup
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(6, 20)))
+        for _ in range(15)
+    ]
+    # token-prefix truncations: shingle-subset by construction, so the
+    # brute force must find containment = 1.0 for each (i, 15+i) pair
+    texts += [" ".join(t.split(" ")[: max(4, len(t.split(" ")) // 2)])
+              for t in texts[:15]]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(30), "text": texts})
+    )
+    got = (
+        dedup.containment_pairs(docs, k=3, threshold_bp=8000, num_buckets=4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    sets = {i: set(shingles(t.split(" "), 3)) for i, t in enumerate(texts)}
+    rows = []
+    for a in range(30):
+        for b in range(a + 1, 30):
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if 10000 * inter >= 8000 * min(len(sets[a]), len(sets[b])):
+                rows.append((a, b, inter, len(sets[a]), len(sets[b])))
+    exp = pd.DataFrame(
+        rows, columns=["doc_a", "doc_b", "inter", "size_a", "size_b"]
+    )
+    assert len(got) == len(exp)
+    if len(exp):
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), exp.astype("int64")
+        )
+
+
+def test_prefix_clusters(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.textstats import prefix_clusters
+
+    boiler = "this site uses cookies to improve your experience"
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    boiler + " page one content",
+                    boiler + " totally different tail",
+                    "unique document with its own opening line here",
+                    "short",  # fewer than k tokens: prefix = whole text
+                ],
+            }
+        )
+    )
+    got = prefix_clusters(docs, k=8, min_docs=2, num_buckets=4).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["prefix"] == " ".join(boiler.split(" ")[:8])
+    assert got.iloc[0]["n_docs"] == 2
+    assert got.iloc[0]["min_doc_id"] == 1
+
+
+def test_pagerank_personalized_seed_mass_and_sinks(ray_session):
+    """Directed chain A->B->C with seed A: rank flows down the chain,
+    non-seed restart is zero, and the dst-only sink node C is handled
+    (the ADVICE sink-node fix applies here too)."""
+    from bio_re_with_entity_embeddings_ray.stages.graph import (
+        pagerank_personalized,
+    )
+
+    edges = rd.from_pandas(
+        pd.DataFrame({"src": ["SEED:a", "b"], "dst": ["b", "c"]})
+    )
+    got = (
+        pagerank_personalized(edges, "SEED:", iters=2, num_buckets=2)
+        .set_index("node")["rank_mu"]
+    )
+    scale, unit = 10**12, 10**12  # one seed
+    base_seed = (15 * unit) // 100
+    # iter 1: r(a)=base, r(b)=0+85%*unit, r(c)=0
+    # iter 2: r(a)=base, r(b)=85%*base_seed... recompute exactly:
+    r = {"SEED:a": unit, "b": 0, "c": 0}
+    deg = {"SEED:a": 1, "b": 1, "c": 0}
+    for _ in range(2):
+        share = {u: (r[u] // deg[u]) if deg[u] else 0 for u in r}
+        contrib = {u: (85 * share[u]) // 100 for u in r}
+        nxt = {
+            "SEED:a": base_seed,
+            "b": contrib["SEED:a"],
+            "c": contrib["b"],
+        }
+        r = nxt
+    assert dict(got) == r
+
+
+def test_cube_counts_levels(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import cube_counts
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", "de", "de", "fr"],
+            "source": ["web", "chat", "web", "web", "chat"],
+            "n_chars": [10, 20, 30, 40, 50],
+        }
+    )
+    got = cube_counts(rd.from_pandas(df), num_buckets=2).to_pandas()
+    key = got.set_index(["lang", "source"])
+    assert key.loc[("*", "*"), "n"] == 5
+    assert key.loc[("*", "*"), "sum_chars"] == 150
+    assert key.loc[("en", "*"), "n"] == 2
+    assert key.loc[("*", "web"), "sum_chars"] == 80
+    assert key.loc[("de", "web"), "n"] == 2
+    # CUBE = fine + |lang| + |source| + 1 rows
+    assert len(got) == 4 + 3 + 2 + 1
+
+
+def test_ntile_exact_sql_semantics(ray_session):
+    """Group of 7 with n=4: tile sizes 2,2,2,1 in descending value
+    order (remainder-first), ties broken by event_id."""
+    from bio_re_with_entity_embeddings_ray.stages.relational import ntile_buckets
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(7),
+            "user_id": [1] * 7,
+            "event_type": ["x"] * 7,
+            "value": [0.7, 0.6, 0.5, 0.7, 0.3, 0.2, 0.1],
+            "ts": pd.to_datetime([0] * 7, unit="s"),
+            "props": [""] * 7,
+        }
+    )
+    got = (
+        ntile_buckets(rd.from_pandas(ev), n=4, num_buckets=2)
+        .to_pandas()
+        .set_index("event_id")["bucket"]
+    )
+    # order: (0.7,e0),(0.7,e3),(0.6,e1),(0.5,e2),(0.3,e4),(0.2,e5),(0.1,e6)
+    assert got[0] == 1 and got[3] == 1
+    assert got[1] == 2 and got[2] == 2
+    assert got[4] == 3 and got[5] == 3
+    assert got[6] == 4
+
+
+def test_ema_fixed_point_recurrence(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import ema_smoothed
+
+    ts = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3 + ["c2"] * 2,
+            "turn_idx": [0, 1, 2, 0, 1],
+            "text": ["a b c", "a", "a b c d e f g", "x y", "x"],
+        }
+    )
+    got = (
+        ema_smoothed(rd.from_pandas(ts), num_buckets=2)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    S = 10**6
+    e1 = 3 * S
+    e2 = (3 * e1 + 1 * S) // 4
+    e3 = (3 * e2 + 7 * S) // 4
+    f1 = 2 * S
+    f2 = (3 * f1 + 1 * S) // 4
+    assert got["ema_mu"].tolist() == [e1, e2, e3, f1, f2]
+    assert got["n_tok"].tolist() == [3, 1, 7, 2, 1]
+
+
+def test_systematic_sample_spacing(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.sampling import (
+        systematic_sample,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [5, 1, 9, 3, 7, 2, 8, 4, 6, 10],
+                      "text": ["t"] * 10})
+    )
+    got = (
+        systematic_sample(docs, k=3, num_ranges=4)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert got["rank"].tolist() == [1, 4, 7, 10]
+    assert got["doc_id"].tolist() == [1, 4, 7, 10]  # sorted doc_id order
+
+
+def test_large_volume_orders(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        large_volume_orders,
+    )
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [100, 200, 300],
+            "o_custkey": [1, 2, 1],
+            "o_orderdate": pd.to_datetime(["1995-01-02", "1995-03-04", "1996-05-06"]),
+            "o_totalprice": [1000.10, 2000.25, 3000.50],
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [100, 100, 200, 300],
+            "l_quantity": [150.0, 100.0, 50.0, 201.0],
+        }
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [1, 2], "c_name": ["Customer#1", "Customer#2"]}
+    )
+    got = (
+        large_volume_orders(
+            rd.from_pandas(orders),
+            rd.from_pandas(lineitem),
+            rd.from_pandas(customer),
+            min_qty_centi=20000,
+            num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    # order 100: 250.0 qty > 200 -> kept; 200: 50 -> dropped; 300: 201 -> kept
+    assert got["o_orderkey"].tolist() == [100, 300]
+    assert got["sum_qty_centi"].tolist() == [25000, 20100]
+    assert got["c_name"].tolist() == ["Customer#1", "Customer#1"]
+    epoch = np.datetime64("1970-01-01")
+    assert got["d_days"].tolist() == [
+        int((np.datetime64("1995-01-02") - epoch).astype(int)),
+        int((np.datetime64("1996-05-06") - epoch).astype(int)),
+    ]
+    assert got["price_cents"].tolist() == [100010, 300050]
