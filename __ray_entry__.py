@@ -2446,6 +2446,38 @@ def _q_rel_q18(sf_dir: str):
     )
 
 
+def _q_min_label_prop(sf_dir: str):
+    """Bounded-round (2) min-label propagation over the co-occurrence
+    graph — deterministic community seeds; unrolled-CTE oracle."""
+    from bio_re_with_entity_embeddings_ray.stages import graph
+
+    quiet_ray_data()
+    return graph.min_label_prop(_cooc_edges(sf_dir), rounds=2, num_buckets=_NB)
+
+
+def _q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood ER blocking (window 3 over the
+    (n_chars, doc_id) rank order) — O(n·window) candidate pairs."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return dedup.sorted_neighborhood_pairs(
+        docs, key_col="n_chars", window=3, num_ranges=_NB, num_buckets=_NB
+    )
+
+
+def _q_zorder_index(sf_dir: str):
+    """Z-order (Morton) curve value over (user_id, v_milli) — the
+    locality-preserving 2-D partitioning key."""
+    from bio_re_with_entity_embeddings_ray.stages import ordered
+
+    quiet_ray_data()
+    return ordered.zorder_index(_events(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- ORDERING = driver-sampling insurance: the driver samples the
@@ -2507,6 +2539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ema_smoothed": _q_ema_smoothed,
         "systematic_sample": _q_systematic_sample,
         "rel_q18": _q_rel_q18,
+        "min_label_prop": _q_min_label_prop,
+        "sorted_neighborhood": _q_sorted_neighborhood,
+        "zorder_index": _q_zorder_index,
         "rel_groupby_agg": _q_rel_groupby,
         "rel_top_orders": _q_rel_top_orders,
         "rel_semi_join": _q_rel_semi_join,
@@ -2790,6 +2825,9 @@ def oracle_sql() -> dict[str, str]:
         "ema_smoothed": oracles.EMA_SMOOTHED,
         "systematic_sample": oracles.SYSTEMATIC_SAMPLE,
         "rel_q18": oracles.REL_Q18,
+        "min_label_prop": oracles.MIN_LABEL_PROP,
+        "sorted_neighborhood": oracles.SORTED_NEIGHBORHOOD,
+        "zorder_index": oracles.ZORDER_INDEX,
         "global_rank": oracles.GLOBAL_RANK,
         "cooc_edges": oracles.COOC_EDGES,
         "pagerank": oracles.PAGERANK,

@@ -3334,3 +3334,65 @@ SELECT c.c_name, o.o_custkey, o.o_orderkey,
 FROM orders o
 JOIN __q q ON o.o_orderkey = q.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+
+def _mlp_iter_cte(i: int, prev: str) -> str:
+    """One min-label-propagation round: each node takes the min of its
+    own label and its in-neighbors' labels (string lexicographic min —
+    entity ids are ASCII, so DuckDB binary collation == Python order)."""
+    return f"""ml{i} AS (
+  SELECT n.node, least(n.lbl, COALESCE(m.ml, n.lbl)) AS lbl
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS node, min(p.lbl) AS ml
+    FROM __e e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst
+  ) m USING (node)
+)"""
+
+
+# Bounded-round min-label propagation (stages/graph.min_label_prop,
+# rounds=2): label(v) = smallest node id within 2 hops.
+MIN_LABEL_PROP = f"""WITH {_COOC_EDGES},
+__nodes AS (SELECT DISTINCT src AS node FROM __e),
+ml0 AS (SELECT node, node AS lbl FROM __nodes),
+{_mlp_iter_cte(1, "ml0")},
+{_mlp_iter_cte(2, "ml1")}
+SELECT node, lbl AS label FROM ml2"""
+
+
+# Sorted-neighborhood ER blocking (stages/dedup.sorted_neighborhood_pairs,
+# key=n_chars, window=3): all pairs within 3 ranks of the
+# (n_chars, doc_id) order.
+SORTED_NEIGHBORHOOD = """WITH __r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.rnk AS rank_a, b.rnk AS rank_b
+FROM __r a JOIN __r b ON b.rnk - a.rnk BETWEEN 1 AND 3"""
+
+
+# Z-order curve value (stages/ordered.zorder_index): Morton interleave of
+# (user_id & 0xFFFF, v_milli & 0xFFFF) via the same magic-mask ladder.
+ZORDER_INDEX = """WITH __v AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+),
+__m AS (
+  SELECT event_id, user_id, v_milli,
+         user_id & 65535 AS x0, v_milli & 65535 AS y0
+  FROM __v
+),
+__s1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1,
+                (y0 | (y0 << 8)) & 16711935 AS y1 FROM __m),
+__s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+                (y1 | (y1 << 4)) & 252645135 AS y2 FROM __s1),
+__s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+                (y2 | (y2 << 2)) & 858993459 AS y3 FROM __s2),
+__s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+                (y3 | (y3 << 1)) & 1431655765 AS y4 FROM __s3)
+SELECT event_id, user_id, v_milli,
+       CAST(x4 | (y4 << 1) AS BIGINT) AS zval
+FROM __s4"""

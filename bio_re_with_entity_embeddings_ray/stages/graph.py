@@ -1233,3 +1233,68 @@ def pagerank_weighted(
                 summed["c"].to_numpy().astype(np.int64)
             )
     return pd.DataFrame({"node": nodes, "rank_nano": r})
+
+
+def min_label_prop(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Bounded-round min-label propagation: every node starts labelled
+    with its own id; each round every node takes the minimum of its own
+    label and its in-neighbors' labels. After enough rounds this is
+    connected components (see ``dedup.connected_components`` for the
+    converging variants); at a FIXED round budget it is the
+    deterministic "community seed" primitive — label(v) = smallest node
+    id within ``rounds`` hops — used to pre-cluster before expensive
+    pairwise work. Returns (node, label).
+
+    Scale shape mirrors :func:`pagerank`: the label vector is
+    node-vocabulary-bounded and broadcast once per round; ONE narrow
+    pass over the edges maps src → label and pre-MINS per dst per block
+    (hot nodes cost one comparison per block, not one per in-edge); the
+    measured merge reduces (node, min-label) partials. Driver state is
+    O(nodes), same bound as every finalize in this family.
+    """
+    import ray
+
+    edges = edges.materialize()
+    deg_df = degree_table(edges, src, dst, num_buckets)
+    nodes = np.sort(deg_df["node"].to_numpy())
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": nodes, "label": nodes})
+    pos = pd.Series(np.arange(n), index=nodes)
+    lbl = nodes.copy()
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("node", as_index=False, sort=False)["ml"].min()
+
+    for _ in range(rounds):
+        lvec = pd.Series(lbl, index=nodes)
+        ref = ray.put(lvec)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            lv = ray.get(ref)
+            return (
+                pd.DataFrame(
+                    {"node": batch[dst], "ml": batch[src].map(lv).to_numpy()}
+                )
+                .groupby("node", as_index=False, sort=False)["ml"]
+                .min()
+            )
+
+        summed = merge_partials(
+            edges.map_batches(partial, batch_format="pandas"),
+            "node",
+            combine,
+            lambda b: b,
+            num_buckets,
+        ).to_pandas()
+        if len(summed):
+            p = pos[summed["node"]].to_numpy()
+            incoming = summed["ml"].to_numpy()
+            lbl[p] = np.minimum(lbl[p], incoming)
+    return pd.DataFrame({"node": nodes, "label": lbl})

@@ -267,3 +267,87 @@ def test_large_volume_orders(ray_session):
         int((np.datetime64("1996-05-06") - epoch).astype(int)),
     ]
     assert got["price_cents"].tolist() == [100010, 300050]
+
+
+def test_min_label_prop_bounded_rounds(ray_session):
+    """Undirected path a-b-c-d-e: after 2 rounds each node's label is
+    the min id within 2 hops — e gets 'c', not 'a' (bounded, not CC)."""
+    from bio_re_with_entity_embeddings_ray.stages.graph import min_label_prop
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "src": [x for p in und for x in p],
+                "dst": [x for p in und for x in reversed(p)],
+            }
+        )
+    )
+    got = (
+        min_label_prop(edges, rounds=2, num_buckets=2)
+        .set_index("node")["label"]
+    )
+    assert dict(got) == {"a": "a", "b": "a", "c": "a", "d": "b", "e": "c"}
+
+
+def test_sorted_neighborhood_brute_force(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 60
+    df = pd.DataFrame(
+        {"doc_id": range(n), "n_chars": rng.integers(10, 40, size=n)}
+    )
+    got = (
+        sorted_neighborhood_pairs(
+            rd.from_pandas(df), key_col="n_chars", window=3,
+            num_ranges=4, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["rank_a", "rank_b"])
+        .reset_index(drop=True)
+    )
+    order = df.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    rows = []
+    for a in range(n):
+        for b in range(a + 1, min(a + 4, n)):
+            rows.append(
+                (order["doc_id"][a], order["doc_id"][b], a + 1, b + 1)
+            )
+    exp = pd.DataFrame(rows, columns=["doc_a", "doc_b", "rank_a", "rank_b"])
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64")
+    )
+
+
+def test_zorder_interleave(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.ordered import zorder_index
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [0b1010, 0xFFFF, 7],
+            "event_type": ["x"] * 3,
+            "value": [0.005, 0.0, 65.535],  # v_milli = 5, 0, 65535
+            "ts": pd.to_datetime([0] * 3, unit="s"),
+            "props": [""] * 3,
+        }
+    )
+    got = (
+        zorder_index(rd.from_pandas(ev))
+        .to_pandas()
+        .set_index("event_id")["zval"]
+    )
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got[1] == morton(0b1010, 5)
+    assert got[2] == morton(0xFFFF, 0)
+    assert got[3] == morton(7, 65535)
