@@ -2446,6 +2446,20 @@ def _q_rel_q18(sf_dir: str):
     )
 
 
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of BM25 and raw term-frequency rankings —
+    the standard hybrid-retrieval combiner, integer-exact."""
+    quiet_ray_data()
+    return textstats.rrf_fusion(_docs(sf_dir), query="join sort window", k=10)
+
+
+def _q_late_arrivals(sf_dir: str):
+    """Out-of-order event accounting vs the per-user running-max
+    watermark (arrival order = event_id); ms-boundary lag."""
+    quiet_ray_data()
+    return relational.late_arrivals(_events(sf_dir), num_buckets=_NB)
+
+
 def _q_min_label_prop(sf_dir: str):
     """Bounded-round (2) min-label propagation over the co-occurrence
     graph — deterministic community seeds; unrolled-CTE oracle."""
@@ -2540,6 +2554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": _q_systematic_sample,
         "rel_q18": _q_rel_q18,
         "min_label_prop": _q_min_label_prop,
+        "rrf_fusion": _q_rrf_fusion,
+        "late_arrivals": _q_late_arrivals,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "zorder_index": _q_zorder_index,
         "rel_groupby_agg": _q_rel_groupby,
@@ -2826,6 +2842,8 @@ def oracle_sql() -> dict[str, str]:
         "systematic_sample": oracles.SYSTEMATIC_SAMPLE,
         "rel_q18": oracles.REL_Q18,
         "min_label_prop": oracles.MIN_LABEL_PROP,
+        "rrf_fusion": oracles.RRF_FUSION,
+        "late_arrivals": oracles.LATE_ARRIVALS,
         "sorted_neighborhood": oracles.SORTED_NEIGHBORHOOD,
         "zorder_index": oracles.ZORDER_INDEX,
         "global_rank": oracles.GLOBAL_RANK,

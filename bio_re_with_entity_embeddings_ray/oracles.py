@@ -3396,3 +3396,63 @@ __s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
 SELECT event_id, user_id, v_milli,
        CAST(x4 | (y4 << 1) AS BIGINT) AS zval
 FROM __s4"""
+
+
+# Reciprocal-rank fusion (stages/textstats.rrf_fusion, rrf_k=60): BM25
+# top-10 fused with the raw query-term-frequency top-10; integer RRF.
+RRF_FUSION = f"""WITH __bm AS (
+{BM25_TOPK}
+),
+__qt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+__qc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x = 'join')) +
+              len(list_filter(toks, x -> x = 'sort')) +
+              len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS qtf
+  FROM __qt
+),
+__qr AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS rank
+  FROM (SELECT doc_id,
+               row_number() OVER (ORDER BY qtf DESC, doc_id) AS rn
+        FROM __qc WHERE qtf > 0)
+  WHERE rn <= 10
+),
+__u AS (
+  SELECT doc_id, rank FROM __bm
+  UNION ALL
+  SELECT doc_id, rank FROM __qr
+),
+__s AS (
+  SELECT doc_id,
+         SUM(1000000000 // (60 + rank)) AS rrf_bp,
+         count(*) AS n_lists
+  FROM __u GROUP BY doc_id
+)
+SELECT doc_id, CAST(rrf_bp AS BIGINT) AS rrf_bp,
+       CAST(n_lists AS BIGINT) AS n_lists,
+       CAST(row_number() OVER (ORDER BY rrf_bp DESC, doc_id) AS BIGINT)
+         AS rank
+FROM __s"""
+
+
+# Late-event accounting (stages/relational.late_arrivals): strictly
+# older than the running max ts of earlier-ARRIVING events of the same
+# user; arrival order = (md5int8('arr:'||event_id), event_id) — the
+# deterministic-shuffle stand-in for an ingestion sequence; ms-boundary
+# lag.
+LATE_ARRIVALS = """WITH __h AS (
+  SELECT event_id, user_id, ts,
+         CAST(('0x' || substr(md5('arr:' || event_id), 1, 8)) AS BIGINT) AS h
+  FROM events
+),
+__w AS (
+  SELECT event_id, user_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY h, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM __h
+)
+SELECT event_id, user_id,
+       CAST(epoch_us(wm) // 1000 - epoch_us(ts) // 1000 AS BIGINT) AS lag_ms
+FROM __w WHERE wm > ts"""

@@ -3515,3 +3515,68 @@ def large_volume_orders(
         batch_format="pandas",
         concurrency=(1, 4),
     )
+
+
+def late_arrivals(events, num_buckets: int = 32, salt: str = "arr"):
+    """Out-of-order (late) event accounting — the streaming watermark
+    primitive: an event is LATE when its timestamp is strictly older
+    than the running max timestamp of earlier-ARRIVING events of the
+    same user. Returns one row per late event: (event_id, user_id,
+    lag_ms) with the millisecond-BOUNDARY lag behind the watermark
+    (floor(wm/1000) - floor(ts/1000), the funnel_counts date_diff
+    discipline).
+
+    The fixture carries no separate ingestion sequence (its ts is
+    monotone in event_id per user, so "arrival = event_id" is vacuously
+    in-order); arrival order is therefore SIMULATED deterministically
+    as ``(md5int8(salt:event_id), event_id)`` — the
+    ``deterministic_shuffle`` discipline, a reproducible stand-in for
+    network reordering. A real deployment passes its ingestion-sequence
+    column instead.
+
+    Why it matters at scale: ingestion pipelines size their
+    allowed-lateness windows from exactly this distribution; computing
+    it is one user-keyed exchange of narrow int64 rows and a segmented
+    running max per bucket (C-level grouped cummax/shift, no per-row
+    Python)."""
+    from bio_re_with_entity_embeddings_ray.functions.textfns import md5int8_array
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        eid = batch["event_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": eid,
+                "h": md5int8_array([f"{salt}:{e}" for e in eid]),
+                "ts_us": batch["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": np.array([], np.int64),
+                    "user_id": np.array([], np.int64),
+                    "lag_ms": np.array([], np.int64),
+                }
+            )
+        b = bucket.sort_values(["user_id", "h", "event_id"], kind="mergesort")
+        g = b.groupby("user_id", sort=False)["ts_us"]
+        wm = g.cummax().groupby(b["user_id"], sort=False).shift(1)
+        ts = b["ts_us"].to_numpy()
+        late = wm.notna().to_numpy() & (wm.to_numpy() > ts)
+        wmv = wm.to_numpy()[late].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy()[late],
+                "user_id": b["user_id"].to_numpy()[late],
+                "lag_ms": wmv // 1000 - ts[late] // 1000,
+            }
+        )
+
+    return bucketed_group_apply(ev, "user_id", per_user, num_buckets)

@@ -1710,3 +1710,71 @@ def prefix_clusters(docs, k: int = 8, min_docs: int = 2, num_buckets: int = 16):
         docs.map_batches(partial, batch_format="pandas"),
         "prefix", combine, finalize, num_buckets,
     )
+
+
+def rrf_fusion(docs, query: str = "join sort window", k: int = 10,
+               rrf_k: int = 60):
+    """Reciprocal-rank fusion of two retrieval rankings for the same
+    ``query`` — the standard hybrid-search combiner (Cormack et al.):
+    list 1 = BM25 top-k (:func:`bm25_topk`), list 2 = raw query-term-
+    frequency top-k (the "sparse counting" ranker). Returns
+    (doc_id, rrf_bp, n_lists, rank) over the union of both lists with
+    ``rrf_bp = sum over lists of 10^9 // (rrf_k + rank_in_list)`` —
+    integer-exact, so the oracle's unordered SUM matches bit-for-bit.
+
+    Scale shape: both input rankings already reduce to <= blocks x k
+    candidate rows via per-block top-k combiners; the fusion itself
+    touches <= 2k rows on the driver (the knn/kmeans finalize
+    economics). At 100 TB nothing changes — fusion cost is O(k), not
+    corpus-sized, and the two source scans share the corpus read if the
+    caller materializes it."""
+    q_terms = query.split(" ")
+    bm = bm25_topk(docs, query=query, k=k)[["doc_id", "rank"]]
+
+    def qtf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        n = len(n_tok)
+        qtf = np.zeros(n, dtype=np.int64)
+        vl = {t: i for i, t in enumerate(vocab)}
+        for t in q_terms:
+            code = vl.get(t)
+            if code is None:
+                continue
+            qtf += np.bincount(row_idx[codes == code], minlength=n)
+        keep = qtf > 0
+        out = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy()[keep], "qtf": qtf[keep]}
+        )
+        return out.sort_values(
+            ["qtf", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = docs.map_batches(
+        qtf_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if len(cand) == 0:
+        cand = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "qtf": pd.Series([], dtype="int64"),
+            }
+        )
+    cand = cand.sort_values(
+        ["qtf", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+
+    u = pd.concat(
+        [bm[["doc_id", "rank"]], cand[["doc_id", "rank"]]], ignore_index=True
+    )
+    u["c"] = 10**9 // (rrf_k + u["rank"].to_numpy())
+    s = u.groupby("doc_id", as_index=False).agg(
+        rrf_bp=("c", "sum"), n_lists=("rank", "size")
+    )
+    s = s.sort_values(
+        ["rrf_bp", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    s["rank"] = np.arange(1, len(s) + 1, dtype=np.int64)
+    s["rrf_bp"] = s["rrf_bp"].astype("int64")
+    s["n_lists"] = s["n_lists"].astype("int64")
+    return s[["doc_id", "rrf_bp", "n_lists", "rank"]]

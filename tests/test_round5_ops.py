@@ -351,3 +351,87 @@ def test_zorder_interleave(ray_session):
     assert got[1] == morton(0b1010, 5)
     assert got[2] == morton(0xFFFF, 0)
     assert got[3] == morton(7, 65535)
+
+
+def test_rrf_fusion_integer_scores(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.textstats import (
+        bm25_topk,
+        rrf_fusion,
+    )
+
+    texts = [
+        "join sort window join",        # hits all terms
+        "join join join filler filler", # heavy on one term
+        "sort window",                  # two terms
+        "nothing relevant here",        # no terms
+        "window",                       # one term
+    ]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(5), "text": texts})
+    )
+    got = rrf_fusion(docs, query="join sort window", k=3)
+    bm = bm25_topk(docs, query="join sort window", k=3)
+    # qtf ranking: doc0 qtf=4, doc1 qtf=3, doc2 qtf=2 -> top-3
+    qtf_rank = {0: 1, 1: 2, 2: 3}
+    exp = {}
+    for _, r in bm.iterrows():
+        exp[r["doc_id"]] = exp.get(r["doc_id"], 0) + 10**9 // (60 + r["rank"])
+    for d, rk in qtf_rank.items():
+        exp[d] = exp.get(d, 0) + 10**9 // (60 + rk)
+    got_map = dict(zip(got["doc_id"], got["rrf_bp"]))
+    assert got_map == exp
+    # rank is dense by (rrf desc, doc_id)
+    srt = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got.sort_values("rank")["doc_id"].tolist() == [d for d, _ in srt]
+    # doc 3 (no query terms) appears in neither list
+    assert 3 not in got_map
+
+
+def test_late_arrivals_watermark(ray_session):
+    from bio_re_with_entity_embeddings_ray.functions.textfns import (
+        md5int8_array,
+    )
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        late_arrivals,
+    )
+
+    n = 40
+    ev = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": [i % 3 for i in range(n)],
+            "event_type": ["x"] * n,
+            "value": [0.0] * n,
+            # ts monotone in event_id; lateness comes from hash order
+            "ts": pd.to_datetime([1000 + 7 * i for i in range(n)], unit="ms"),
+            "props": [""] * n,
+        }
+    )
+    got = (
+        late_arrivals(rd.from_pandas(ev), num_buckets=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # single-process reference with the same deterministic arrival hash
+    h = md5int8_array([f"arr:{e}" for e in ev["event_id"]])
+    ref_rows = []
+    for u in sorted(ev["user_id"].unique()):
+        sub = ev[ev["user_id"] == u].copy()
+        sub["h"] = h[sub.index]
+        sub = sub.sort_values(["h", "event_id"])
+        wm = None
+        for _, r in sub.iterrows():
+            t = r["ts"].value // 1000  # ns -> us
+            if wm is not None and wm > t:
+                ref_rows.append(
+                    (r["event_id"], u, wm // 1000 - t // 1000)
+                )
+            wm = t if wm is None else max(wm, t)
+    exp = (
+        pd.DataFrame(ref_rows, columns=["event_id", "user_id", "lag_ms"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0  # hash order must actually reorder something
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
