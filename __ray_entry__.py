@@ -2460,6 +2460,44 @@ def _q_late_arrivals(sf_dir: str):
     return relational.late_arrivals(_events(sf_dir), num_buckets=_NB)
 
 
+def _q_lexical_diversity(sf_dir: str):
+    """Type-token ratio + hapax share per document (lexical-diversity
+    curation signals, integer basis points)."""
+    quiet_ray_data()
+    return textstats.lexical_diversity(_docs(sf_dir))
+
+
+def _q_conv_role_balance(sf_dir: str):
+    """Per-conversation role token shares (bp) — SFT health filter."""
+    quiet_ray_data()
+    return relational.conv_role_balance(derive_transcripts(sf_dir), _NB)
+
+
+def _q_orders_by_month(sf_dir: str):
+    """Calendar-month order rollup (ym = year*100+month)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    return relational.orders_by_month(o, num_buckets=_NB)
+
+
+def _q_user_ltv_quantiles(sf_dir: str):
+    """Exact quantiles of per-user total value (two-level aggregate)."""
+    quiet_ray_data()
+    return relational.user_ltv_quantiles(_events(sf_dir), num_buckets=_NB)
+
+
+def _q_conv_entity_density(sf_dir: str):
+    """Mentions-per-token density per conversation (KG coverage signal;
+    zero-mention conversations included)."""
+    quiet_ray_data()
+    return relational.conv_entity_density(
+        derive_transcripts(sf_dir), _all_mentions(sf_dir), _NB
+    )
+
+
 def _q_min_label_prop(sf_dir: str):
     """Bounded-round (2) min-label propagation over the co-occurrence
     graph — deterministic community seeds; unrolled-CTE oracle."""
@@ -2554,6 +2592,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": _q_systematic_sample,
         "rel_q18": _q_rel_q18,
         "min_label_prop": _q_min_label_prop,
+        "lexical_diversity": _q_lexical_diversity,
+        "conv_role_balance": _q_conv_role_balance,
+        "conv_entity_density": _q_conv_entity_density,
+        "orders_by_month": _q_orders_by_month,
+        "user_ltv_quantiles": _q_user_ltv_quantiles,
         "rrf_fusion": _q_rrf_fusion,
         "late_arrivals": _q_late_arrivals,
         "sorted_neighborhood": _q_sorted_neighborhood,
@@ -2842,6 +2885,11 @@ def oracle_sql() -> dict[str, str]:
         "systematic_sample": oracles.SYSTEMATIC_SAMPLE,
         "rel_q18": oracles.REL_Q18,
         "min_label_prop": oracles.MIN_LABEL_PROP,
+        "lexical_diversity": oracles.LEXICAL_DIVERSITY,
+        "conv_role_balance": oracles.CONV_ROLE_BALANCE,
+        "conv_entity_density": oracles.CONV_ENTITY_DENSITY,
+        "orders_by_month": oracles.ORDERS_BY_MONTH,
+        "user_ltv_quantiles": oracles.USER_LTV_QUANTILES,
         "rrf_fusion": oracles.RRF_FUSION,
         "late_arrivals": oracles.LATE_ARRIVALS,
         "sorted_neighborhood": oracles.SORTED_NEIGHBORHOOD,

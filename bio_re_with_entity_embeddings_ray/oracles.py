@@ -3456,3 +3456,90 @@ __w AS (
 SELECT event_id, user_id,
        CAST(epoch_us(wm) // 1000 - epoch_us(ts) // 1000 AS BIGINT) AS lag_ms
 FROM __w WHERE wm > ts"""
+
+
+# Lexical diversity (stages/textstats.lexical_diversity): type-token
+# ratio + hapax share in integer basis points.
+LEXICAL_DIVERSITY = """WITH __t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+__g AS (SELECT doc_id, w, count(*) AS c FROM __t GROUP BY doc_id, w),
+__s AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM __g GROUP BY doc_id
+)
+SELECT doc_id, n_tok, n_types,
+       CAST(10000 * n_types // n_tok AS BIGINT) AS ttr_bp,
+       CAST(10000 * n_hapax // n_tok AS BIGINT) AS hapax_bp
+FROM __s"""
+
+
+# Per-conversation role token balance
+# (stages/relational.conv_role_balance): integer-bp shares.
+CONV_ROLE_BALANCE = f"""WITH {transcripts_sql_cte()},
+__r AS (
+  SELECT conv_id, role,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM transcripts_v
+),
+__g AS (
+  SELECT conv_id,
+         CAST(SUM(nt) AS BIGINT) AS n_tok,
+         CAST(SUM(CASE WHEN role = 'user' THEN nt ELSE 0 END) AS BIGINT) AS ut,
+         CAST(SUM(CASE WHEN role = 'assistant' THEN nt ELSE 0 END) AS BIGINT) AS at,
+         CAST(SUM(CASE WHEN role = 'tool' THEN nt ELSE 0 END) AS BIGINT) AS tt
+  FROM __r GROUP BY conv_id
+)
+SELECT conv_id, n_tok,
+       CAST(10000 * ut // GREATEST(n_tok, 1) AS BIGINT) AS user_bp,
+       CAST(10000 * at // GREATEST(n_tok, 1) AS BIGINT) AS assistant_bp,
+       CAST(10000 * tt // GREATEST(n_tok, 1) AS BIGINT) AS tool_bp
+FROM __g"""
+
+
+# Calendar-month order rollup (stages/relational.orders_by_month).
+ORDERS_BY_MONTH = """SELECT
+  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM orders GROUP BY 1"""
+
+
+# Exact quantiles of per-user lifetime value
+# (stages/relational.user_ltv_quantiles): same ceil-position rule as
+# TOKEN_QUANTILES over the per-user sums.
+USER_LTV_QUANTILES = """WITH __u AS (
+  SELECT user_id,
+         CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY user_id
+),
+__n AS (SELECT count(*) AS n FROM __u),
+__r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM __u),
+__q AS (SELECT CAST(unnest([2500, 5000, 7500, 9500]) AS BIGINT) AS q_bp)
+SELECT q.q_bp,
+       (SELECT v FROM __r
+        WHERE rn = GREATEST(1, (q.q_bp * (SELECT n FROM __n) + 9999) // 10000))
+         AS value
+FROM __q q"""
+
+
+# Mentions-per-token conversation density
+# (stages/relational.conv_entity_density): zero-mention convs included.
+CONV_ENTITY_DENSITY = f"""WITH {kg_cte()},
+__tok_c AS (
+  SELECT conv_id,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+  FROM transcripts_v GROUP BY conv_id
+),
+__men_c AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_mentions
+  FROM __mentions GROUP BY conv_id
+)
+SELECT t.conv_id, t.n_tok,
+       COALESCE(m.n_mentions, 0) AS n_mentions,
+       CAST(10000 * COALESCE(m.n_mentions, 0) // GREATEST(t.n_tok, 1)
+            AS BIGINT) AS density_bp
+FROM __tok_c t LEFT JOIN __men_c m USING (conv_id)"""

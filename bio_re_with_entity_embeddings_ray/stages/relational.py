@@ -3580,3 +3580,178 @@ def late_arrivals(events, num_buckets: int = 32, salt: str = "arr"):
         )
 
     return bucketed_group_apply(ev, "user_id", per_user, num_buckets)
+
+
+def conv_role_balance(transcripts, num_buckets: int = 16):
+    """Per-conversation role token balance: (conv_id, n_tok, user_bp,
+    assistant_bp, tool_bp) — each role's share of the conversation's
+    tokens in integer basis points. The conversation-health signal SFT
+    curation filters on (all-assistant monologues, user-only fragments,
+    tool-spam) before packing examples.
+
+    Scale shape: per-block (conv, role) token-sum partials FIRST, then
+    one conv-keyed exchange; the per-bucket pivot is a vectorized
+    unstack over at most 3 role columns. No text crosses the wire."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern(batch["text"], " ")
+        ).cast(pa.int64())
+        t = pa.table(
+            {"conv_id": batch["conv_id"], "role": batch["role"], "n_tok": n_tok}
+        )
+        g = t.group_by(["conv_id", "role"]).aggregate([("n_tok", "sum")])
+        names = {"n_tok_sum": "n_tok"}
+        return g.rename_columns([names.get(c, c) for c in g.column_names])
+
+    partials = transcripts.map_batches(
+        prep, batch_format="pyarrow", batch_size=None
+    )
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["conv_id", "role"], as_index=False)["n_tok"].sum()
+        p = g.pivot_table(
+            index="conv_id", columns="role", values="n_tok",
+            aggfunc="sum", fill_value=0,
+        )
+        for r in ("user", "assistant", "tool"):
+            if r not in p.columns:
+                p[r] = 0
+        total = (
+            p[["user", "assistant", "tool"]].sum(axis=1).astype("int64")
+        )
+        nz = np.maximum(total.to_numpy(), 1)
+        return pd.DataFrame(
+            {
+                "conv_id": p.index.to_numpy(),
+                "n_tok": total.to_numpy(),
+                "user_bp": 10000 * p["user"].to_numpy().astype(np.int64) // nz,
+                "assistant_bp": 10000
+                * p["assistant"].to_numpy().astype(np.int64) // nz,
+                "tool_bp": 10000 * p["tool"].to_numpy().astype(np.int64) // nz,
+            }
+        )
+
+    return bucketed_group_apply(partials, "conv_id", per_conv, num_buckets)
+
+
+def orders_by_month(orders, num_buckets: int = 16):
+    """Calendar-month rollup of the orders fact table:
+    (ym, n_orders, revenue_cents) with ``ym = year * 100 + month`` —
+    the time-bucketed reporting aggregate (calendar buckets, unlike the
+    fixed-width tumbling/hopping ms windows elsewhere).
+
+    Scale shape: month extraction is vectorized datetime64[M] integer
+    arithmetic; per-block (ym, count, cents) partials tree-merge — the
+    month vocabulary is bounded by the date span, so this is the
+    cheapest possible exchange."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            b["o_orderdate"].to_numpy().astype("datetime64[M]").astype(np.int64)
+        )  # months since 1970-01
+        ym = (1970 + m // 12) * 100 + (m % 12 + 1)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"ym": ym, "n_orders": np.int64(1), "revenue_cents": cents})
+            .groupby("ym", as_index=False)
+            .agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+        )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("ym", as_index=False).agg(
+            n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum")
+        )
+
+    return merge_partials(
+        orders.map_batches(partial, batch_format="pandas"),
+        "ym", combine, lambda b: b, num_buckets, plan="tree",
+    )
+
+
+def user_ltv_quantiles(events, qs_bp=(2500, 5000, 7500, 9500),
+                       num_buckets: int = 16):
+    """Exact quantiles of per-user lifetime value (sum of value in
+    integer milli-units): (q_bp, value). Two-level aggregate — the
+    classic "distribution of per-entity totals" question — built by
+    composing the user-keyed sum with :func:`textstats.exact_quantiles`'
+    distinct-value-count scan (no global sort; both exchanges narrow
+    int64)."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+    from bio_re_with_entity_embeddings_ray.stages.textstats import exact_quantiles
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "v": np.round(b["value"].to_numpy() * 1000).astype(np.int64),
+            }
+        ).groupby("user_id", as_index=False)["v"].sum()
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", as_index=False)["v"].sum()
+
+    sums = merge_partials(
+        events.map_batches(partial, batch_format="pandas"),
+        "user_id", combine, lambda b: b, num_buckets,
+    )
+    return exact_quantiles(sums, "v", list(qs_bp), num_buckets)
+
+
+def conv_entity_density(transcripts, mentions, num_buckets: int = 16):
+    """Mentions-per-token density per conversation: (conv_id, n_tok,
+    n_mentions, density_bp) with ``density_bp = 10000 * mentions //
+    tokens`` — the KG-coverage signal (is the extractor finding
+    anything in this conversation, is a conversation all boilerplate).
+    Conversations with zero mentions are INCLUDED at density 0.
+
+    Scale shape: both sides collapse to per-block per-conv int64 counts
+    before ONE shared conv-keyed exchange (tagged union, the Q4
+    pattern); the per-bucket combine is a fill-zero merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern(batch["text"], " ")
+        ).cast(pa.int64())
+        t = pa.table({"conv_id": batch["conv_id"], "c": n_tok})
+        g = t.group_by("conv_id").aggregate([("c", "sum")])
+        g = g.rename_columns(
+            ["c" if c == "c_sum" else c for c in g.column_names]
+        )
+        return g.append_column("side", pa.array([0] * len(g), pa.int64()))
+
+    def men_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("conv_id", as_index=False).agg(c=("entity_id", "size"))
+        g["c"] = g["c"].astype("int64")
+        g["side"] = np.int64(1)
+        return g
+
+    u = transcripts.map_batches(
+        tok_partial, batch_format="pyarrow", batch_size=None
+    ).union(mentions.map_batches(men_partial, batch_format="pandas"))
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["conv_id", "side"], as_index=False)["c"].sum()
+        tok = g[g["side"] == 0].set_index("conv_id")["c"]
+        men = g[g["side"] == 1].set_index("conv_id")["c"]
+        men = men.reindex(tok.index, fill_value=0)
+        nz = np.maximum(tok.to_numpy(), 1)
+        return pd.DataFrame(
+            {
+                "conv_id": tok.index.to_numpy(),
+                "n_tok": tok.to_numpy().astype(np.int64),
+                "n_mentions": men.to_numpy().astype(np.int64),
+                "density_bp": 10000 * men.to_numpy().astype(np.int64) // nz,
+            }
+        )
+
+    return bucketed_group_apply(u, "conv_id", per_conv, num_buckets)

@@ -435,3 +435,136 @@ def test_late_arrivals_watermark(ray_session):
     )
     assert len(exp) > 0  # hash order must actually reorder something
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_lexical_diversity(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.textstats import (
+        lexical_diversity,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b a c a",          # 5 tok, 3 types, hapax {b, c} = 2
+                    "x x x x",            # 4 tok, 1 type, 0 hapax
+                    "unique words only",  # 3 tok, 3 types, 3 hapax
+                ],
+            }
+        )
+    )
+    got = (
+        lexical_diversity(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_tok"].tolist() == [5, 4, 3]
+    assert got["n_types"].tolist() == [3, 1, 3]
+    assert got["ttr_bp"].tolist() == [6000, 2500, 10000]
+    assert got["hapax_bp"].tolist() == [4000, 0, 10000]
+
+
+def test_conv_role_balance(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        conv_role_balance,
+    )
+
+    ts = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3 + ["c2"],
+            "turn_idx": [0, 1, 2, 0],
+            "role": ["user", "assistant", "tool", "user"],
+            "text": ["a b c", "d e", "f", "x y z w"],
+        }
+    )
+    got = (
+        conv_role_balance(rd.from_pandas(ts), num_buckets=2)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_tok"].tolist() == [6, 4]
+    assert got["user_bp"].tolist() == [10000 * 3 // 6, 10000]
+    assert got["assistant_bp"].tolist() == [10000 * 2 // 6, 0]
+    assert got["tool_bp"].tolist() == [10000 * 1 // 6, 0]
+
+
+def test_orders_by_month(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        orders_by_month,
+    )
+
+    o = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                ["1995-01-15", "1995-01-31", "1995-02-01", "1996-12-25"]
+            ),
+            "o_totalprice": [10.10, 20.20, 5.00, 1.99],
+        }
+    )
+    got = (
+        orders_by_month(rd.from_pandas(o), num_buckets=2)
+        .to_pandas()
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    assert got["ym"].tolist() == [199501, 199502, 199612]
+    assert got["n_orders"].tolist() == [2, 1, 1]
+    assert got["revenue_cents"].tolist() == [3030, 500, 199]
+
+
+def test_user_ltv_quantiles(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        user_ltv_quantiles,
+    )
+
+    # users 1..4 with LTVs 1000, 2000, 3000, 4000 milli
+    ev = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": [1, 1, 2, 2, 3, 3, 4, 4],
+            "event_type": ["x"] * 8,
+            "value": [0.4, 0.6, 1.0, 1.0, 1.5, 1.5, 2.0, 2.0],
+            "ts": pd.to_datetime([0] * 8, unit="s"),
+            "props": [""] * 8,
+        }
+    )
+    got = (
+        user_ltv_quantiles(rd.from_pandas(ev), num_buckets=2)
+        .sort_values("q_bp")
+        .reset_index(drop=True)
+    )
+    # n=4: pos(2500)=1, pos(5000)=2, pos(7500)=3, pos(9500)=ceil(3.8)=4
+    assert got["value"].tolist() == [1000, 2000, 3000, 4000]
+
+
+def test_conv_entity_density_zero_mention_convs(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        conv_entity_density,
+    )
+
+    ts = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": [0, 1, 0],
+            "role": ["user", "assistant", "user"],
+            "text": ["a b c d", "e f", "x y"],
+        }
+    )
+    mentions = pd.DataFrame(
+        {"conv_id": ["c1", "c1", "c1"], "entity_id": ["E1", "E2", "E1"]}
+    )
+    got = (
+        conv_entity_density(
+            rd.from_pandas(ts), rd.from_pandas(mentions), num_buckets=2
+        )
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert got["conv_id"].tolist() == ["c1", "c2"]
+    assert got["n_tok"].tolist() == [6, 2]
+    assert got["n_mentions"].tolist() == [3, 0]
+    assert got["density_bp"].tolist() == [10000 * 3 // 6, 0]
