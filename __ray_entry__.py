@@ -2498,6 +2498,35 @@ def _q_conv_entity_density(sf_dir: str):
     )
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """Per-vector int8-range quantization codes (exploded (vec_id, i,
+    code) rows; float64 expression-order parity with the oracle)."""
+    quiet_ray_data()
+    return scoring.embedding_quantize(_emb(sf_dir))
+
+
+def _q_rel_q5(sf_dir: str):
+    """TPC-H Q5 shape: same-nation customer+supplier revenue per nation
+    of one region — snowflake dimension chain collapsed to broadcast
+    maps, facts co-partitioned once by orderkey."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    l = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"])
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    n = rd.read_parquet(f"{sf_dir}/nation.parquet")
+    r = rd.read_parquet(f"{sf_dir}/region.parquet")
+    return relational.regional_revenue(l, o, c, sup, n, r,
+                                       region_name="ASIA", num_buckets=_NB)
+
+
 def _q_min_label_prop(sf_dir: str):
     """Bounded-round (2) min-label propagation over the co-occurrence
     graph — deterministic community seeds; unrolled-CTE oracle."""
@@ -2594,6 +2623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_label_prop": _q_min_label_prop,
         "lexical_diversity": _q_lexical_diversity,
         "conv_role_balance": _q_conv_role_balance,
+        "embedding_quantize": _q_embedding_quantize,
+        "rel_q5": _q_rel_q5,
         "conv_entity_density": _q_conv_entity_density,
         "orders_by_month": _q_orders_by_month,
         "user_ltv_quantiles": _q_user_ltv_quantiles,
@@ -2887,6 +2918,8 @@ def oracle_sql() -> dict[str, str]:
         "min_label_prop": oracles.MIN_LABEL_PROP,
         "lexical_diversity": oracles.LEXICAL_DIVERSITY,
         "conv_role_balance": oracles.CONV_ROLE_BALANCE,
+        "embedding_quantize": oracles.EMBEDDING_QUANTIZE,
+        "rel_q5": oracles.REL_Q5,
         "conv_entity_density": oracles.CONV_ENTITY_DENSITY,
         "orders_by_month": oracles.ORDERS_BY_MONTH,
         "user_ltv_quantiles": oracles.USER_LTV_QUANTILES,

@@ -3543,3 +3543,37 @@ SELECT t.conv_id, t.n_tok,
        CAST(10000 * COALESCE(m.n_mentions, 0) // GREATEST(t.n_tok, 1)
             AS BIGINT) AS density_bp
 FROM __tok_c t LEFT JOIN __men_c m USING (conv_id)"""
+
+
+# Int8-range embedding quantization (stages/scoring.embedding_quantize):
+# per-vector min/max codebook, float64 arithmetic in the exact engine
+# expression order.
+EMBEDDING_QUANTIZE = """WITH __x AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+__mm AS (SELECT vec_id, min(v) AS mn, max(v) AS mx FROM __x GROUP BY vec_id)
+SELECT x.vec_id, CAST(x.i AS BIGINT) AS i,
+       CAST(CASE WHEN m.mx = m.mn THEN 0
+                 ELSE least(255, floor((x.v - m.mn) * 255 / (m.mx - m.mn)))
+            END AS BIGINT) AS code
+FROM __x x JOIN __mm m USING (vec_id)"""
+
+
+# TPC-H Q5 shape (stages/relational.regional_revenue, region ASIA):
+# same-nation customer+supplier revenue per nation of the region;
+# integer cents x (10000 - discount_bp) units.
+REL_Q5 = """SELECT n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_units
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+             AND s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name"""

@@ -3755,3 +3755,136 @@ def conv_entity_density(transcripts, mentions, num_buckets: int = 16):
         )
 
     return bucketed_group_apply(u, "conv_id", per_conv, num_buckets)
+
+
+def regional_revenue(lineitem, orders, customer, supplier, nation, region,
+                     region_name: str = "ASIA", num_buckets: int = 32):
+    """TPC-H Q5 shape adapted to this schema: revenue per nation from
+    lineitems where the ordering CUSTOMER and the SUPPLIER sit in the
+    same nation of the chosen region — (n_name, revenue_units) with the
+    exact integer ``price_cents * (10000 - discount_bp)`` revenue
+    (envelope: cents < 2^40 and the sum over one nation must stay below
+    2^63 — ~9e18, i.e. ~90 B lineitems per nation at average prices;
+    past that, split the aggregate into (cents, discount) partial sums).
+
+    Scale shape: the snowflake dimension chain region → nation →
+    {customer, supplier} collapses DRIVER-side to two small key→nation
+    maps (region/nation are constant-size; customer/supplier are
+    dimension-scale — broadcast here, with the measured hash-join
+    crossover of relational._key_semi_anti as the documented fallback
+    when a dimension outgrows the object store). The two FACT tables
+    never meet in a global join: orders project to (orderkey,
+    cust_nation) and lineitems to (orderkey, supp_nation, rev) behind
+    broadcast filters, then ONE orderkey-keyed co-partitioned exchange
+    (tagged union) joins them per bucket; nation-bounded revenue
+    partials tree-merge."""
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+        merge_partials,
+    )
+
+    reg = region.to_pandas()
+    nat = nation.to_pandas()
+    rk = set(
+        reg.loc[reg["r_name"] == region_name, "r_regionkey"].astype(int)
+    )
+    nat = nat[nat["n_regionkey"].astype(int).isin(rk)]
+    nkeys = set(nat["n_nationkey"].astype(int))
+    names = dict(
+        zip(nat["n_nationkey"].astype(int), nat["n_name"])
+    )
+
+    cust = customer.map_batches(
+        lambda b: b[["c_custkey", "c_nationkey"]], batch_format="pandas"
+    ).to_pandas()
+    cmap = {
+        int(k): int(v)
+        for k, v in zip(cust["c_custkey"], cust["c_nationkey"])
+        if int(v) in nkeys
+    }
+    supp = supplier.map_batches(
+        lambda b: b[["s_suppkey", "s_nationkey"]], batch_format="pandas"
+    ).to_pandas()
+    smap = {
+        int(k): int(v)
+        for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])
+        if int(v) in nkeys
+    }
+    cref, sref = ray.put(cmap), ray.put(smap)
+
+    class TagOrders:
+        def __init__(self, cref):
+            self.cmap = ray.get(cref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            nk = b["o_custkey"].map(self.cmap)
+            keep = nk.notna().to_numpy()
+            return pd.DataFrame(
+                {
+                    "orderkey": b["o_orderkey"].to_numpy()[keep].astype(np.int64),
+                    "nk": nk.to_numpy()[keep].astype(np.int64),
+                    "rev": np.zeros(int(keep.sum()), dtype=np.int64),
+                    "side": np.int64(0),
+                }
+            )
+
+    class TagLines:
+        def __init__(self, sref):
+            self.smap = ray.get(sref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            nk = b["l_suppkey"].map(self.smap)
+            keep = nk.notna().to_numpy()
+            cents = np.round(
+                b["l_extendedprice"].to_numpy()[keep] * 100
+            ).astype(np.int64)
+            disc = np.round(
+                b["l_discount"].to_numpy()[keep] * 10000
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "orderkey": b["l_orderkey"].to_numpy()[keep].astype(np.int64),
+                    "nk": nk.to_numpy()[keep].astype(np.int64),
+                    "rev": cents * (10000 - disc),
+                    "side": np.int64(1),
+                }
+            )
+
+    u = orders.map_batches(
+        TagOrders, fn_constructor_args=(cref,), batch_format="pandas",
+        concurrency=(1, 4),
+    ).union(
+        lineitem.map_batches(
+            TagLines, fn_constructor_args=(sref,), batch_format="pandas",
+            concurrency=(1, 4),
+        )
+    )
+
+    def per_order(b: pd.DataFrame) -> pd.DataFrame:
+        o = b[b["side"] == 0][["orderkey", "nk"]]
+        l = b[b["side"] == 1][["orderkey", "nk", "rev"]]
+        m = o.merge(l, on="orderkey", suffixes=("_c", "_s"))
+        m = m[m["nk_c"] == m["nk_s"]]
+        g = m.groupby("nk_c", as_index=False)["rev"].sum()
+        return g.rename(columns={"nk_c": "nk"})
+
+    partials = bucketed_group_apply(u, "orderkey", per_order, num_buckets)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("nk", as_index=False)["rev"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = combine(b)
+        out = pd.DataFrame(
+            {
+                "n_name": b["nk"].map(names),
+                "revenue_units": b["rev"].astype("int64"),
+            }
+        )
+        return out.sort_values("n_name").reset_index(drop=True)
+
+    return merge_partials(
+        partials, "nk", combine, finalize, num_buckets, plan="tree",
+    )

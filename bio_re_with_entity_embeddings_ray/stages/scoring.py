@@ -657,3 +657,41 @@ def label_centroids(emb, scale: float = 1_000_000.0, num_buckets: int = 16):
 
     return merge_partials(partials, ["label", "dim_idx"], combine, finalize,
                           plan="tree")
+
+
+def embedding_quantize(emb):
+    """Per-vector int8-range quantization codes — the storage/serving
+    compression step before shipping an embedding table to an ANN
+    index: (vec_id, i, code) with 1-based dimension index and
+    ``code = floor((v - min) * 255 / (max - min))`` clamped to 255
+    (0 for constant vectors). Per-vector min/max scaling (asymmetric,
+    zero-point-free) — the simplest codebook; the reconstruction
+    ``min + code * (max - min) / 255`` bounds per-dimension error at
+    half a step.
+
+    Determinism: values are cast to float64 BEFORE the arithmetic and
+    the oracle mirrors the exact expression order, so engine and SQL
+    floor the same IEEE double. Purely per-row vectorized (one
+    list-flatten, no Python loop), no exchange."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        M = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in batch["embedding"]]
+        ).astype(np.float64)
+        n, d = M.shape
+        mn = M.min(axis=1, keepdims=True)
+        mx = M.max(axis=1, keepdims=True)
+        rng = mx - mn
+        safe = np.where(rng == 0, 1.0, rng)
+        code = np.floor((M - mn) * 255.0 / safe)
+        code = np.where(rng == 0, 0.0, np.minimum(code, 255.0))
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, d),
+                "i": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+                "code": code.reshape(-1).astype(np.int64),
+            }
+        )
+
+    return emb.map_batches(fn, batch_format="pandas")

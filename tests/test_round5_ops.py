@@ -568,3 +568,77 @@ def test_conv_entity_density_zero_mention_convs(ray_session):
     assert got["n_tok"].tolist() == [6, 2]
     assert got["n_mentions"].tolist() == [3, 0]
     assert got["density_bp"].tolist() == [10000 * 3 // 6, 0]
+
+
+def test_embedding_quantize_roundtrip_error(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.scoring import (
+        embedding_quantize,
+    )
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": [1, 2],
+            "embedding": [
+                [0.0, 1.0, 0.5, 0.25],
+                [3.0, 3.0, 3.0, 3.0],  # constant vector -> all codes 0
+            ],
+        }
+    )
+    got = (
+        embedding_quantize(rd.from_pandas(emb))
+        .to_pandas()
+        .sort_values(["vec_id", "i"])
+        .reset_index(drop=True)
+    )
+    assert got[got["vec_id"] == 2]["code"].tolist() == [0, 0, 0, 0]
+    v1 = got[got["vec_id"] == 1]["code"].to_numpy()
+    # v=1.0 -> 255 (clamped from floor(255.0)=255); 0.0 -> 0
+    assert v1.tolist() == [0, 255, int(0.5 * 255), int(0.25 * 255)]
+    # reconstruction error bound: one quantization step
+    recon = 0.0 + v1 * (1.0 - 0.0) / 255.0
+    assert np.abs(recon - np.array([0.0, 1.0, 0.5, 0.25])).max() <= 1 / 255
+
+
+def test_regional_revenue_same_nation_only(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        regional_revenue,
+    )
+
+    region = pd.DataFrame(
+        {"r_regionkey": [0, 1], "r_name": ["ASIA", "EUROPE"]}
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": [10, 11, 20],
+            "n_name": ["JAPAN", "INDIA", "FRANCE"],
+            "n_regionkey": [0, 0, 1],
+        }
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [1, 2, 3], "c_nationkey": [10, 11, 20]}
+    )
+    supplier = pd.DataFrame(
+        {"s_suppkey": [5, 6], "s_nationkey": [10, 20]}
+    )
+    orders = pd.DataFrame(
+        {"o_orderkey": [100, 200, 300], "o_custkey": [1, 2, 3]}
+    )
+    lineitem = pd.DataFrame(
+        {
+            # order 100 (cust JAPAN): supp 5 JAPAN -> counts;
+            # order 200 (cust INDIA): supp 5 JAPAN -> nation mismatch;
+            # order 300 (cust FRANCE, not ASIA) -> filtered at orders
+            "l_orderkey": [100, 200, 300],
+            "l_suppkey": [5, 5, 5],
+            "l_extendedprice": [100.00, 50.00, 70.00],
+            "l_discount": [0.10, 0.0, 0.0],
+        }
+    )
+    got = regional_revenue(
+        rd.from_pandas(lineitem), rd.from_pandas(orders),
+        rd.from_pandas(customer), rd.from_pandas(supplier),
+        rd.from_pandas(nation), rd.from_pandas(region),
+        region_name="ASIA", num_buckets=2,
+    ).to_pandas()
+    assert got["n_name"].tolist() == ["JAPAN"]
+    assert got["revenue_units"].tolist() == [10000 * (10000 - 1000)]
