@@ -2527,6 +2527,33 @@ def _q_rel_q5(sf_dir: str):
                                        region_name="ASIA", num_buckets=_NB)
 
 
+def _q_minhash_jaccard_est(sf_dir: str):
+    """Raw MinHash Jaccard estimates for the LSH candidate pairs — the
+    estimator-calibration surface."""
+    quiet_ray_data()
+    return dedup.minhash_jaccard_est(_corpus(sf_dir), k=3, num_buckets=_NB)
+
+
+def _q_churn_users(sf_dir: str):
+    """Users idle >= 1 day-boundary behind the corpus max — the churn
+    cohort (retention counterpart; the fixture spans 3 days, so the
+    7-day production default would be vacuous here)."""
+    quiet_ray_data()
+    return relational.churn_users(_events(sf_dir), idle_days=1, num_buckets=_NB)
+
+
+def _q_curate_to_pack(sf_dir: str):
+    """Full chain: quality filter -> exact dedup -> GPT-style sequence
+    packing of the surviving corpus (budget 512) — ONE streaming
+    pipeline from raw docs to the dataloader manifest."""
+    from bio_re_with_entity_embeddings_ray.pipelines import curate as cur
+    from bio_re_with_entity_embeddings_ray.stages import ordered
+
+    quiet_ray_data()
+    kept = cur.curate(_corpus(sf_dir), num_buckets=_NB)
+    return ordered.pack_sequences(kept, budget=512, num_ranges=_NB)
+
+
 def _q_min_label_prop(sf_dir: str):
     """Bounded-round (2) min-label propagation over the co-occurrence
     graph — deterministic community seeds; unrolled-CTE oracle."""
@@ -2625,6 +2652,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_role_balance": _q_conv_role_balance,
         "embedding_quantize": _q_embedding_quantize,
         "rel_q5": _q_rel_q5,
+        "minhash_jaccard_est": _q_minhash_jaccard_est,
+        "churn_users": _q_churn_users,
+        "curate_to_pack": _q_curate_to_pack,
         "conv_entity_density": _q_conv_entity_density,
         "orders_by_month": _q_orders_by_month,
         "user_ltv_quantiles": _q_user_ltv_quantiles,
@@ -2920,6 +2950,9 @@ def oracle_sql() -> dict[str, str]:
         "conv_role_balance": oracles.CONV_ROLE_BALANCE,
         "embedding_quantize": oracles.EMBEDDING_QUANTIZE,
         "rel_q5": oracles.REL_Q5,
+        "minhash_jaccard_est": oracles.MINHASH_JACCARD_EST,
+        "churn_users": oracles.CHURN_USERS,
+        "curate_to_pack": oracles.CURATE_TO_PACK,
         "conv_entity_density": oracles.CONV_ENTITY_DENSITY,
         "orders_by_month": oracles.ORDERS_BY_MONTH,
         "user_ltv_quantiles": oracles.USER_LTV_QUANTILES,

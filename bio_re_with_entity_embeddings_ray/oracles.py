@@ -3577,3 +3577,83 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name"""
+
+
+# MinHash Jaccard estimates over the LSH candidates
+# (stages/dedup.minhash_jaccard_est): matching-permutation fraction,
+# same 16-perm/4-row constants as MINHASH_LSH.
+MINHASH_JACCARD_EST = f"""WITH {_SHINGLES},
+__shh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS x
+  FROM __sh
+),
+__sig AS (
+  SELECT doc_id, perm.p, min((perm.a * x + perm.b) % 2147483647) AS mh
+  FROM __shh, {_perm_values()} GROUP BY 1, 2
+),
+__band AS (
+  SELECT doc_id, CAST((p - 1) // 4 AS INT) AS band_id,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY p) AS band_key
+  FROM __sig GROUP BY 1, 2
+),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM __band a
+  JOIN __band b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+__m AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS matches
+  FROM __cand c
+  JOIN __sig sa ON sa.doc_id = c.doc_a
+  JOIN __sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(10000 * matches // 16 AS BIGINT) AS est_bp
+FROM __m"""
+
+
+# Churn cohort (stages/relational.churn_users, idle >= 1 day boundary —
+# the fixture spans 3 days).
+CHURN_USERS = """WITH __u AS (
+  SELECT user_id,
+         CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS last_day
+  FROM events GROUP BY user_id
+),
+__g AS (SELECT max(last_day) AS gd FROM __u)
+SELECT user_id, last_day,
+       CAST((SELECT gd FROM __g) - last_day AS BIGINT) AS idle_days
+FROM __u WHERE (SELECT gd FROM __g) - last_day >= 1"""
+
+
+# Full curation -> packing chain (pipelines/curate.curate composed with
+# stages/ordered.pack_sequences, budget 512): the end-to-end
+# training-data layout manifest over the CURATED corpus.
+CURATE_TO_PACK = f"""WITH {_CORPUS},
+__q AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM __corpus
+),
+__f AS (
+  SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens FROM __q
+  WHERE n_tokens >= 5 AND 10000 * n_distinct // n_tokens >= 3000
+),
+__k AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM __f) WHERE rn = 1
+),
+__s AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM __k
+)
+SELECT doc_id, n_tokens,
+       CAST(start // 512 AS BIGINT) AS seq_id,
+       CAST(start % 512 AS BIGINT) AS offset_in_seq
+FROM __s"""

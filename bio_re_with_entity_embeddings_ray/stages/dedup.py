@@ -1257,3 +1257,78 @@ def sorted_neighborhood_pairs(
         return pd.concat(out, ignore_index=True)
 
     return bucketed_group_apply(fanned, "g", pair_bucket, num_buckets)
+
+
+def minhash_jaccard_est(docs, k: int = 3, num_buckets: int = 64):
+    """MinHash Jaccard ESTIMATES for the LSH candidate pairs:
+    (doc_a, doc_b, est_bp) with ``est_bp = 10000 * matching_perms //
+    NUM_PERMS`` — the estimator-calibration surface (compare against
+    :func:`ngram_jaccard_pairs`' exact values to validate band/row
+    settings before a crawl-scale run; `minhash_verified_pairs` is the
+    production intersection, this exposes the raw estimate).
+
+    Scale shape: candidates come from the banded LSH exchange (never
+    all-pairs); the per-doc signatures (NUM_PERMS int64 = 128 B/doc)
+    are broadcast once and the per-batch match count is one vectorized
+    (pairs x NUM_PERMS) equality sum. Past ~10^8 candidate docs, swap
+    the broadcast for a doc-keyed signature join (relational.hash_join),
+    same note as the Jaccard size map."""
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.functions.textfns import (
+        MINHASH_NUM_PERMS,
+    )
+
+    cand = minhash_lsh_pairs(docs, k=k, num_buckets=num_buckets)
+
+    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = _signatures_for_batch(batch["text"], k)
+        ids, mats = [], []
+        for did, s in zip(batch["doc_id"], sigs):
+            if s is not None:
+                ids.append(did)
+                mats.append(s)
+        if not ids:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "sig": pd.Series([], dtype="object")})
+        return pd.DataFrame({"doc_id": ids, "sig": [m.tolist() for m in mats]})
+
+    sig_df = docs.map_batches(
+        sig_rows, batch_format="pandas"
+    ).to_pandas()
+    smap = {
+        int(d): np.asarray(s, dtype=np.int64)
+        for d, s in zip(sig_df["doc_id"], sig_df["sig"])
+    }
+    sref = ray.put(smap)
+
+    class Estimate:
+        def __init__(self, sref):
+            self.sig = ray.get(sref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame(
+                    {
+                        "doc_a": pd.Series([], dtype="int64"),
+                        "doc_b": pd.Series([], dtype="int64"),
+                        "est_bp": pd.Series([], dtype="int64"),
+                    }
+                )
+            A = np.stack([self.sig[int(d)] for d in batch["doc_a"]])
+            B = np.stack([self.sig[int(d)] for d in batch["doc_b"]])
+            m = (A == B).sum(axis=1).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_a": batch["doc_a"].to_numpy(),
+                    "doc_b": batch["doc_b"].to_numpy(),
+                    "est_bp": 10000 * m // MINHASH_NUM_PERMS,
+                }
+            )
+
+    return cand.map_batches(
+        Estimate,
+        fn_constructor_args=(sref,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )

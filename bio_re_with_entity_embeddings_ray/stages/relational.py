@@ -3888,3 +3888,59 @@ def regional_revenue(lineitem, orders, customer, supplier, nation, region,
     return merge_partials(
         partials, "nk", combine, finalize, num_buckets, plan="tree",
     )
+
+
+def churn_users(events, idle_days: int = 7, num_buckets: int = 16):
+    """Churn cohort: users whose LAST event is at least ``idle_days``
+    day-boundaries older than the corpus's most recent event —
+    (user_id, last_day, idle_days) with day = floor(epoch_us / 86.4e9).
+    The standard retention counterpart of cohort_retention (who is
+    still here) — this is who LEFT.
+
+    Scale shape: one user-keyed max-merge (combiner-first, int64 pairs
+    only), one driver scalar for the global max (reduced from the same
+    partials, not a second corpus pass), one bounded filter at
+    finalize."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"user_id": b["user_id"].astype("int64"), "ts_us": t}
+            )
+            .groupby("user_id", as_index=False)["ts_us"]
+            .max()
+        )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", as_index=False)["ts_us"].max()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = combine(b)
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "last_day": pd.Series([], dtype="int64"),
+                    "idle_days": pd.Series([], dtype="int64"),
+                }
+            )
+        day = b["ts_us"].to_numpy() // DAY_US
+        gmax = int(day.max())
+        idle = gmax - day
+        keep = idle >= idle_days
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy()[keep],
+                "last_day": day[keep],
+                "idle_days": idle[keep],
+            }
+        )
+
+    return merge_partials(
+        events.map_batches(partial, batch_format="pandas"),
+        "user_id", combine, finalize, num_buckets,
+    )

@@ -642,3 +642,83 @@ def test_regional_revenue_same_nation_only(ray_session):
     ).to_pandas()
     assert got["n_name"].tolist() == ["JAPAN"]
     assert got["revenue_units"].tolist() == [10000 * (10000 - 1000)]
+
+
+def test_minhash_jaccard_est_bounds_and_exact_dup(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages import dedup
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon zeta",  # exact dup -> est 10000
+        3: "alpha beta gamma delta epsilon eta",   # near dup
+        4: "completely different tokens over here now",
+    }
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = dedup.minhash_jaccard_est(docs, k=3, num_buckets=4).to_pandas()
+    est = dict(zip(zip(got["doc_a"], got["doc_b"]), got["est_bp"]))
+    assert est[(1, 2)] == 10000  # identical signatures
+    assert (1, 3) in est or (2, 3) in est  # near dup banded together
+    assert all(0 <= v <= 10000 for v in est.values())
+
+
+def test_churn_users_day_boundaries(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import churn_users
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "user_id": [1, 1, 2, 3],
+            "event_type": ["x"] * 4,
+            "value": [0.0] * 4,
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-03", "2024-01-10", "2024-01-09"]
+            ),
+            "props": [""] * 4,
+        }
+    )
+    got = (
+        churn_users(rd.from_pandas(ev), idle_days=2, num_buckets=2)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # global max day = 2024-01-10; user 1 idle 7d, user 3 idle 1d (<2)
+    assert got["user_id"].tolist() == [1]
+    assert got["idle_days"].tolist() == [7]
+
+
+def test_curate_to_pack_composition(ray_session):
+    """The fused chain equals pack_sequences applied to curate's output
+    row set (offsets contiguous, seq boundaries at budget)."""
+    from bio_re_with_entity_embeddings_ray.pipelines.curate import curate
+    from bio_re_with_entity_embeddings_ray.stages.ordered import pack_sequences
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": [
+                    "a b c d e f g h",     # kept
+                    "a b c d e f g h",     # exact dup -> dropped
+                    "x x x",               # low distinct + short -> dropped
+                    "one two three four five six",  # kept
+                    "p q r s t u v w x y", # kept
+                    "m n o p q",           # kept
+                ],
+            }
+        )
+    )
+    kept = curate(docs, num_buckets=2)
+    got = (
+        pack_sequences(kept, budget=10, num_ranges=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 3, 4, 5]
+    assert got["n_tokens"].tolist() == [8, 6, 10, 5]
+    # stream starts: 0, 8, 14, 24 -> seq 0,0,1,2; offsets 0,8,4,4
+    assert got["seq_id"].tolist() == [0, 0, 1, 2]
+    assert got["offset_in_seq"].tolist() == [0, 8, 4, 4]
