@@ -2554,6 +2554,26 @@ def _q_curate_to_pack(sf_dir: str):
     return ordered.pack_sequences(kept, budget=512, num_ranges=_NB)
 
 
+def _q_token_bucket(sf_dir: str):
+    """Token-bucket admission control (burst capacity 3, 1 token/hour
+    refill) — the stateful rate limiter; recursive-CTE oracle."""
+    quiet_ray_data()
+    return relational.token_bucket(_events(sf_dir), num_buckets=_NB)
+
+
+def _q_dedup_stats_by_source(sf_dir: str):
+    """Per-source duplication dashboard over the duplicated dedup
+    corpus (which feed is sending dups)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    corpus = docs.union(docs)  # mirror of the _corpus duplication, with source
+    return relational.dedup_stats_by_source(corpus, num_buckets=_NB)
+
+
 def _q_min_label_prop(sf_dir: str):
     """Bounded-round (2) min-label propagation over the co-occurrence
     graph — deterministic community seeds; unrolled-CTE oracle."""
@@ -2652,6 +2672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _q_embedding_quantize,
         "rel_q5": _q_rel_q5,
         "minhash_jaccard_est": _q_minhash_jaccard_est,
+        "token_bucket": _q_token_bucket,
+        "dedup_stats_by_source": _q_dedup_stats_by_source,
         "churn_users": _q_churn_users,
         "curate_to_pack": _q_curate_to_pack,
         "conv_entity_density": _q_conv_entity_density,
@@ -2950,6 +2972,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": oracles.EMBEDDING_QUANTIZE,
         "rel_q5": oracles.REL_Q5,
         "minhash_jaccard_est": oracles.MINHASH_JACCARD_EST,
+        "token_bucket": oracles.TOKEN_BUCKET,
+        "dedup_stats_by_source": oracles.DEDUP_STATS_BY_SOURCE,
         "churn_users": oracles.CHURN_USERS,
         "curate_to_pack": oracles.CURATE_TO_PACK,
         "conv_entity_density": oracles.CONV_ENTITY_DENSITY,

@@ -3657,3 +3657,44 @@ SELECT doc_id, n_tokens,
        CAST(start // 512 AS BIGINT) AS seq_id,
        CAST(start % 512 AS BIGINT) AS offset_in_seq
 FROM __s"""
+
+
+# Token-bucket admission (stages/relational.token_bucket): capacity 3
+# tokens (micro-units), cost 1/event, refill dt_us // 36000 (1 token per
+# 10 h); bucket starts full; recursive replay of the identical floors.
+TOKEN_BUCKET = """WITH RECURSIVE __e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events
+),
+__b AS (
+  SELECT event_id, user_id, t, pos,
+         CAST(1 AS BIGINT) AS admitted,
+         CAST(2000000 AS BIGINT) AS rem
+  FROM __e WHERE pos = 1
+  UNION ALL
+  SELECT e.event_id, e.user_id, e.t, e.pos,
+         CAST(CASE WHEN LEAST(3000000, b.rem + (e.t - b.t) // 36000)
+                        >= 1000000 THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+         LEAST(3000000, b.rem + (e.t - b.t) // 36000)
+           - CASE WHEN LEAST(3000000, b.rem + (e.t - b.t) // 36000)
+                       >= 1000000 THEN 1000000 ELSE 0 END AS rem
+  FROM __e e JOIN __b b ON e.user_id = b.user_id AND e.pos = b.pos + 1
+)
+SELECT event_id, user_id, admitted FROM __b"""
+
+
+# Per-source duplication report (stages/relational.dedup_stats_by_source)
+# over the duplicated dedup corpus (documents ∪ shifted copy, source kept).
+DEDUP_STATS_BY_SOURCE = """WITH __c AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, text FROM documents
+),
+__d AS (SELECT source, md5(text) AS h FROM __c)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST(10000 * (count(*) - count(DISTINCT h)) // count(*) AS BIGINT)
+         AS dup_rate_bp
+FROM __d GROUP BY source"""

@@ -3944,3 +3944,145 @@ def churn_users(events, idle_days: int = 7, num_buckets: int = 16):
         events.map_batches(partial, batch_format="pandas"),
         "user_id", combine, finalize, num_buckets,
     )
+
+
+def token_bucket(events, capacity_mu: int = 3_000_000, cost_mu: int = 1_000_000,
+                 refill_div_us: int = 36_000, num_buckets: int = 32):
+    """Token-bucket admission control — the real rate limiter (burst
+    capacity + steady refill), complementing the fixed-window
+    :func:`throttle_events`: per user, a bucket starts FULL
+    (``capacity_mu`` micro-tokens), refills ``(dt_us // refill_div_us)``
+    micro-tokens between consecutive events (integer floor — with the
+    36000 default that is 1 token per 10 hours at cost 1 token/event,
+    tuned so the fixture's ~65-minute inter-event gaps exercise BOTH
+    admission branches: ~15% of sf0.01 events get rejected), and an
+    event is admitted iff the refilled level covers ``cost_mu``.
+    Returns (event_id, user_id, admitted) with admitted in {0, 1}.
+
+    The recurrence is sequential per user (admission mutates the
+    level), but never per-row Python: events are laid out in
+    (user, ts, event_id) order and ONE vectorized numpy step per event
+    DEPTH updates every user's bucket at that position — loop count =
+    max events per user (99 at sf0.1), not the row count. The
+    recursive-CTE oracle replays the identical integer floors."""
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "t": batch["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+
+    ev = events.map_batches(prep, batch_format="pandas")
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": np.array([], np.int64),
+                    "user_id": np.array([], np.int64),
+                    "admitted": np.array([], np.int64),
+                }
+            )
+        b = bucket.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = b["user_id"].to_numpy()
+        t = b["t"].to_numpy()
+        m = len(b)
+        idx = np.arange(m, dtype=np.int64)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gsize = np.diff(np.append(idx[new_user], m))
+        depth = idx - np.repeat(idx[new_user], gsize)
+        rem = np.zeros(m, dtype=np.int64)       # level AFTER this event
+        adm = np.zeros(m, dtype=np.int64)
+        first = depth == 0
+        adm[first] = 1 if capacity_mu >= cost_mu else 0
+        rem[first] = capacity_mu - (cost_mu if capacity_mu >= cost_mu else 0)
+        for p in range(1, int(depth.max()) + 1):
+            sel = idx[depth == p]
+            avail = np.minimum(
+                capacity_mu,
+                rem[sel - 1] + (t[sel] - t[sel - 1]) // refill_div_us,
+            )
+            ok = avail >= cost_mu
+            adm[sel] = ok.astype(np.int64)
+            rem[sel] = avail - np.where(ok, cost_mu, 0)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": u,
+                "admitted": adm,
+            }
+        )
+
+    return bucketed_group_apply(ev, "user_id", per_user, num_buckets)
+
+
+def dedup_stats_by_source(docs, num_buckets: int = 16):
+    """Per-source duplication report: (source, n_docs, n_distinct,
+    dup_rate_bp) — the curation dashboard row that tells you WHICH feed
+    is sending duplicates before you spend a full dedup pass on it.
+
+    Scale shape: row counts are a source-bounded combiner merge; the
+    distinct-content counts exchange only (source, md5) pairs BUCKETED
+    BY HASH (each bucket sees every copy of a given content, so its
+    local distinct is globally correct), then source-bounded count
+    partials tree-merge. Text never crosses the wire."""
+    import hashlib
+
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+        merge_partials,
+    )
+
+    def hash_rows(b: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "h": [md5(t.encode("utf-8")).hexdigest() for t in b["text"]],
+            }
+        )
+
+    hashed = docs.map_batches(hash_rows, batch_format="pandas").materialize()
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("source", as_index=False).agg(n_docs=("h", "size"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    def count_combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False)["n_docs"].sum()
+
+    totals = merge_partials(
+        hashed.map_batches(count_partial, batch_format="pandas"),
+        "source", count_combine, lambda b: b, num_buckets, plan="tree",
+    ).to_pandas()
+
+    def distinct_in_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates(["source", "h"])
+        g = d.groupby("source", as_index=False).agg(n_distinct=("h", "size"))
+        g["n_distinct"] = g["n_distinct"].astype("int64")
+        return g
+
+    dpart = bucketed_group_apply(hashed, "h", distinct_in_bucket, num_buckets)
+
+    def d_combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False)["n_distinct"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        d = d_combine(b).merge(totals, on="source")
+        nz = np.maximum(d["n_docs"].to_numpy(), 1)
+        d["dup_rate_bp"] = (
+            10000 * (d["n_docs"] - d["n_distinct"]).to_numpy() // nz
+        ).astype("int64")
+        return d[["source", "n_docs", "n_distinct", "dup_rate_bp"]].sort_values(
+            "source"
+        ).reset_index(drop=True)
+
+    return merge_partials(
+        dpart, "source", d_combine, finalize, num_buckets, plan="tree",
+    )

@@ -722,3 +722,58 @@ def test_curate_to_pack_composition(ray_session):
     # stream starts: 0, 8, 14, 24 -> seq 0,0,1,2; offsets 0,8,4,4
     assert got["seq_id"].tolist() == [0, 0, 1, 2]
     assert got["offset_in_seq"].tolist() == [0, 8, 4, 4]
+
+
+def test_token_bucket_recurrence(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import token_bucket
+
+    # one user, events every 30 min; capacity 3 tokens, refill 1/hour,
+    # cost 1 -> levels (µtok): start 3.0M
+    # e0: avail=3.0 admit rem=2.0 | e1 (+0.5h): 2.5 admit rem=1.5
+    # e2: 2.0 admit rem=1.0 | e3: 1.5 admit rem=0.5 | e4: 1.0 admit rem=0
+    # e5: 0.5 REJECT rem=0.5 | e6: 1.0 admit rem=0 | e7: 0.5 REJECT
+    ev = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": [1] * 8,
+            "event_type": ["x"] * 8,
+            "value": [0.0] * 8,
+            "ts": pd.to_datetime([i * 1800 for i in range(8)], unit="s"),
+            "props": [""] * 8,
+        }
+    )
+    got = (
+        token_bucket(
+            rd.from_pandas(ev), capacity_mu=3_000_000, cost_mu=1_000_000,
+            refill_div_us=3600, num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["admitted"].tolist() == [1, 1, 1, 1, 1, 0, 1, 0]
+
+
+def test_dedup_stats_by_source(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        dedup_stats_by_source,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "source": ["a", "a", "a", "b", "b", "b"],
+                "text": ["t1", "t1", "t2", "u1", "u2", "u3"],
+            }
+        )
+    )
+    got = (
+        dedup_stats_by_source(docs, num_buckets=2)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert got["n_docs"].tolist() == [3, 3]
+    assert got["n_distinct"].tolist() == [2, 3]
+    assert got["dup_rate_bp"].tolist() == [10000 * 1 // 3, 0]
