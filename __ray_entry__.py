@@ -2574,6 +2574,14 @@ def _q_dedup_stats_by_source(sf_dir: str):
     return relational.dedup_stats_by_source(corpus, num_buckets=_NB)
 
 
+def _q_nll_percentile_filter(sf_dir: str):
+    """CCNet-style perplexity quality cut: keep docs at or below the
+    p75 corpus quantile of mean per-bigram NLL (integer micro-nats)."""
+    quiet_ray_data()
+    return textstats.nll_percentile_filter(_docs(sf_dir), q_bp=7500,
+                                           num_buckets=_NB)
+
+
 def _q_min_label_prop(sf_dir: str):
     """Bounded-round (2) min-label propagation over the co-occurrence
     graph — deterministic community seeds; unrolled-CTE oracle."""
@@ -2673,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q5": _q_rel_q5,
         "minhash_jaccard_est": _q_minhash_jaccard_est,
         "token_bucket": _q_token_bucket,
+        "nll_percentile_filter": _q_nll_percentile_filter,
         "dedup_stats_by_source": _q_dedup_stats_by_source,
         "churn_users": _q_churn_users,
         "curate_to_pack": _q_curate_to_pack,
@@ -2973,6 +2982,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q5": oracles.REL_Q5,
         "minhash_jaccard_est": oracles.MINHASH_JACCARD_EST,
         "token_bucket": oracles.TOKEN_BUCKET,
+        "nll_percentile_filter": oracles.NLL_PERCENTILE_FILTER,
         "dedup_stats_by_source": oracles.DEDUP_STATS_BY_SOURCE,
         "churn_users": oracles.CHURN_USERS,
         "curate_to_pack": oracles.CURATE_TO_PACK,

@@ -3698,3 +3698,37 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(10000 * (count(*) - count(DISTINCT h)) // count(*) AS BIGINT)
          AS dup_rate_bp
 FROM __d GROUP BY source"""
+
+
+# CCNet-style perplexity filter (stages/textstats.nll_percentile_filter,
+# q=7500 bp): keep docs at or below the p75 of mean per-bigram NLL
+# (micro-nats, integer floors; same quantile ceil-position rule).
+NLL_PERCENTILE_FILTER = """WITH __t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+__i AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i FROM __t),
+__p AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2 FROM __i),
+__b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM __p GROUP BY w1, w2),
+__c AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cc FROM __b GROUP BY w1),
+__v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS w FROM __t)),
+__s AS (
+  SELECT p.doc_id,
+         CAST(floor(-ln((b.cb + 1.0) / (c.cc + (SELECT v FROM __v))) * 1000000)
+              AS BIGINT) AS nfp
+  FROM __p p JOIN __b b USING (w1, w2) JOIN __c c USING (w1)
+),
+__m AS (
+  SELECT doc_id,
+         CAST(SUM(nfp) // count(*) AS BIGINT) AS mean_nll_fp
+  FROM __s GROUP BY doc_id
+),
+__n AS (SELECT count(*) AS n FROM __m),
+__r AS (SELECT mean_nll_fp AS v,
+               row_number() OVER (ORDER BY mean_nll_fp) AS rn FROM __m),
+__thr AS (
+  SELECT v FROM __r
+  WHERE rn = GREATEST(1, (7500 * (SELECT n FROM __n) + 9999) // 10000)
+)
+SELECT doc_id, mean_nll_fp FROM __m
+WHERE mean_nll_fp <= (SELECT v FROM __thr)"""

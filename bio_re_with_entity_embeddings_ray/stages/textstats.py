@@ -1822,3 +1822,42 @@ def lexical_diversity(docs):
         )
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def nll_percentile_filter(docs, q_bp: int = 7500, num_buckets: int = 16):
+    """CCNet-style perplexity filtering: score every document under the
+    corpus bigram LM (:func:`bigram_nll`), compute each doc's mean
+    per-bigram NLL in integer micro-nats (``nll_fp // n_bigrams``), and
+    KEEP documents at or below the corpus ``q_bp`` quantile (exact
+    ceil-position rule, :func:`exact_quantiles`) — the classic
+    "drop the most surprising tail" quality cut. Returns
+    (doc_id, mean_nll_fp).
+
+    Scale shape: the NLL table is one row per doc (already reduced);
+    it is materialized once for its two consumers (threshold scan +
+    filter pass); the threshold reduction exchanges only distinct
+    (mean, count) pairs; the final filter is a broadcast-scalar map."""
+
+    nll = bigram_nll(docs, num_buckets=num_buckets)
+
+    def mean_row(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "mean_nll_fp": (
+                    b["nll_fp"].to_numpy().astype(np.int64)
+                    // np.maximum(b["n_bigrams"].to_numpy().astype(np.int64), 1)
+                ),
+            }
+        )
+
+    means = nll.map_batches(
+        mean_row, batch_format="pandas", batch_size=None
+    ).materialize()
+    thr_df = exact_quantiles(means, "mean_nll_fp", [q_bp], num_buckets)
+    thr = int(thr_df["value"].iloc[0]) if len(thr_df) else 0
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["mean_nll_fp"].to_numpy() <= thr]
+
+    return means.map_batches(keep, batch_format="pandas", batch_size=None)

@@ -777,3 +777,26 @@ def test_dedup_stats_by_source(ray_session):
     assert got["n_docs"].tolist() == [3, 3]
     assert got["n_distinct"].tolist() == [2, 3]
     assert got["dup_rate_bp"].tolist() == [10000 * 1 // 3, 0]
+
+
+def test_nll_percentile_filter_drops_surprising_tail(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.textstats import (
+        bigram_nll,
+        nll_percentile_filter,
+    )
+
+    # 9 docs from a tight template + 1 gibberish doc: the gibberish doc
+    # has the highest mean NLL and must be the one cut at p90
+    texts = [f"the cat sat on the mat number {i}" for i in range(9)]
+    texts.append("zq xv jk wp lm qr st uv")
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(10), "text": texts})
+    )
+    kept = nll_percentile_filter(docs, q_bp=9000, num_buckets=4).to_pandas()
+    assert 9 not in set(kept["doc_id"])
+    assert len(kept) == 9
+    # kept means match bigram_nll floor division
+    nll = bigram_nll(docs, num_buckets=4).to_pandas().set_index("doc_id")
+    for _, r in kept.iterrows():
+        d = int(r["doc_id"])
+        assert r["mean_nll_fp"] == nll.loc[d, "nll_fp"] // nll.loc[d, "n_bigrams"]

@@ -43,6 +43,7 @@ PATHO_QUERIES = {
     "dedup_exact", "dedup_exact_hashed", "dedup_ngram_jaccard",
     "containment_pairs", "prefix_clusters", "systematic_sample",
     "lexical_diversity", "minhash_jaccard_est", "curate_to_pack",
+    "nll_percentile_filter",
     "dedup_minhash_lsh", "dedup_minhash_star", "simhash",
     "embedding_near_dup", "knn_topk", "ivf_assign",
     "ivf_assign_kmeans", "embedding_near_dup_ivf_kmeans",
