@@ -2582,6 +2582,42 @@ def _q_nll_percentile_filter(sf_dir: str):
                                            num_buckets=_NB)
 
 
+def _q_conv_features(sf_dir: str):
+    """Denormalized per-conversation feature table (5 aggregates on one
+    conv-keyed exchange — the feature-store composition)."""
+    quiet_ray_data()
+    return relational.conv_features(
+        derive_transcripts(sf_dir), _all_mentions(sf_dir), _NB
+    )
+
+
+def _q_source_weights(sf_dir: str):
+    """Inverse-frequency source rebalancing weights (uniform-mix bp)."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    return textstats.source_weights(docs, num_buckets=_NB)
+
+
+def _q_novelty_scores(sf_dir: str):
+    """Corpus-novelty share per doc: bigram positions whose bigram is
+    globally unique."""
+    quiet_ray_data()
+    return textstats.novelty_scores(_docs(sf_dir), num_buckets=_NB)
+
+
+def _q_corpus_summary(sf_dir: str):
+    """One-row corpus datasheet over the duplicated dedup corpus."""
+    import ray.data as rd
+
+    quiet_ray_data()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang", "source"]
+    )
+    return textstats.corpus_summary(docs.union(docs), num_buckets=_NB)
+
+
 def _q_min_label_prop(sf_dir: str):
     """Bounded-round (2) min-label propagation over the co-occurrence
     graph — deterministic community seeds; unrolled-CTE oracle."""
@@ -2682,6 +2718,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_jaccard_est": _q_minhash_jaccard_est,
         "token_bucket": _q_token_bucket,
         "nll_percentile_filter": _q_nll_percentile_filter,
+        "conv_features": _q_conv_features,
+        "source_weights": _q_source_weights,
+        "novelty_scores": _q_novelty_scores,
+        "corpus_summary": _q_corpus_summary,
         "dedup_stats_by_source": _q_dedup_stats_by_source,
         "churn_users": _q_churn_users,
         "curate_to_pack": _q_curate_to_pack,
@@ -2983,6 +3023,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_est": oracles.MINHASH_JACCARD_EST,
         "token_bucket": oracles.TOKEN_BUCKET,
         "nll_percentile_filter": oracles.NLL_PERCENTILE_FILTER,
+        "conv_features": oracles.CONV_FEATURES,
+        "source_weights": oracles.SOURCE_WEIGHTS,
+        "novelty_scores": oracles.NOVELTY_SCORES,
+        "corpus_summary": oracles.CORPUS_SUMMARY,
         "dedup_stats_by_source": oracles.DEDUP_STATS_BY_SOURCE,
         "churn_users": oracles.CHURN_USERS,
         "curate_to_pack": oracles.CURATE_TO_PACK,

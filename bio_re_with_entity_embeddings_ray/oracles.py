@@ -3732,3 +3732,73 @@ __thr AS (
 )
 SELECT doc_id, mean_nll_fp FROM __m
 WHERE mean_nll_fp <= (SELECT v FROM __thr)"""
+
+
+# Denormalized per-conversation feature table
+# (stages/relational.conv_features): five aggregates on ONE exchange.
+CONV_FEATURES = f"""WITH {kg_cte()},
+__tf AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+         CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_user_turns,
+         CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_turns
+  FROM transcripts_v GROUP BY conv_id
+),
+__mf AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities
+  FROM __mentions GROUP BY conv_id
+)
+SELECT t.conv_id, t.n_turns, t.n_tok, t.n_user_turns, t.n_tool_turns,
+       COALESCE(m.n_mentions, 0) AS n_mentions,
+       COALESCE(m.n_entities, 0) AS n_entities
+FROM __tf t LEFT JOIN __mf m USING (conv_id)"""
+
+
+# Inverse-frequency source rebalancing weights
+# (stages/textstats.source_weights).
+SOURCE_WEIGHTS = """WITH __g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+__t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS s FROM __g)
+SELECT source, n_docs,
+       CAST(10000 * (SELECT n FROM __t)
+            // ((SELECT s FROM __t) * n_docs) AS BIGINT) AS weight_bp
+FROM __g"""
+
+
+# Corpus-novelty share per doc (stages/textstats.novelty_scores):
+# bigram positions whose bigram is globally unique (count == 1).
+NOVELTY_SCORES = """WITH __t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+__i AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i FROM __t),
+__p AS (SELECT doc_id, toks[i + 1] || chr(1) || toks[i + 2] AS bg FROM __i),
+__b AS (SELECT bg, count(*) AS c FROM __p GROUP BY bg)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(10000 * SUM(CASE WHEN b.c = 1 THEN 1 ELSE 0 END) // count(*)
+            AS BIGINT) AS novel_bp
+FROM __p p JOIN __b b USING (bg)
+GROUP BY p.doc_id"""
+
+
+# One-row corpus datasheet (stages/textstats.corpus_summary) over the
+# duplicated dedup corpus (documents UNION ALL documents).
+CORPUS_SUMMARY = """WITH __c AS (
+  SELECT text, lang, source FROM documents
+  UNION ALL
+  SELECT text, lang, source FROM documents
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+  CAST(10000 * (count(*) - count(DISTINCT md5(text))) // count(*)
+       AS BIGINT) AS dup_rate_bp,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM __c"""

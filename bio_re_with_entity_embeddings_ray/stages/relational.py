@@ -4086,3 +4086,116 @@ def dedup_stats_by_source(docs, num_buckets: int = 16):
     return merge_partials(
         dpart, "source", d_combine, finalize, num_buckets, plan="tree",
     )
+
+
+def conv_features(transcripts, mentions, num_buckets: int = 16):
+    """Denormalized per-conversation FEATURE TABLE — the single wide
+    row downstream selection filters scan instead of re-joining five
+    aggregates: (conv_id, n_turns, n_tok, n_user_turns, n_tool_turns,
+    n_mentions, n_entities). The "feature store" composition pattern:
+    every column is a per-conv aggregate, so ALL of them ride ONE
+    conv-keyed exchange of per-block partials (tagged union) — never
+    five separate shuffles + a five-way join.
+
+    Scale shape: transcripts collapse per block to (conv, counts...)
+    int64 rows; mentions collapse per block to (conv, mention count,
+    block-distinct entity partial); distinct entities finish per bucket
+    (a conversation's rows co-locate). Text never ships."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    def t_partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern(batch["text"], " ")
+        ).cast(pa.int64())
+        role = batch["role"]
+        t = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "n_turns": pa.array([1] * len(batch), pa.int64()),
+                "n_tok": n_tok,
+                "n_user_turns": pc.cast(
+                    pc.equal(role, "user"), pa.int64()
+                ),
+                "n_tool_turns": pc.cast(
+                    pc.equal(role, "tool"), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("conv_id").aggregate(
+            [("n_turns", "sum"), ("n_tok", "sum"),
+             ("n_user_turns", "sum"), ("n_tool_turns", "sum")]
+        )
+        names = {"n_turns_sum": "n_turns", "n_tok_sum": "n_tok",
+                 "n_user_turns_sum": "n_user_turns",
+                 "n_tool_turns_sum": "n_tool_turns"}
+        g = g.rename_columns([names.get(c, c) for c in g.column_names])
+        out = g.append_column("side", pa.array([0] * len(g), pa.int64()))
+        out = out.append_column(
+            "entity_id", pa.array([""] * len(g), pa.string())
+        )
+        return out
+
+    def m_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[["conv_id", "entity_id"]].copy(deep=False)
+        g = d.groupby("conv_id", as_index=False).agg(
+            n_turns=("entity_id", "size")  # reuse column: mention count
+        )
+        g = g.rename(columns={})
+        g["n_tok"] = np.int64(0)
+        g["n_user_turns"] = np.int64(0)
+        g["n_tool_turns"] = np.int64(0)
+        g["side"] = np.int64(1)
+        g["entity_id"] = ""
+        # block-distinct (conv, entity) rows ride along for the exact
+        # distinct-entity count finished per bucket
+        dd = d.drop_duplicates()
+        dd = pd.DataFrame(
+            {
+                "conv_id": dd["conv_id"],
+                "n_turns": np.int64(0),
+                "n_tok": np.int64(0),
+                "n_user_turns": np.int64(0),
+                "n_tool_turns": np.int64(0),
+                "side": np.int64(2),
+                "entity_id": dd["entity_id"],
+            }
+        )
+        g["n_turns"] = g["n_turns"].astype("int64")
+        return pd.concat(
+            [g[dd.columns.tolist()], dd], ignore_index=True
+        )
+
+    u = transcripts.map_batches(
+        t_partial, batch_format="pyarrow", batch_size=None
+    ).union(mentions.map_batches(m_partial, batch_format="pandas"))
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        t = bucket[bucket["side"] == 0]
+        tg = t.groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"), n_tok=("n_tok", "sum"),
+            n_user_turns=("n_user_turns", "sum"),
+            n_tool_turns=("n_tool_turns", "sum"),
+        )
+        m = bucket[bucket["side"] == 1]
+        mg = m.groupby("conv_id", as_index=False).agg(
+            n_mentions=("n_turns", "sum")
+        )
+        e = bucket[bucket["side"] == 2][["conv_id", "entity_id"]]
+        eg = (
+            e.drop_duplicates()
+            .groupby("conv_id", as_index=False)
+            .agg(n_entities=("entity_id", "size"))
+        )
+        out = tg.merge(mg, on="conv_id", how="left").merge(
+            eg, on="conv_id", how="left"
+        )
+        for c in ("n_mentions", "n_entities"):
+            out[c] = out[c].fillna(0).astype("int64")
+        for c in ("n_turns", "n_tok", "n_user_turns", "n_tool_turns"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_apply(u, "conv_id", per_conv, num_buckets)

@@ -1861,3 +1861,194 @@ def nll_percentile_filter(docs, q_bp: int = 7500, num_buckets: int = 16):
         return b[b["mean_nll_fp"].to_numpy() <= thr]
 
     return means.map_batches(keep, batch_format="pandas", batch_size=None)
+
+
+def source_weights(docs, scale: int = 10000, num_buckets: int = 16):
+    """Inverse-frequency sampling weights per source — the corpus
+    REBALANCING table (upweight rare feeds, downweight the crawl blob):
+    (source, n_docs, weight_bp) with
+    ``weight_bp = (scale * N) // (S * n_docs)`` for N total docs over S
+    sources — uniform-mix weights in integer basis points (a source at
+    exactly its fair share gets ``scale``).
+
+    Source-bounded combiner merge; the two scalars (N, S) come from the
+    same merged table, never a second pass."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("source", as_index=False).agg(n_docs=("source", "size"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False)["n_docs"].sum()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = combine(b)
+        n, s = int(b["n_docs"].sum()), len(b)
+        b["weight_bp"] = (
+            scale * n // (s * np.maximum(b["n_docs"].to_numpy(), 1))
+        ).astype("int64")
+        return b.sort_values("source").reset_index(drop=True)
+
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    return merge_partials(
+        docs.map_batches(partial, batch_format="pandas"),
+        "source", combine, finalize, num_buckets, plan="tree",
+    )
+
+
+def novelty_scores(docs, num_buckets: int = 16):
+    """Corpus-novelty score per document: the share of its bigram
+    POSITIONS whose bigram occurs in no other position anywhere in the
+    corpus (global count == 1) — (doc_id, n_bigrams, novel_bp).
+    High novelty = original text; near-zero = boilerplate assembled
+    from corpus-common phrases. The corpus-level complement of
+    :func:`lexical_diversity` (which is doc-local).
+
+    Scale shape: the bigram count table is vocabulary²-bounded (same
+    economics as :func:`bigram_nll` — per-block combiners, one
+    token-keyed merge, ONE broadcast); scoring is a narrow map with a
+    C-level merge lookup per batch."""
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import bucketed_group_apply
+
+    SEP = "\x01"
+
+    def local_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+        if len(codes) < 2:
+            return pd.DataFrame(
+                {"bg": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        same = row_idx[:-1] == row_idx[1:]
+        c1, c2 = codes[:-1][same], codes[1:][same]
+        v = vocab
+        df = pd.DataFrame({"bg": pd.Series(v[c1]) + SEP + pd.Series(v[c2])})
+        out = df.groupby("bg", as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    counts = bucketed_group_apply(
+        docs.map_batches(local_bigrams, batch_format="pandas"),
+        "bg",
+        lambda b: b.groupby("bg", as_index=False)["cnt"].sum(),
+        num_buckets,
+    ).to_pandas()
+    hapax = set(counts.loc[counts["cnt"] == 1, "bg"])
+    href = ray.put(hapax)
+
+    class Score:
+        def __init__(self, href):
+            self.hapax = ray.get(href)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n_tok, row_idx, codes, vocab = _flat_token_codes(batch["text"])
+            n = len(n_tok)
+            nb = np.zeros(n, dtype=np.int64)
+            nov = np.zeros(n, dtype=np.int64)
+            if len(codes) >= 2:
+                same = row_idx[:-1] == row_idx[1:]
+                r = row_idx[:-1][same]
+                c1, c2 = codes[:-1][same], codes[1:][same]
+                bg = pd.Series(vocab[c1]) + SEP + pd.Series(vocab[c2])
+                isnov = bg.isin(self.hapax).to_numpy()
+                nb = np.bincount(r, minlength=n).astype(np.int64)
+                nov = np.bincount(r[isnov], minlength=n).astype(np.int64)
+            keep = nb > 0
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy()[keep],
+                    "n_bigrams": nb[keep],
+                    "novel_bp": 10000 * nov[keep] // nb[keep],
+                }
+            )
+
+    return docs.map_batches(
+        Score, fn_constructor_args=(href,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+def corpus_summary(docs, num_buckets: int = 16):
+    """One-row corpus DATASHEET: (n_docs, n_tokens, n_distinct_texts,
+    dup_rate_bp, n_langs, n_sources) — the numbers a dataset card
+    opens with, computed in one combiner pass + one hash-bucketed
+    distinct count (nothing corpus-sized reaches the driver).
+
+    Per-block partials carry (row count, token sum, lang set, source
+    set, block-distinct md5s); the md5 distinct finishes bucketed; the
+    lang/source distincts are vocabulary-bounded unions."""
+    import hashlib
+
+    import ray
+
+    from bio_re_with_entity_embeddings_ray.stages.common import (
+        bucketed_group_apply,
+        merge_partials,
+    )
+
+    def hash_partial(b: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        return pd.DataFrame(
+            {"h": list({md5(t.encode("utf-8")).hexdigest() for t in b["text"]})}
+        )
+
+    distinct_ds = bucketed_group_apply(
+        docs.map_batches(hash_partial, batch_format="pandas"),
+        "h",
+        lambda b: pd.DataFrame({"n": [int(b["h"].nunique())]}),
+        num_buckets,
+    )
+    n_distinct = int(distinct_ds.to_pandas()["n"].sum())
+
+    def stat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n_tok, _, _, _ = _flat_token_codes(b["text"])
+        return pd.DataFrame(
+            {
+                "k": ["all"],
+                "n_docs": [np.int64(len(b))],
+                "n_tokens": [np.int64(n_tok.sum())],
+                "langs": [";".join(sorted(set(b["lang"])))],
+                "sources": [";".join(sorted(set(b["source"])))],
+            }
+        )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        langs = ";".join(
+            sorted({x for row in b["langs"] for x in row.split(";") if x})
+        )
+        srcs = ";".join(
+            sorted({x for row in b["sources"] for x in row.split(";") if x})
+        )
+        return pd.DataFrame(
+            {
+                "k": ["all"],
+                "n_docs": [np.int64(b["n_docs"].sum())],
+                "n_tokens": [np.int64(b["n_tokens"].sum())],
+                "langs": [langs],
+                "sources": [srcs],
+            }
+        )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = combine(b)
+        nd = int(b["n_docs"].iloc[0])
+        return pd.DataFrame(
+            {
+                "n_docs": [np.int64(nd)],
+                "n_tokens": [b["n_tokens"].iloc[0]],
+                "n_distinct_texts": [np.int64(n_distinct)],
+                "dup_rate_bp": [
+                    np.int64(10000 * (nd - n_distinct) // max(nd, 1))
+                ],
+                "n_langs": [np.int64(len([x for x in b["langs"].iloc[0].split(";") if x]))],
+                "n_sources": [np.int64(len([x for x in b["sources"].iloc[0].split(";") if x]))],
+            }
+        )
+
+    return merge_partials(
+        docs.map_batches(stat_partial, batch_format="pandas"),
+        "k", combine, finalize, num_buckets, plan="tree",
+    )

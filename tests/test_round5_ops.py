@@ -800,3 +800,95 @@ def test_nll_percentile_filter_drops_surprising_tail(ray_session):
     for _, r in kept.iterrows():
         d = int(r["doc_id"])
         assert r["mean_nll_fp"] == nll.loc[d, "nll_fp"] // nll.loc[d, "n_bigrams"]
+
+
+def test_conv_features_wide_row(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import conv_features
+
+    ts = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3 + ["c2"],
+            "turn_idx": [0, 1, 2, 0],
+            "role": ["user", "assistant", "tool", "user"],
+            "text": ["a b", "c d e", "f", "x y z"],
+        }
+    )
+    mentions = pd.DataFrame(
+        {"conv_id": ["c1", "c1", "c1"], "entity_id": ["E1", "E1", "E2"]}
+    )
+    got = (
+        conv_features(rd.from_pandas(ts), rd.from_pandas(mentions), 2)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert got["conv_id"].tolist() == ["c1", "c2"]
+    assert got["n_turns"].tolist() == [3, 1]
+    assert got["n_tok"].tolist() == [6, 3]
+    assert got["n_user_turns"].tolist() == [1, 1]
+    assert got["n_tool_turns"].tolist() == [1, 0]
+    assert got["n_mentions"].tolist() == [3, 0]
+    assert got["n_entities"].tolist() == [2, 0]
+
+
+def test_source_weights_uniform_mix(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.textstats import source_weights
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"source": ["a"] * 6 + ["b"] * 2})
+    )
+    got = (
+        source_weights(docs, num_buckets=2)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    # N=8, S=2: fair share 4/source -> a weight 10000*8//(2*6)=6666,
+    # b weight 10000*8//(2*2)=20000
+    assert got["weight_bp"].tolist() == [6666, 20000]
+
+
+def test_novelty_scores(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.textstats import novelty_scores
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c",      # bigrams (a,b),(b,c) — (a,b) shared with doc2
+                    "a b d",      # (a,b) shared, (b,d) unique
+                    "q r s",      # all unique
+                ],
+            }
+        )
+    )
+    got = (
+        novelty_scores(docs, num_buckets=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_bigrams"].tolist() == [2, 2, 2]
+    assert got["novel_bp"].tolist() == [5000, 5000, 10000]
+
+
+def test_corpus_summary_single_row(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.textstats import corpus_summary
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "text": ["a b", "a b", "c d e"],
+                "lang": ["en", "en", "de"],
+                "source": ["web", "chat", "web"],
+            }
+        )
+    )
+    got = corpus_summary(docs, num_buckets=2).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["n_docs"] == 3 and r["n_tokens"] == 7
+    assert r["n_distinct_texts"] == 2
+    assert r["dup_rate_bp"] == 10000 * 1 // 3
+    assert r["n_langs"] == 2 and r["n_sources"] == 2
