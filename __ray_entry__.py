@@ -2618,6 +2618,12 @@ def _q_corpus_summary(sf_dir: str):
     return textstats.corpus_summary(docs.union(docs), num_buckets=_NB)
 
 
+def _q_hourly_activity(sf_dir: str):
+    """UTC hour-of-day x event_type load profile."""
+    quiet_ray_data()
+    return relational.hourly_activity(_events(sf_dir), num_buckets=_NB)
+
+
 def _q_min_label_prop(sf_dir: str):
     """Bounded-round (2) min-label propagation over the co-occurrence
     graph — deterministic community seeds; unrolled-CTE oracle."""
@@ -2719,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bucket": _q_token_bucket,
         "nll_percentile_filter": _q_nll_percentile_filter,
         "conv_features": _q_conv_features,
+        "hourly_activity": _q_hourly_activity,
         "source_weights": _q_source_weights,
         "novelty_scores": _q_novelty_scores,
         "corpus_summary": _q_corpus_summary,
@@ -3024,6 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         "token_bucket": oracles.TOKEN_BUCKET,
         "nll_percentile_filter": oracles.NLL_PERCENTILE_FILTER,
         "conv_features": oracles.CONV_FEATURES,
+        "hourly_activity": oracles.HOURLY_ACTIVITY,
         "source_weights": oracles.SOURCE_WEIGHTS,
         "novelty_scores": oracles.NOVELTY_SCORES,
         "corpus_summary": oracles.CORPUS_SUMMARY,

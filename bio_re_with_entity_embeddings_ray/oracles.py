@@ -3802,3 +3802,11 @@ SELECT
   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
 FROM __c"""
+
+
+# Diurnal load profile (stages/relational.hourly_activity): UTC
+# hour-of-day x event_type counts.
+HOURLY_ACTIVITY = """SELECT
+  CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+  event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2"""

@@ -4199,3 +4199,36 @@ def conv_features(transcripts, mentions, num_buckets: int = 16):
         return out
 
     return bucketed_group_apply(u, "conv_id", per_conv, num_buckets)
+
+
+def hourly_activity(events, num_buckets: int = 16):
+    """Diurnal activity profile: (hour, event_type, n_events) with hour
+    = UTC hour-of-day 0-23 — the load-shape table capacity planning and
+    anomaly baselines read (the calendar complement of the tumbling /
+    monthly buckets). Hour extraction is vectorized int64 arithmetic on
+    epoch microseconds; the exchange is a 24 x |event_type|-bounded
+    combiner tree merge — the cheapest shape in the repo."""
+    from bio_re_with_entity_embeddings_ray.stages.common import merge_partials
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hour = (t // 3_600_000_000) % 24
+        g = (
+            pd.DataFrame({"hour": hour, "event_type": b["event_type"]})
+            .groupby(["hour", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["hour", "event_type"], as_index=False)[
+            "n_events"
+        ].sum()
+
+    return merge_partials(
+        events.map_batches(partial, batch_format="pandas"),
+        ["hour", "event_type"], combine, lambda b: b, num_buckets,
+        plan="tree",
+    )

@@ -892,3 +892,30 @@ def test_corpus_summary_single_row(ray_session):
     assert r["n_distinct_texts"] == 2
     assert r["dup_rate_bp"] == 10000 * 1 // 3
     assert r["n_langs"] == 2 and r["n_sources"] == 2
+
+
+def test_hourly_activity(ray_session):
+    from bio_re_with_entity_embeddings_ray.stages.relational import (
+        hourly_activity,
+    )
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "user_id": [1] * 4,
+            "event_type": ["a", "a", "b", "a"],
+            "value": [0.0] * 4,
+            "ts": pd.to_datetime(
+                ["2024-01-01 09:15", "2024-01-02 09:59",
+                 "2024-01-01 09:30", "2024-01-01 23:59"]
+            ),
+            "props": [""] * 4,
+        }
+    )
+    got = (
+        hourly_activity(rd.from_pandas(ev), num_buckets=2)
+        .to_pandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [[9, "a", 2], [9, "b", 1], [23, "a", 1]]
